@@ -1,0 +1,50 @@
+"""Vector math over ``array<float>`` embedding columns (north-star N3).
+
+Native Catalyst higher-order functions (``zip_with`` + ``aggregate``) — the
+dot product compiles to a tight loop in generated code, no Python in the hot
+path, so similarity scans scale with the parquet read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length float arrays."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    """L2 norm."""
+    return F.sqrt(
+        F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0.0 when either vector is all-zero."""
+    d = dot(a, b)
+    nn = norm(a) * norm(b)
+    return F.when(nn > 0, d / nn).otherwise(F.lit(0.0))
+
+
+def random_hyperplane_signs(a: Column | str, planes: list[list[float]]) -> Column:
+    """LSH signature: sign bits of dot products with fixed random hyperplanes,
+    packed into a string bucket key (scale path for ANN, SURVEY.md §2.10 N3)."""
+    bits = [
+        F.when(
+            dot(_c(a), F.array(*[F.lit(float(v)) for v in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)

@@ -1,0 +1,161 @@
+"""Deduplication operator family (north-star N1/N2, SURVEY.md §2.10).
+
+Four tiers, all pure DataFrame compositions (no Python in the hot path):
+
+- exact        : hash-groupBy on normalized text — one shuffle.
+- minhash_lsh  : shingle → per-hash-seed min → band → bucket join. Candidate
+                 pairs only ever meet inside a band bucket, so the shuffle is
+                 on (band, signature) keys, never an O(n^2) cross join.
+- simhash      : 64-bit weighted-bit fingerprint; near-dups = small Hamming
+                 distance within bucket prefixes.
+- ngram_jaccard: exact Jaccard over word shingles via explode + self-join on
+                 shingle — the verification step after LSH candidate
+                 generation (and the DuckDB-checkable ground truth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N1 — exact dedup keeping the lowest id per text (deterministic survivor,
+    unlike bare ``dropDuplicates`` whose survivor is partition-order dependent)."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def exact_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on whitespace/case-normalized text."""
+    norm = F.array_join(tokens(F.lower(F.col(text_col))), " ")
+    w = Window.partitionBy(norm).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def _minhash_signature(shingle_col: Column, n_hashes: int) -> list[Column]:
+    """n_hashes MinHash values: min over xxhash64(shingle, seed=i)."""
+    return [
+        F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+        .alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """N2 — MinHash+LSH candidate pairs (id_a < id_b).
+
+    Pipeline: k-shingles → n MinHash values → group into ``bands`` bands of
+    n/bands rows each → hash each band to a bucket → self-join on
+    (band, bucket). Two documents become a candidate iff they collide in at
+    least one band — the classic S-curve. The only shuffles are the bucket
+    groupBy/join on (band, bucket); no cross product anywhere, so the shape
+    holds at 100 TB with salting reserved for degenerate buckets.
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        *_minhash_signature(shingles(text_col, k_shingle), n_hashes),
+    )
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """N2 — SimHash fingerprint column ``simhash`` (bigint).
+
+    Per token: xxhash64; per bit: +1 if set else -1, summed over tokens; the
+    fingerprint sets bit i iff the sum is positive. Implemented as native
+    array expressions (explode-free: aggregate over the token array).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1).cast("long") << i) != 0, 1).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    fingerprint = None
+    for i, s in enumerate(bit_sums):
+        bit = F.when(s > 0, F.lit(1).cast("long") << i).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+    return df.withColumn("simhash", fingerprint)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """N2 ground truth — exact shingle-Jaccard similar pairs (id_a < id_b).
+
+    explode(shingles) → self-join on shingle → |A∩B| per pair → Jaccard via
+    inclusion-exclusion with per-doc distinct-shingle counts. Shuffles on
+    shingle then on (id_a, id_b); skew on ultra-common shingles is the known
+    hazard at scale — mitigate by dropping top-frequency shingles (stop-shingle
+    filter) before the join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

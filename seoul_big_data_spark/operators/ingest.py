@@ -1,0 +1,101 @@
+"""Resumable bulk ingest — the reference's core capability as one lazy plan.
+
+Re-expresses the CSV load loop (ref: data_seoul_2_csv_noopenapi.py:113-128):
+row numbering in input order (S4), resume-from-checkpoint offset filter (F6),
+positional schema binding (J3), append write (C6) and audit bookkeeping (A1/C8)
+— as set-oriented DataFrame transformations instead of a per-row INSERT loop.
+
+Scale notes (100 TB): the oracle-parity path uses a global ``row_number()``
+window, which sorts on a single reducer — correct, but serial. For real scale
+``numbered_by_partition`` computes contiguous ids with a two-pass
+per-partition-offset scheme (one tiny count-per-partition job + a map-side id
+assignment), which is fully parallel and preserves file order because Spark
+file splits are ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def numbered(df: DataFrame, order_by: list[str | Column] | None = None) -> DataFrame:
+    """S4 — assign a contiguous 1-based ``ID`` in input (or key) order.
+
+    Mirrors the reference's physical-line numbering
+    (data_seoul_2_csv_noopenapi.py:116,128). Global window = single-partition
+    sort; fine at test scale, see ``numbered_by_partition`` for the parallel
+    variant.
+    """
+    order = order_by or [F.monotonically_increasing_id()]
+    w = Window.orderBy(*order)
+    return df.withColumn("ID", F.row_number().over(w))
+
+
+def numbered_by_partition(df: DataFrame) -> DataFrame:
+    """S4 at scale — contiguous 1-based ids without a global sort.
+
+    Two passes: (1) count rows per input partition (cheap job over already-
+    scanned data), (2) add each row's within-partition rank to the partition's
+    cumulative offset. Equivalent to RDD ``zipWithIndex`` but staying in the
+    DataFrame API via ``spark_partition_id``.
+    """
+    with_pid = df.withColumn("_pid", F.spark_partition_id())
+    # Pass 1: tiny driver-side offsets table (one row per partition).
+    counts = (
+        with_pid.groupBy("_pid").count().orderBy("_pid").collect()
+    )  # catalog-sized: #partitions rows, never data rows
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    offset_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    # Pass 2: rank within partition (no shuffle — window partitioned by _pid).
+    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    return (
+        with_pid.withColumn("_rn", F.row_number().over(w))
+        .withColumn("ID", (offset_col[F.col("_pid")] + F.col("_rn")).cast("int"))
+        .drop("_pid", "_rn")
+    )
+
+
+def resume_filter(df: DataFrame, start_idx: int, id_col: str = "ID") -> DataFrame:
+    """F6 — skip rows already loaded in a previous run.
+
+    The reference re-inserts the boundary row (``start_idx <= row``,
+    data_seoul_2_csv_noopenapi.py:115 — an off-by-one, SURVEY.md §7.4.4); the
+    engine pins the fixed semantics: resume *strictly after* the checkpoint,
+    and start_idx == 0 means load everything.
+    """
+    return df.filter((F.lit(start_idx) == 0) | (F.col(id_col) > start_idx))
+
+
+def bind_schema(df: DataFrame, names: list[str]) -> DataFrame:
+    """J3 — positional CSV↔metadata binding resolved at plan time.
+
+    The reference binds by field position inside the row loop
+    (data_seoul_2_csv_noopenapi.py:117-118); here the collected column
+    metadata renames the scan output once, before execution.
+    """
+    return df.toDF(*names)
+
+
+def load_with_resume(
+    df: DataFrame,
+    start_idx: int = 0,
+    column_names: list[str] | None = None,
+) -> DataFrame:
+    """The M1 flagship composition: number → resume-filter → bind schema."""
+    out = numbered(df)
+    out = resume_filter(out, start_idx)
+    if column_names:
+        out = bind_schema(out, ["ID", *column_names])
+    return out
+
+
+def audit_counts(df: DataFrame, dataset_col: str) -> DataFrame:
+    """A1/C8 — per-dataset loaded-row counts for the audit table."""
+    return df.groupBy(dataset_col).agg(F.count("*").alias("data_insert_row"))

@@ -1,0 +1,102 @@
+"""Join operators (SURVEY.md §2.3): the reference's correlated per-row
+lookups (J1/J2, data_seoul_2_csv_noopenapi.py:74-96) become broadcast
+equi-joins; plus the engine-scope range and as-of joins for events-style
+enrichment.
+
+Scale notes: catalog/dim sides are broadcast explicitly (no shuffle of the
+fact side); the as-of join uses the union-and-window technique — one shuffle
+on the join key, no cross product — which is the standard scalable as-of
+shape (vs. a non-equi join that would force a broadcast nested-loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup(
+    fact: DataFrame, dim: DataFrame, on: Column, how: str = "inner"
+) -> DataFrame:
+    """J1/J2 — dimension lookup as a broadcast hash join (no shuffle of fact)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def pending_work(catalog: DataFrame, done: DataFrame, key: str) -> DataFrame:
+    """J4 — rows not yet processed (the CATEGORY_BIG IS NULL pattern,
+    data_seoul_1_category.py:44) as a left anti-join."""
+    return catalog.join(done, key, "left_anti")
+
+
+def range_join(
+    fact: DataFrame, dim: DataFrame, value: Column, lo: Column, hi: Column
+) -> DataFrame:
+    """Range (band) join: fact rows matched to the dim interval containing
+    ``value``. With a small dim this is a broadcast nested-loop — fine; with a
+    large dim, pre-bucket both sides on floor(value/width) first."""
+    return fact.join(F.broadcast(dim), (value >= lo) & (value <= hi), "inner")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` for the same key.
+
+    Union-and-window implementation: tag both sides, union by name, sort
+    within key by (ts, side) and carry the last right values forward with
+    ``last(..., ignorenulls=True)``. One shuffle on ``key``; linear, no
+    cross product — survives 100x scale-up where a non-equi join would not.
+    """
+    lt = left.withColumn("_ts", F.col(left_ts).cast("timestamp")).withColumn(
+        "_side", F.lit(1)
+    )
+    rt = right.withColumn("_ts", F.col(right_ts).cast("timestamp")).withColumn(
+        "_side", F.lit(0)
+    )
+    rsel = rt.select(
+        F.col(key).alias("_k"),
+        "_ts",
+        "_side",
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    lmeta = lt.withColumn("_k", F.col(key)).withColumn(
+        "_row_id", F.monotonically_increasing_id()
+    )
+    # Window pass over the union: right rows sort before coincident left rows
+    # (side 0 < 1) so an exactly-equal timestamp matches.
+    unioned = rsel.unionByName(
+        lmeta.select(
+            "_k",
+            "_ts",
+            "_side",
+            *[
+                F.lit(None).cast(rt.schema[c].dataType).alias(f"_r_{c}")
+                for c in right_cols
+            ],
+            "_row_id",
+        ),
+        allowMissingColumns=True,
+    )
+    w = Window.partitionBy("_k").orderBy("_ts", "_side").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = unioned.select(
+        "_k",
+        "_ts",
+        "_side",
+        "_row_id",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    ).filter(F.col("_side") == 1)
+    return (
+        lmeta.join(filled.select("_row_id", *[f"asof_{c}" for c in right_cols]), "_row_id")
+        .drop("_row_id", "_k", "_ts", "_side")
+    )

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for the test/bench environment.
+
+Local mode is a single JVM with N executor threads; the same configs are the
+right defaults on a real cluster except ``spark.driver.memory`` (which on a
+cluster sizes only the driver) and ``spark.sql.shuffle.partitions`` (which at
+100 TB should be sized so post-shuffle partitions land near
+``spark.sql.files.maxPartitionBytes``; AQE coalescing makes the static number
+a ceiling, not a target).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "seoul_big_data_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the tuned local SparkSession.
+
+    AQE is on so runtime statistics re-plan joins (broadcast demotion /
+    promotion, skew-join splitting, partition coalescing) — the knobs that
+    matter most when the same plan must survive a 100x scale-up.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
