@@ -16,9 +16,11 @@ def _c(col: Column | str) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
-    """Dot product of two equal-length float arrays."""
+    """Dot product of two equal-length float arrays, accumulated in double
+    (matches engines that upcast before multiplying; float*float would lose
+    precision and destabilize top-k ordering)."""
     return F.aggregate(
-        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

@@ -109,13 +109,17 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
             hashes,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1).cast("long") << i) != 0, 1).otherwise(-1),
+            + F.when(
+                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
+            ).otherwise(-1),
         )
         for i in range(bits)
     ]
     fingerprint = None
     for i, s in enumerate(bit_sums):
-        bit = F.when(s > 0, F.lit(1).cast("long") << i).otherwise(F.lit(0).cast("long"))
+        bit = F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
     return df.withColumn("simhash", fingerprint)
 

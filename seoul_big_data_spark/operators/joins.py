@@ -31,10 +31,11 @@ def pending_work(catalog: DataFrame, done: DataFrame, key: str) -> DataFrame:
 def range_join(
     fact: DataFrame, dim: DataFrame, value: Column, lo: Column, hi: Column
 ) -> DataFrame:
-    """Range (band) join: fact rows matched to the dim interval containing
-    ``value``. With a small dim this is a broadcast nested-loop — fine; with a
-    large dim, pre-bucket both sides on floor(value/width) first."""
-    return fact.join(F.broadcast(dim), (value >= lo) & (value <= hi), "inner")
+    """Range (band) join on half-open intervals [lo, hi): fact rows matched
+    to the dim interval containing ``value``. With a small dim this is a
+    broadcast nested-loop — fine; with a large dim, pre-bucket both sides on
+    floor(value/width) first so the join becomes an equi-join on bucket."""
+    return fact.join(F.broadcast(dim), (value >= lo) & (value < hi), "inner")
 
 
 def asof_join(

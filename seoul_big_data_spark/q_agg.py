@@ -1,0 +1,361 @@
+"""Aggregation / set-operation / window breadth (SURVEY.md §2.4-§2.6, M7).
+
+Everything here is stock Catalyst: partial (map-side) aggregation before the
+shuffle, AQE-coalesced post-shuffle partitions, broadcast joins on dims. The
+only intentionally-global operations are the rank windows, whose single-
+partition sort is bounded by the small group-key cardinality of each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.tables import load
+
+
+def _r2(c):
+    return F.round(c, 2)
+
+
+# --- aggregation breadth ----------------------------------------------------
+
+
+@query(
+    "agg_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — hash aggregate without aggregates (SURVEY.md §2.4)."""
+    return load(spark, "lineitem", sf_dir).select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey)  AS n_suppliers,
+           count(DISTINCT l_partkey)  AS n_parts,
+           count(*)                   AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (expand + two-phase aggregate in Catalyst)."""
+    return (
+        load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query("agg_approx_count_distinct")  # no oracle: HLL sketches are engine-specific
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the scale path for distinct
+    cardinality (no shuffle explosion). Rows-only check; exactness is covered
+    by tests/test_agg.py against the exact count at small sf."""
+    return (
+        load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+    )
+
+
+@query(
+    "agg_stats",
+    """
+    SELECT o_orderpriority,
+           round(min(o_totalprice), 2)         AS min_price,
+           round(max(o_totalprice), 2)         AS max_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                                               AS avg_price,
+           round(stddev_samp(o_totalprice), 2) AS sd_price,
+           round(var_samp(o_totalprice), 2)    AS var_price,
+           round(median(o_totalprice), 2)      AS med_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact median (percentile)."""
+    return (
+        load(spark, "orders", sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            _r2(F.min("o_totalprice")).alias("min_price"),
+            _r2(F.max("o_totalprice")).alias("max_price"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_price"),
+            _r2(F.stddev_samp("o_totalprice")).alias("sd_price"),
+            _r2(F.var_samp("o_totalprice")).alias("var_price"),
+            _r2(F.percentile("o_totalprice", F.lit(0.5))).alias("med_price"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT r_name, n_name, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir)
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("bal"),
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations."""
+    return (
+        load(spark, "lineitem", sf_dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _r2(F.sum("l_quantity")).alias("qty"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst Expand plan)."""
+    load(spark, "lineitem", sf_dir).createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list keeps the plan single-pass; without it
+    Spark runs an extra distinct job to discover the columns)."""
+    return (
+        load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(_r2(F.sum("l_quantity")))
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    """
+    SELECT n_nationkey, array_to_string(list(c_custkey ORDER BY c_custkey), ',')
+             AS customer_ids
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + array_sort rendered as string (deterministic across
+    engines only once sorted — collect order is partition-dependent)."""
+    n = load(spark, "nation", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_custkey")), ",").alias(
+                "customer_ids"
+            )
+        )
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+
+@query(
+    "setop_union",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — SURVEY.md §2.6."""
+    o = load(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.union(b).distinct()
+
+
+@query(
+    "setop_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "setop_except",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return a.subtract(b)
+
+
+# --- window breadth ---------------------------------------------------------
+
+
+@query(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative aggregate with an explicit ROWS frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        _r2(F.sum("o_totalprice").over(w)).alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS days_since_prev,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_order
+    FROM orders
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics (inter-order gaps)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load(spark, "orders", sf_dir)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@query(
+    "window_rank_family",
+    """
+    SELECT s_suppkey,
+           rank()         OVER (ORDER BY s_acctbal DESC) AS rnk,
+           dense_rank()   OVER (ORDER BY s_acctbal DESC) AS drnk,
+           ntile(4)       OVER (ORDER BY s_acctbal DESC) AS quartile,
+           round(percent_rank() OVER (ORDER BY s_acctbal DESC), 6) AS prank
+    FROM supplier
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank over one ordering."""
+    w = Window.orderBy(F.desc("s_acctbal"))
+    return load(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@query(
+    "merge_update_pattern",
+    """
+    WITH updates AS (
+      SELECT n_regionkey AS r_regionkey, count(*) AS n_nations
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT r.r_regionkey, r.r_name,
+           CAST(coalesce(u.n_nations, 0) AS BIGINT) AS n_nations
+    FROM region r LEFT JOIN updates u USING (r_regionkey)
+    """,
+)
+def merge_update_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/C8 — the join-then-overwrite UPDATE semantics
+    (ref: UPDATE DATA_BASIC_INFO at data_seoul_1_category.py:80-83) as a pure
+    query: catalog LEFT JOIN updates + coalesce(new, default)."""
+    r = load(spark, "region", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    updates = n.groupBy(F.col("n_regionkey").alias("r_regionkey")).agg(
+        F.count("*").alias("n_nations")
+    )
+    return r.join(F.broadcast(updates), "r_regionkey", "left").select(
+        "r_regionkey",
+        "r_name",
+        F.coalesce("n_nations", F.lit(0)).cast("long").alias("n_nations"),
+    )

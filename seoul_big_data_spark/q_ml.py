@@ -1,0 +1,178 @@
+"""Similarity search over ``embeddings`` + multimodal column plumbing
+(north-star N3/N5, SURVEY.md §2.10).
+
+The brute-force top-k is the exact baseline (oracle: DuckDB
+``list_cosine_similarity``); the LSH variant is the 100 TB path (rows-only —
+bucketing is hash-engine-specific; recall asserted in tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.vector import cosine, dot, norm
+from .operators.similarity import brute_force_topk, lsh_topk
+from .registry import query
+from .sources.tables import load
+
+_N_QUERIES = 5  # probe vectors = the first 5 vec_ids
+
+
+@query(
+    "similarity_brute_force_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.q_vec, c.embedding) AS s
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, round(s, 4) AS score, rk FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def similarity_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — exact cosine top-10 for 5 probe vectors: broadcast the probes,
+    stream the corpus once, per-query row_number window
+    (operators/similarity.py::brute_force_topk)."""
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rk"
+    )
+
+
+@query(
+    "similarity_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(embedding, embedding)), 4) AS l2_norm,
+           CAST(len(embedding) AS INTEGER) AS dim
+    FROM embeddings
+    """,
+)
+def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — vector math layer sanity surface: norms + dims as native
+    higher-order functions (functions/vector.py)."""
+    emb = load(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(norm("embedding"), 4).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@query(
+    "similarity_label_centroid_dist",
+    """
+    WITH pos AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, i, avg(x) AS cx FROM pos GROUP BY label, i
+    ), carr AS (
+      SELECT label, list(cx ORDER BY i) AS centroid FROM cent GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding, c.centroid), 4)
+             AS centroid_cos
+    FROM embeddings e JOIN carr c ON e.label = c.label
+    """,
+)
+def similarity_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — per-label centroid, then each vector's cosine to its own
+    centroid (grouped vector aggregation via posexplode + re-assemble)."""
+    emb = load(spark, "embeddings", sf_dir)
+    pos = emb.select("vec_id", "label", F.posexplode("embedding").alias("i", "x"))
+    centroids = (
+        pos.groupBy("label", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select(
+            "label", F.transform("pairs", lambda p: p["cx"]).alias("centroid")
+        )
+    )
+    joined = emb.join(F.broadcast(centroids), "label")
+    return joined.select(
+        "vec_id",
+        "label",
+        F.round(cosine("embedding", "centroid"), 4).alias("centroid_cos"),
+    )
+
+
+@query("similarity_lsh_ann")  # hash-bucketed ANN → rows-only
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 scale path — random-hyperplane LSH ANN (8 planes → 256 buckets).
+    Planes are fixed/deterministic (seeded from plane index via md5).
+    Recall vs brute force asserted in tests/test_similarity.py."""
+    emb = load(spark, "embeddings", sf_dir)
+    planes = _fixed_planes(n_planes=8, dim=64)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return lsh_topk(emb, queries, planes, k=10)
+
+
+def _fixed_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG state, reproducible
+    across sessions): md5-seeded values in [-1, 1)."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane{p}:{d}".encode()).digest()
+            vals.append(int.from_bytes(h[:4], "big") / 2**31 - 1.0)
+        planes.append(vals)
+    return planes
+
+
+# --- multimodal column plumbing (N5) ----------------------------------------
+
+
+@query(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 — opaque binary payload + typed metadata: the blob column pattern
+    for image/audio/video. Payload here is the utf-8 encoding of text (the
+    container has no media libs); size + checksum are the typed metadata."""
+    d = load(spark, "documents", sf_dir)
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(bin_col).alias("n_bytes"),
+        F.md5(bin_col).alias("content_md5"),
+    )
+
+
+@query("multimodal_decode_stub")  # Pandas-UDF plumbing → rows-only
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 — the decode/feature-extract stage as mapInPandas over binary
+    payloads. The decode itself is a deterministic fake (media libs absent,
+    clearly marked in sources/multimodal.py); the Spark plumbing — schema,
+    Arrow batching, partition mapping — is real and tested."""
+    from .sources.multimodal import decode_features
+
+    d = load(spark, "documents", sf_dir)
+    with_blob = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return decode_features(with_blob)

@@ -1,0 +1,205 @@
+"""Text analysis + dedup queries over ``documents`` (north-star N1/N2/N4).
+
+Oracle notes: tokenization is mirrored in DuckDB with
+``list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')``;
+shingles with a 1-based list comprehension (DuckDB slices are inclusive).
+Hash-based operators (MinHash/LSH, SimHash, xxhash64 fingerprints) have no
+cross-engine oracle — they are rows-only here and verified against exact
+ground truth in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as tx
+from .operators import dedup
+from .registry import query
+from .sources.tables import load
+
+_DUCK_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id, lang,
+           CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER)        AS n_chars_actual,
+           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                 / length(text), 6)             AS punct_ratio
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — per-document token/char counts + punctuation ratio as native
+    expressions (no UDFs; functions/text.py)."""
+    d = load(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        "lang",
+        tx.token_count("text").alias("n_tokens"),
+        tx.char_count("text").cast("int").alias("n_chars_actual"),
+        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+@query(
+    "text_term_frequency",
+    f"""
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    )
+    GROUP BY token HAVING count(*) >= 5
+    """,
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — corpus term/document frequency: tokenize → explode → groupBy.
+    The explode shuffle is on the token key; at 100 TB add a stop-token
+    filter before the shuffle (same HAVING threshold, applied map-side)."""
+    d = load(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(tx.tokens("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("tf") >= 5)
+    )
+
+
+@query(
+    "text_lang_profile",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — corpus composition profile by language and source."""
+    d = load(spark, "documents", sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_quality_filter",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len({_DUCK_TOKENS}) AS n_tok,
+             length(text) AS n_chr,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / length(text) AS pr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           round(CAST((CASE WHEN n_tok >= 5 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN pr < 0.2 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN n_chr * 1.0 / n_tok BETWEEN 2.0 AND 12.0
+                       THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS quality
+    FROM scored WHERE n_tok > 0
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — composite quality score (length band + punctuation + mean word
+    length), the pre-training corpus filter signal."""
+    d = load(spark, "documents", sf_dir).filter(tx.token_count("text") > 0)
+    return d.select(
+        "doc_id", "lang", F.round(tx.quality_score("text"), 2).alias("quality")
+    )
+
+
+@query("text_fingerprint")  # xxhash64 is engine-specific → rows-only
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — deterministic 64-bit fingerprint of normalized text
+    (functions/text.py::fingerprint); determinism asserted in tests."""
+    d = load(spark, "documents", sf_dir)
+    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+@query("text_language_detect")  # heuristic, engine-specific → rows-only
+def text_language_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — language-ID heuristic (CJK detection + stopword profiles);
+    accuracy asserted against the lang label in tests/test_text.py."""
+    d = load(spark, "documents", sf_dir)
+    return d.select("doc_id", "lang", tx.detect_language("text").alias("lang_pred"))
+
+
+# --- dedup family (N1/N2) ---------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 — exact dedup with deterministic survivor (lowest doc_id per text);
+    one shuffle on the text hash (operators/dedup.py::exact)."""
+    d = load(spark, "documents", sf_dir)
+    return dedup.exact(d).select("doc_id", "lang")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 ground truth — exact 3-shingle Jaccard pairs ≥ 0.3
+    (operators/dedup.py::ngram_jaccard_pairs)."""
+    d = load(spark, "documents", sf_dir)
+    out = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_minhash_lsh")  # hash-based bucketing → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — MinHash+LSH candidate pairs (16 hashes, 4 bands). Recall vs the
+    exact-Jaccard ground truth is asserted in tests/test_dedup.py."""
+    d = load(spark, "documents", sf_dir)
+    return dedup.minhash_lsh_candidates(d, n_hashes=16, bands=4)
+
+
+@query("dedup_simhash")  # hash-based fingerprint → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — 64-bit SimHash fingerprints (operators/dedup.py::simhash)."""
+    d = load(spark, "documents", sf_dir)
+    return dedup.simhash(d).select("doc_id", "simhash")

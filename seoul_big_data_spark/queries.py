@@ -18,29 +18,13 @@ Operator IDs in each docstring refer to SURVEY.md §2.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, ingest, joins, similarity, windows
-from .functions import scalar, text, vector
+from .operators import ingest, joins, windows
+from .functions import scalar
+from .registry import ORACLES, QUERIES, query
 from .sources.tables import load
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    """Register a (spark, sf_dir) -> DataFrame callable and its oracle SQL."""
-
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
 
 
 def _r2(c):
@@ -56,14 +40,22 @@ def _r2(c):
     "flagship_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                       AS sum_qty,
-           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2)                                       AS avg_qty,
-           round(avg(l_extendedprice), 2)                                  AS avg_price,
-           round(avg(l_discount), 2)                                       AS avg_disc,
-           count(*)                                                        AS count_order
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+             AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+             AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*)
+             AS avg_disc,
+           count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -76,21 +68,29 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, one shuffle on the 6-value group key. (Capabilities per
     SURVEY.md §2.4; reference computes only running counts,
     data_seoul_2_csv_noopenapi.py:112-127.)
+
+    Money aggregates sum DECIMAL(18,4) (prices/discounts are exact 2-decimal
+    values) then cast to double: double-sum results depend on shuffle merge
+    order, decimal sums are exact and engine-independent.
     """
     li = load(spark, "lineitem", sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    cnt = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r2(F.sum("l_quantity")).alias("sum_qty"),
-            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r2(F.sum(disc_price)).alias("sum_disc_price"),
-            _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            _r2(F.avg("l_quantity")).alias("avg_qty"),
-            _r2(F.avg("l_extendedprice")).alias("avg_price"),
-            _r2(F.avg("l_discount")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
@@ -266,7 +266,7 @@ def project_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_catalog_dims",
     """
     SELECT r.r_name AS region_name, count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_acctbal
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -285,7 +285,9 @@ def join_catalog_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count("*").alias("n_customers"),
-            _r2(F.sum("c_acctbal")).alias("total_acctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
         )
     )
 
@@ -294,14 +296,17 @@ def join_catalog_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_pending",
     """
     SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
     """,
 )
 def join_anti_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 — pending-work anti-join (the CATEGORY_BIG IS NULL pattern,
-    data_seoul_1_category.py:44)."""
+    data_seoul_1_category.py:44): customers with no urgent order yet (the
+    urgent subset keeps the result non-empty in the synthetic data)."""
     c = load(spark, "customer", sf_dir)
-    o = load(spark, "orders", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(F.col("o_orderpriority") == "1-URGENT")
     return joins.pending_work(
         c.select(F.col("c_custkey")),
         o.select(F.col("o_custkey").alias("c_custkey")),
@@ -329,7 +334,8 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_outer_agg",
     """
     SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE)
+             AS total_spend
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
     """,
@@ -343,7 +349,11 @@ def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(c.c_custkey)
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            _r2(F.coalesce(F.sum("o_totalprice"), F.lit(0))).alias("total_spend"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spend"),
         )
     )
 
@@ -433,3 +443,17 @@ def limit_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain registries (import for side effect: they register into QUERIES /
+# ORACLES). Kept as separate modules so the inventory stays navigable.
+# ---------------------------------------------------------------------------
+
+from . import q_scalar  # noqa: E402,F401  (X* scalar function layer)
+from . import q_agg  # noqa: E402,F401  (aggregation / set-op / window breadth)
+from . import q_events  # noqa: E402,F401  (events: JSON, time windows, sessions)
+from . import q_text  # noqa: E402,F401  (N4 text analysis + N1/N2 dedup)
+from . import q_ml  # noqa: E402,F401  (N3 similarity search + multimodal)
+
+__all__ = ["QUERIES", "ORACLES", "query"]

@@ -30,8 +30,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Load one test table as a DataFrame (lazy parquet scan)."""
+    """Load one test table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects by default; it is read as raw nanos
+    (``nanosAsLong``) and converted to a microsecond timestamp — the engine's
+    canonical event-time type (sub-microsecond precision is below every
+    window/session granularity used here).
+    """
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
