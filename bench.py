@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Each query is forced with ``count()`` (full plan execution, no driver-side
+result materialization — the realistic action for a 100 TB pipeline stage
+whose output feeds a sink, not a collect). A warmup run of the flagship
+amortizes JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from seoul_big_data_spark.queries import QUERIES  # noqa: E402
+from seoul_big_data_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the scale-critical
+# shapes (big-fact aggregation, shuffle joins, windows, text/dedup/vector).
+HEADLINE = [
+    "flagship_pricing_summary",
+    "ingest_resume_load",
+    "filter_eq",
+    "join_catalog_dims",
+    "join_left_outer_agg",
+    "window_latest_per_group",
+    "window_running_sum",
+    "agg_cube",
+    "agg_count_distinct",
+    "events_sessionization",
+    "events_asof_join",
+    "text_token_stats",
+    "text_term_frequency",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_brute_force_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+
+    QUERIES["flagship_pricing_summary"](spark, sf_dir).count()  # warmup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

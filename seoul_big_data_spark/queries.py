@@ -455,5 +455,7 @@ from . import q_agg  # noqa: E402,F401  (aggregation / set-op / window breadth)
 from . import q_events  # noqa: E402,F401  (events: JSON, time windows, sessions)
 from . import q_text  # noqa: E402,F401  (N4 text analysis + N1/N2 dedup)
 from . import q_ml  # noqa: E402,F401  (N3 similarity search + multimodal)
+from . import q_tpch  # noqa: E402,F401  (multi-join star-schema analytics)
+from . import q_misc  # noqa: E402,F401  (arrays/maps/nulls/frames/sliding windows)
 
 __all__ = ["QUERIES", "ORACLES", "query"]
