@@ -1,0 +1,55 @@
+"""Structured Streaming layer (SURVEY.md §2.8, §7.4.7).
+
+The reference is batch-only; the engine's event analytics are written against
+DataFrames, so running them as a stream is a source/sink swap, not a rewrite.
+This module demonstrates exactly that: ``hourly_rollup`` — the same function
+the batch query registry uses — applied to a file-source stream with a
+watermark, processed with an ``availableNow`` trigger (bounded catch-up run,
+the batch-parity execution mode).
+
+At scale this is the hand-off point for continuous ingest: the CSV/OpenAPI
+pipelines land files; a file-source stream with checkpointing replaces the
+START_IDX resume logic (data_seoul_2_csv_noopenapi.py:115) with exactly-once
+file tracking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .batch_windows import hourly_rollup
+
+
+def stream_events_from_files(
+    spark: SparkSession, path: str, schema_ddl: str
+) -> DataFrame:
+    """File-source event stream (each dropped file = a micro-batch)."""
+    return spark.readStream.schema(schema_ddl).parquet(path)
+
+
+def hourly_rollup_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """The batch hourly rollup under a watermark: late events beyond
+    ``watermark`` are dropped and window state is evicted — the property that
+    bounds state size on an unbounded stream."""
+    return hourly_rollup(events.withWatermark("ts", watermark))
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str = "rollup"
+):
+    """Execute the stream over all currently-available input, then stop
+    (batch-parity mode). Returns the StreamingQuery after completion; results
+    land in the in-memory table ``query_name``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
