@@ -1,0 +1,234 @@
+"""Statistical aggregates + remaining TPC-H shapes + TF-IDF + embedding
+near-dup (engine breadth beyond the reference's counters)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.vector import cosine
+from .registry import query
+from .sources.tables import load
+
+_DUCK_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+
+
+@query(
+    "agg_corr_covar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2)  AS qty_price_covar,
+           round(skewness(l_extendedprice), 4)                AS price_skew,
+           round(kurtosis(l_extendedprice), 4)                AS price_kurt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar / skewness / kurtosis — higher-moment aggregates."""
+    return (
+        load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.skewness("l_extendedprice"), 4).alias("price_skew"),
+            F.round(F.kurtosis("l_extendedprice"), 4).alias("price_kurt"),
+        )
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure scan-filter-sum — the pushdown benchmark (every
+    predicate reaches the parquet reader; zero shuffles, scalar result)."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS with a correlated inequality — left-semi join with a
+    non-equi conjunct (Catalyst keeps the equi key for the hash join and
+    applies the inequality as a post-condition)."""
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load(spark, "lineitem", sf_dir)
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q12_shipmode",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'N'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: join + conditional counting."""
+    o = load(spark, "orders", sf_dir)
+    l = load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "N")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(12,2))) > 150
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: group-by with HAVING over the join."""
+    o = load(spark, "orders", sf_dir)
+    l = load(spark, "lineitem", sf_dir)
+    qty = F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+    return (
+        l.join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(qty.cast("double").alias("total_qty"), qty.alias("_q"))
+        .filter(F.col("_q") > 150)
+        .drop("_q")
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, token,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf, rk
+    FROM (
+      SELECT t.doc_id, t.token,
+             t.tf, d.df, n.n_docs,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) DESC, t.token
+             ) AS rk
+      FROM tf t JOIN df d ON t.token = d.token CROSS JOIN n
+    ) WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — TF-IDF with top-3 terms per document: two aggregations + a
+    broadcast of the (small) document-frequency table + per-doc window."""
+    d = load(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc(tfidf), F.asc("token"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", F.round(tfidf, 6).alias("tfidf"), "rk")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — embedding-cosine near-duplicate pairs (bounded probe set for the
+    oracle; the scale path pre-buckets with LSH signs exactly as
+    operators/similarity.py::lsh_topk)."""
+    emb = load(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = cosine("va", "vb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.5)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+    )
