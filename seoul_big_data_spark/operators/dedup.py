@@ -110,33 +110,51 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
     """N2 — SimHash fingerprint column ``simhash`` (bigint).
 
     Per token: xxhash64; per bit: +1 if set else -1, summed over tokens; the
-    fingerprint sets bit i iff the sum is positive. Implemented as native
-    array expressions (explode-free: aggregate over the token array).
+    fingerprint sets bit i iff the sum is positive.
+
+    Shape: explode tokens → one hash per token row → 64 conditional-sum
+    aggregates (codegen'd hash agg with map-side partial sums, one shuffle on
+    the doc id) → pack bits. The explode-free form — 64 ``aggregate()``
+    higher-order expressions over the token array — re-evaluates the
+    tokenize+hash array per bit (no CSE) and measured ~50x slower at sf0.1.
     """
-    toks = tokens(F.lower(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_sums = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
-            ).otherwise(-1),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok_rows = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
         )
-        for i in range(bits)
-    ]
+        .select("_id", F.xxhash64("t").alias("h"))
+    )
+    sums = tok_rows.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b_{i}")
+            for i in range(bits)
+        ]
+    )
     fingerprint = None
-    for i, s in enumerate(bit_sums):
-        bit = F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
+    for i in range(bits):
+        bit = F.when(
+            F.col(f"b_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
-    return df.withColumn("simhash", fingerprint)
+    fp = sums.select(F.col("_id"), fingerprint.alias("simhash"))
+    # empty-token documents produce no rows in the explode: all-zero fingerprint
+    return df.join(fp, df[id_col] == fp["_id"], "left").drop("_id").withColumn(
+        "simhash", F.coalesce("simhash", F.lit(0).cast("long"))
+    )
 
 
 def ngram_jaccard_pairs(

@@ -69,33 +69,55 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_stats",
     """
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n,
+             min(o_totalprice) AS mn,
+             max(o_totalprice) AS mx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))
+                      * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             round(median(o_totalprice), 2) AS med_price
+      FROM orders GROUP BY o_orderpriority
+    )
     SELECT o_orderpriority,
-           round(min(o_totalprice), 2)         AS min_price,
-           round(max(o_totalprice), 2)         AS max_price,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
-                                               AS avg_price,
-           round(stddev_samp(o_totalprice), 2) AS sd_price,
-           round(var_samp(o_totalprice), 2)    AS var_price,
-           round(median(o_totalprice), 2)      AS med_price
-    FROM orders GROUP BY o_orderpriority
+           round(mn, 2) AS min_price,
+           round(mx, 2) AS max_price,
+           sy / n       AS avg_price,
+           round(sqrt((syy - sy * sy / n) / (n - 1)), 2) AS sd_price,
+           round((syy - sy * sy / n) / (n - 1), 2)       AS var_price,
+           med_price
+    FROM s
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates incl. exact median (percentile)."""
-    return (
+    """Statistical aggregates incl. exact median. Variance/stddev are built
+    from exact decimal power sums (engine-native accumulators drift ~1e-13
+    relative, which straddles round-2 on 1e8-magnitude variances); the
+    built-in accumulator surface is covered by `agg_moments_builtin`."""
+    y = F.col("o_totalprice").cast("decimal(12,2)")
+    s = (
         load(spark, "orders", sf_dir)
         .groupBy("o_orderpriority")
         .agg(
-            _r2(F.min("o_totalprice")).alias("min_price"),
-            _r2(F.max("o_totalprice")).alias("max_price"),
-            (
-                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
-                / F.count("*")
-            ).alias("avg_price"),
-            _r2(F.stddev_samp("o_totalprice")).alias("sd_price"),
-            _r2(F.var_samp("o_totalprice")).alias("var_price"),
+            F.count("*").cast("double").alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(y * y).cast("double").alias("syy"),
             _r2(F.percentile("o_totalprice", F.lit(0.5))).alias("med_price"),
         )
+    )
+    n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+    var = (syy - sy * sy / n) / (n - 1)
+    return s.select(
+        "o_orderpriority",
+        _r2(F.col("mn")).alias("min_price"),
+        _r2(F.col("mx")).alias("max_price"),
+        (sy / n).alias("avg_price"),
+        _r2(F.sqrt(var)).alias("sd_price"),
+        _r2(var).alias("var_price"),
+        "med_price",
     )
 
 

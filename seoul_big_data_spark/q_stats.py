@@ -16,16 +16,65 @@ _DUCK_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''
 @query(
     "agg_corr_covar",
     """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE)  AS sx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(7,2))
+                      * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(7,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 2)  AS qty_price_covar,
-           round(skewness(l_extendedprice), 4)                AS price_skew,
-           round(kurtosis(l_extendedprice), 4)                AS price_kurt
-    FROM lineitem GROUP BY l_returnflag
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS qty_price_corr,
+           round((sxy - sx * sy / n) / (n - 1), 2) AS qty_price_covar,
+           round((syy / n) - (sy / n) * (sy / n), 2) AS price_var_pop
+    FROM s
     """,
 )
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """corr / covar / skewness / kurtosis — higher-moment aggregates."""
+    """corr / covar / variance from exact decimal power sums.
+
+    Spark's and DuckDB's built-in co-moment accumulators disagree at ~1e-4
+    on small groups (different merge formulas), which no rounding fixes
+    reliably; computing the raw power sums as exact decimals and applying
+    one identical IEEE formula on both sides is deterministic bit-for-bit.
+    The built-ins (F.corr/F.covar_samp/F.skewness/F.kurtosis) remain the
+    single-engine surface — see `agg_moments_builtin` (rows-only).
+    """
+    li = load(spark, "lineitem", sf_dir)
+    x = F.col("l_quantity").cast("decimal(7,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return s.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("qty_price_corr"),
+        F.round((sxy - sx * sy / n) / (n - 1), 2).alias("qty_price_covar"),
+        F.round((syy / n) - (sy / n) * (sy / n), 2).alias("price_var_pop"),
+    )
+
+
+@query("agg_moments_builtin")  # engine-native accumulators → rows-only
+def agg_moments_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in higher-moment aggregates (corr/covar/skewness/kurtosis) —
+    the idiomatic single-engine surface; cross-engine equality is checked
+    via the exact-sum variant `agg_corr_covar`."""
     return (
         load(spark, "lineitem", sf_dir)
         .groupBy("l_returnflag")
