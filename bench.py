@@ -43,6 +43,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_brute_force_topk",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "corpus_prep_pipeline",
 ]
 
 

@@ -203,3 +203,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 — 64-bit SimHash fingerprints (operators/dedup.py::simhash)."""
     d = load(spark, "documents", sf_dir)
     return dedup.simhash(d).select("doc_id", "simhash")
+
+
+@query(
+    "corpus_prep_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len({_DUCK_TOKENS}) AS n_tok,
+             length(text) AS n_chr,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / length(text) AS pr
+      FROM documents WHERE length(text) > 0
+    ), q AS (
+      SELECT doc_id, lang, text, n_tok,
+             CAST((CASE WHEN n_tok >= 5 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN pr < 0.2 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN n_chr * 1.0 / n_tok BETWEEN 2.0 AND 12.0
+                       THEN 0.3 ELSE 0.0 END) AS DOUBLE) AS quality
+      FROM scored WHERE n_tok > 0
+    ), kept AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, n_tok, quality,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM q WHERE quality >= 0.7
+      ) WHERE rn = 1
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(avg(quality), 4) AS avg_quality
+    FROM kept GROUP BY lang
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep composition: quality scoring (N4)
+    → threshold filter → exact dedup with deterministic survivor (N1) →
+    per-language corpus profile. One plan, three shuffles (dedup window,
+    group-by) — the shape of a real corpus-curation job at 100 TB."""
+    d = load(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    q = d.filter(tx.token_count("text") > 0).select(
+        "doc_id",
+        "lang",
+        "text",
+        tx.token_count("text").alias("n_tok"),
+        tx.quality_score("text").alias("quality"),
+    )
+    kept = dedup.exact(q.filter(F.col("quality") >= 0.7))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
