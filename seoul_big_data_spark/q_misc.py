@@ -185,3 +185,107 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "explode_outer_variants",
+    """
+    SELECT doc_id, token_pos, token FROM (
+      SELECT doc_id,
+             generate_subscripts(toks, 1) - 1 AS token_pos,
+             unnest(toks) AS token
+      FROM (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN NULL
+                    ELSE list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x != '') END AS toks
+        FROM documents WHERE doc_id < 50
+      )
+    )
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM documents WHERE doc_id < 50 AND length(trim(text)) = 0
+    """,
+)
+def explode_outer_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer — table-generating explode that preserves rows whose
+    array is null/empty (the UDTF-equivalent surface, SURVEY.md §2.9)."""
+    d = load(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    toks = F.when(
+        F.length(F.trim("text")) == 0, F.lit(None).cast("array<string>")
+    ).otherwise(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != F.lit("")))
+    return d.select(
+        "doc_id", F.posexplode_outer(toks).alias("token_pos", "token")
+    ).select("doc_id", F.col("token_pos").cast("long").alias("token_pos"), "token")
+
+
+@query(
+    "union_by_name_missing",
+    """
+    SELECT c_custkey AS entity_id, c_name AS name, c_acctbal AS balance,
+           'customer' AS kind
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE), 'supplier'
+    FROM supplier
+    """,
+)
+def union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True) — schema-evolving union (the
+    engine's answer to the reference's drifting per-dataset schemas)."""
+    c = load(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit("customer").alias("kind"),
+    )
+    s = load(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "agg_mode_deterministic",
+    """
+    SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+      SELECT o_orderstatus, o_orderpriority,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) with a deterministic tie-break — the
+    count+window derivation both engines agree on (native mode() breaks ties
+    arbitrarily)."""
+    o = load(spark, "orders", sf_dir)
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+
+
+@query("agg_percentile_approx")  # t-digest/GK sketches are engine-specific
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch-based scale path for quantiles
+    (exact `percentile` is the oracle-checked surface in agg_stats)."""
+    return (
+        load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000
+            ).alias("price_quartiles")
+        )
+    )
