@@ -289,3 +289,32 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_quartiles")
         )
     )
+
+
+@query(
+    "window_zscore_per_group",
+    """
+    WITH s AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))
+                      * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           round((c.c_acctbal - s.sy / s.n)
+                 / sqrt((s.syy - s.sy * s.sy / s.n) / (s.n - 1)), 6) AS zscore
+    FROM customer c JOIN s ON c.c_mktsegment = s.c_mktsegment
+    """,
+)
+def window_zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization (z-score by market segment) as a broadcast of
+    exact group sums — the native form of a grouped-map transform. The
+    applyInPandas twin (operators/grouped_map.py) computes the same thing
+    through the Arrow grouped-map path; tests assert they agree."""
+    from .operators.grouped_map import zscore_native
+
+    return zscore_native(
+        load(spark, "customer", sf_dir), "c_mktsegment", "c_acctbal", "c_custkey"
+    )

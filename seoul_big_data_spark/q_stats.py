@@ -264,7 +264,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
     FROM embeddings a JOIN embeddings b
       ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,6 +278,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.5)
+        .filter(F.col("cos_raw") >= 0.25)
         .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
     )
