@@ -184,3 +184,165 @@ def scalar_subquery_vs_global_max(spark: SparkSession, sf_dir: str) -> DataFrame
     p = load(spark, "part", sf_dir)
     mx = p.agg(F.max("p_retailprice")).first()[0]
     return p.filter(F.col("p_retailprice") > 0.95 * mx).select("p_partkey", "p_name")
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: reused CTE (computed once, referenced twice — Catalyst
+    dedups via subquery reuse) + uncorrelated max subquery."""
+    l = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)")))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue")).first()[0]
+    s = load(spark, "supplier", sf_dir)
+    return (
+        s.join(F.broadcast(revenue), s.s_suppkey == revenue.supplier_no)
+        .filter(F.col("total_revenue") == mx)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: anti-join exclusion list + distinct count over a dim
+    join."""
+    p = load(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    l = load(spark, "lineitem", sf_dir)
+    excluded = (
+        load(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        l.join(excluded, "l_suppkey", "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive join-filter branches — the
+    CNF-extraction stress test (Catalyst pushes the common p_partkey equi-key
+    into the hash join and the per-branch predicates past it)."""
+    l = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir)
+    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    cond = (
+        ((p.p_brand == "Brand#1") & p.p_size.between(1, 5) & l.l_quantity.between(1, 11))
+        | ((p.p_brand == "Brand#2") & p.p_size.between(1, 10) & l.l_quantity.between(10, 20))
+        | ((p.p_brand == "Brand#3") & p.p_size.between(1, 15) & l.l_quantity.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "tpch_q22_global_sales",
+    """
+    WITH eligible AS (
+      SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+      FROM customer
+      WHERE substring(c_name, 17, 2) IN ('01', '02', '03', '04', '05')
+        AND c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+          FROM customer WHERE c_acctbal > 0.0
+        )
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM eligible e
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: substring-derived key + scalar-subquery threshold +
+    NOT EXISTS anti-join (restricted to urgent orders so the synthetic data
+    yields a non-empty result)."""
+    c = load(spark, "customer", sf_dir)
+    code = F.substring("c_name", 17, 2)
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count("*")
+        )
+        .first()[0]
+    )
+    eligible = c.filter(
+        code.isin("01", "02", "03", "04", "05") & (F.col("c_acctbal") > avg_bal)
+    ).select(code.alias("cntrycode"), "c_acctbal", "c_custkey")
+    o = (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        eligible.join(o, "c_custkey", "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
