@@ -62,6 +62,50 @@ def numbered_by_partition(df: DataFrame) -> DataFrame:
     )
 
 
+def numbered_ordered_scalable(
+    df: DataFrame, order_by: list[str], partitions: int | None = None
+) -> DataFrame:
+    """S4 with an explicit key order, without the global single-reducer sort.
+
+    Two passes: (1) ``repartitionByRange`` + ``sortWithinPartitions`` puts
+    the data in globally-ordered, locally-sorted partitions; a tiny
+    count-per-partition job computes each partition's global offset;
+    (2) within-partition ``row_number`` (no shuffle — the window key is the
+    partition id) plus the offset. Produces the identical contiguous 1-based
+    ``ID`` the global-window form yields, but every stage is parallel, so it
+    is the form that survives 100 TB (the windowed ``numbered`` sorts on one
+    reducer).
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Deterministic logical buckets from quantile bounds of the leading order
+    # key (NOT repartitionByRange: its sampled bounds differ between the
+    # offsets job and the main job, which mis-aligns the offsets). Ties on a
+    # bound share a bucket — slight imbalance, never incorrectness.
+    lead = order_by[0]
+    bounds = sorted(
+        set(df.approxQuantile(lead, [i / n for i in range(1, n)], 0.001))
+    )
+    if not bounds:
+        return numbered(df, order_by=list(order_by))
+    barr = F.array(*[F.lit(b) for b in bounds])
+    bucket = F.size(F.filter(barr, lambda b: b < F.col(lead).cast("double")))
+    with_b = df.withColumn("_b", bucket)
+    counts = {
+        r["_b"]: r["count"] for r in with_b.groupBy("_b").count().collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_col = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_b").orderBy(*order_by)
+    return (
+        with_b.withColumn("_rn", F.row_number().over(w))
+        .withColumn("ID", (offset_col[F.col("_b")] + F.col("_rn")).cast("int"))
+        .drop("_b", "_rn")
+    )
+
+
 def resume_filter(df: DataFrame, start_idx: int, id_col: str = "ID") -> DataFrame:
     """F6 — skip rows already loaded in a previous run.
 

@@ -53,23 +53,54 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: both sides signed against the same fixed random
-    hyperplanes; candidates are corpus rows sharing the query's bucket.
+    hyperplanes; candidates are corpus rows sharing one of the query's probe
+    buckets.
+
+    ``multi_probe``: 1 probes only the query's own bucket; 2 also probes
+    every bucket at Hamming distance 1 (flip each sign bit) — the standard
+    multi-probe LSH recall/cost dial (n_planes+1 probes per query). Probes
+    are exploded on the (small, broadcast) query side only; the corpus is
+    signed once.
 
     At scale the corpus is written bucketed/partitioned by ``bucket`` so a
     probe touches one partition — the IVF-style inverted-file layout
     expressed with plain hash partitioning.
     """
-    sig = lambda df, idn, vecn: df.select(  # noqa: E731
-        F.col(id_col).alias(idn),
-        F.col(vec_col).alias(vecn),
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
         random_hyperplane_signs(vec_col, planes).alias("bucket"),
     )
-    c = sig(corpus, "neighbor_id", "c_vec")
-    q = sig(queries, "query_id", "q_vec")
+    q_sig = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        random_hyperplane_signs(vec_col, planes).alias("_sig"),
+    )
+    if multi_probe <= 1:
+        q = q_sig.withColumn("bucket", F.col("_sig")).drop("_sig")
+    else:
+        nb = len(planes)
+        flips = [F.col("_sig")] + [
+            F.concat(
+                F.substring("_sig", 1, i),
+                F.when(F.substring("_sig", i + 1, 1) == "1", "0").otherwise("1"),
+                F.substring("_sig", i + 2, nb - i - 1),
+            )
+            for i in range(nb)
+        ]
+        q = (
+            q_sig.withColumn("bucket", F.explode(F.array(*flips)))
+            .drop("_sig")
+            .distinct()
+        )
     scored = c.join(
-        F.broadcast(q), (c.bucket == q.bucket) & (F.col("query_id") != F.col("neighbor_id"))
-    ).select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("score"))
+        F.broadcast(q),
+        (c.bucket == q.bucket) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("score")
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -112,11 +112,13 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ingest_resume_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 row numbering + F6 resume filter + P1 projection — the M1 slice
-    (ref loop: data_seoul_2_csv_noopenapi.py:113-128)."""
+    (ref loop: data_seoul_2_csv_noopenapi.py:113-128). Uses the range-
+    partitioned two-pass numbering (no global single-reducer sort); its
+    equivalence to the windowed form is pinned in test_m1_ingest.py."""
     li = load(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
-    out = ingest.numbered(li, order_by=["l_orderkey", "l_linenumber"])
+    out = ingest.numbered_ordered_scalable(li, ["l_orderkey", "l_linenumber"])
     return ingest.resume_filter(out, 3000).select(
         "ID", "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
@@ -136,7 +138,7 @@ def ingest_audit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ref: data_seoul_2_csv_noopenapi.py:133-140)."""
     li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber")
     out = ingest.resume_filter(
-        ingest.numbered(li, order_by=["l_orderkey", "l_linenumber"]), 3000
+        ingest.numbered_ordered_scalable(li, ["l_orderkey", "l_linenumber"]), 3000
     )
     return out.agg(F.count("*").alias("data_insert_row"))
 

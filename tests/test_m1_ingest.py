@@ -54,3 +54,13 @@ def test_bind_schema_positional(spark, sf_dir):
     li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber")
     out = ingest.load_with_resume(li, 0, ["COL_001", "COL_002"])
     assert out.columns == ["ID", "COL_001", "COL_002"]
+
+
+def test_numbered_ordered_scalable_matches_window(spark, sf_dir):
+    """The range-partitioned two-pass numbering equals the global-window
+    numbering row for row (unique order keys)."""
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber")
+    win = ingest.numbered(li, order_by=["l_orderkey", "l_linenumber"])
+    par = ingest.numbered_ordered_scalable(li, ["l_orderkey", "l_linenumber"])
+    assert win.exceptAll(par).count() == 0
+    assert par.exceptAll(win).count() == 0

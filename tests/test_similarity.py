@@ -58,3 +58,25 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert overlap > 0
     for q, s in approx_sets.items():
         assert q not in s  # never returns the query itself
+
+
+def test_multi_probe_improves_recall(spark, sf_dir):
+    """Hamming-1 multi-probe must find at least as many exact top-10
+    neighbors as single-probe (strictly more on this data)."""
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    planes = _fixed_planes(8, 64)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(multi_probe):
+        rows = lsh_topk(emb, queries, planes, k=10, multi_probe=multi_probe).collect()
+        hit = 0
+        for r in rows:
+            if r["neighbor_id"] in exact_sets.get(r["query_id"], set()):
+                hit += 1
+        return hit
+
+    assert recall(2) >= recall(1)
