@@ -67,20 +67,40 @@ def numbered_ordered_scalable(
 ) -> DataFrame:
     """S4 with an explicit key order, without the global single-reducer sort.
 
-    Two passes: (1) ``repartitionByRange`` + ``sortWithinPartitions`` puts
-    the data in globally-ordered, locally-sorted partitions; a tiny
-    count-per-partition job computes each partition's global offset;
-    (2) within-partition ``row_number`` (no shuffle — the window key is the
-    partition id) plus the offset. Produces the identical contiguous 1-based
-    ``ID`` the global-window form yields, but every stage is parallel, so it
-    is the form that survives 100 TB (the windowed ``numbered`` sorts on one
-    reducer).
+    Adaptive: below ~256 MB of input (file metadata, no job) a single-reducer
+    sort beats the extra quantile + counts jobs, so the windowed ``numbered``
+    runs; beyond it — the regime where a global sort serializes — the
+    bucketed two-pass form (``numbered_bucketed``) engages. Both produce the
+    identical contiguous 1-based ``ID``.
+    """
+    try:
+        import os
+
+        input_bytes = sum(
+            os.path.getsize(f[7:] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+        )
+    except Exception:  # noqa: BLE001 — non-file source: assume big
+        input_bytes = None
+    if input_bytes is not None and input_bytes < 256 * 1024 * 1024:
+        return numbered(df, order_by=list(order_by))
+    return numbered_bucketed(df, order_by, partitions)
+
+
+def numbered_bucketed(
+    df: DataFrame, order_by: list[str], partitions: int | None = None
+) -> DataFrame:
+    """The parallel two-pass numbering: deterministic logical buckets from
+    quantile bounds of the leading order key → per-bucket counts (tiny
+    collect) → per-bucket ``row_number`` + bucket offset. Every stage is
+    parallel; this is the 100 TB form.
+
+    NOT ``repartitionByRange``: its sampled bounds differ between the
+    offsets job and the main job, which mis-aligns offsets (observed
+    overlapping IDs). Ties on a bound share a bucket — slight imbalance,
+    never incorrectness.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Deterministic logical buckets from quantile bounds of the leading order
-    # key (NOT repartitionByRange: its sampled bounds differ between the
-    # offsets job and the main job, which mis-aligns the offsets). Ties on a
-    # bound share a bucket — slight imbalance, never incorrectness.
     lead = order_by[0]
     bounds = sorted(
         set(df.approxQuantile(lead, [i / n for i in range(1, n)], 0.001))

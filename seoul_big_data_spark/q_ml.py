@@ -116,13 +116,14 @@ def similarity_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query("similarity_lsh_ann")  # hash-bucketed ANN → rows-only
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N3 scale path — random-hyperplane LSH ANN (8 planes → 256 buckets).
-    Planes are fixed/deterministic (seeded from plane index via md5).
-    Recall vs brute force asserted in tests/test_similarity.py."""
+    """N3 scale path — random-hyperplane LSH ANN (8 planes → 256 buckets),
+    Hamming-1 multi-probe (9 probes/query) for recall. Planes are fixed/
+    deterministic (seeded from plane index via md5). Recall vs brute force
+    asserted in tests/test_similarity.py."""
     emb = load(spark, "embeddings", sf_dir)
     planes = _fixed_planes(n_planes=8, dim=64)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return lsh_topk(emb, queries, planes, k=10)
+    return lsh_topk(emb, queries, planes, k=10, multi_probe=2)
 
 
 def _fixed_planes(n_planes: int, dim: int) -> list[list[float]]:

@@ -56,11 +56,16 @@ def test_bind_schema_positional(spark, sf_dir):
     assert out.columns == ["ID", "COL_001", "COL_002"]
 
 
-def test_numbered_ordered_scalable_matches_window(spark, sf_dir):
-    """The range-partitioned two-pass numbering equals the global-window
-    numbering row for row (unique order keys)."""
-    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber")
+def test_numbered_bucketed_matches_window(spark, sf_dir):
+    """The quantile-bucketed two-pass numbering equals the global-window
+    numbering row for row (unique order keys) — forced onto the bucketed
+    path regardless of the adaptive size cutover, on multi-partition input."""
+    li = (
+        load(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_linenumber")
+        .repartition(8)
+    )
     win = ingest.numbered(li, order_by=["l_orderkey", "l_linenumber"])
-    par = ingest.numbered_ordered_scalable(li, ["l_orderkey", "l_linenumber"])
+    par = ingest.numbered_bucketed(li, ["l_orderkey", "l_linenumber"], partitions=8)
     assert win.exceptAll(par).count() == 0
     assert par.exceptAll(win).count() == 0
