@@ -196,3 +196,62 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup clustering: connected components by iterative min-label
+    propagation (each vertex converges to the minimum id reachable through
+    the similarity graph — the canonical survivor of its duplicate cluster).
+
+    Each iteration is one distributed join+aggregate; the driver only
+    coordinates the loop and checks convergence (an aggregate, not a data
+    collect). Iterations needed = graph diameter — near-dup clusters are
+    shallow (pairs/cliques), so convergence is fast; ``max_iterations``
+    bounds adversarial chains. This is the iterative-algorithm shape
+    (SURVEY.md §2.8 note) that pure SQL can't express without recursion.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).cast("long").alias("label")
+    ).cache()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.vid)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.vid == neighbor_min.u, "left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "vid")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("vid").alias(id_col), F.col("label").alias("component"))

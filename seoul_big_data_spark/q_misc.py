@@ -318,3 +318,102 @@ def window_zscore_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_native(
         load(spark, "customer", sf_dir), "c_mktsegment", "c_acctbal", "c_custkey"
     )
+
+
+@query(
+    "unpivot_melt",
+    """
+    SELECT l_orderkey, l_linenumber, metric, round(value, 2) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_quantity AS qty, l_extendedprice AS price, l_tax AS tax
+      FROM lineitem WHERE l_orderkey < 100
+    ) UNPIVOT (value FOR metric IN (qty, price, tax))
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt — wide→long reshape (inverse of agg_pivot)."""
+    li = (
+        load(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_tax").alias("tax"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["qty", "price", "tax"],
+        "metric",
+        "value",
+    ).select(
+        "l_orderkey", "l_linenumber", "metric", F.round("value", 2).alias("value")
+    )
+
+
+@query(
+    "fuzzy_levenshtein",
+    """
+    SELECT p_partkey, p_brand,
+           levenshtein(p_brand, 'Brand#11') AS dist
+    FROM part WHERE levenshtein(p_brand, 'Brand#11') <= 2
+    """,
+)
+def fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching — the approximate-string-join kernel
+    (at scale: length + prefix blocking before the distance evaluation)."""
+    p = load(spark, "part", sf_dir)
+    dist = F.levenshtein("p_brand", F.lit("Brand#11"))
+    return p.filter(dist <= 2).select(
+        "p_partkey", "p_brand", dist.alias("dist")
+    )
+
+
+@query(
+    "calendar_fill_gaps",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('day', min(o_orderdate)) AS lo,
+             date_trunc('day', max(o_orderdate)) AS hi
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    AND o_orderdate <  TIMESTAMP '1997-03-01 00:00:00'
+    ), cal AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ), daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    AND o_orderdate <  TIMESTAMP '1997-03-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT strftime(c.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_orders
+    FROM cal c LEFT JOIN daily d ON c.day = d.day
+    """,
+)
+def calendar_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-series densification: generate the full calendar with
+    ``sequence`` + explode and left-join daily counts so zero-order days
+    appear — the time-series gap-fill primitive."""
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-03-01").cast("timestamp"))
+    )
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return cal.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+    )

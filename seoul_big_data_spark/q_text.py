@@ -254,3 +254,59 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+@query(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), walk AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.id
+    )
+    SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS component
+    FROM walk GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — near-duplicate clustering: connected components over the exact
+    3-shingle Jaccard (>= 0.3) similarity graph via iterative min-label
+    propagation (operators/dedup.py::connected_components). The iterative
+    DataFrame loop is checked against DuckDB's recursive-CTE transitive
+    closure — the iterative-algorithm parity case (SURVEY.md §2.8 note).
+
+    Oracle note: DuckDB WITH RECURSIVE is declared non-recursively here
+    (``walk`` references ``sym``) — DuckDB resolves the recursion on the
+    final CTE.
+    """
+    d = load(spark, "documents", sf_dir)
+    edges = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3)
+    return dedup.connected_components(
+        d.select("doc_id"), edges, id_col="doc_id"
+    ).select("doc_id", F.col("component").cast("long").alias("component"))

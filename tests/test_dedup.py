@@ -70,3 +70,27 @@ def test_ngram_jaccard_symmetric_bounds(spark, sf_dir):
         (F.col("jaccard") < 0.3) | (F.col("jaccard") > 1.0) | (F.col("id_a") >= F.col("id_b"))
     )
     assert bad.count() == 0
+
+
+def test_connected_components_known_graph(spark):
+    verts = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(verts, edges).collect()
+    }
+    # {1,2,3} -> 1; {5,6} -> 5; isolated {4},{7} -> themselves
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_chain_diameter(spark):
+    """A long chain needs diameter iterations — convergence check works."""
+    n = 6
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = dedup.connected_components(verts, edges).collect()
+    assert all(r["component"] == 0 for r in got)
