@@ -13,7 +13,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Spark's Python workers resolve module-referenced closures via PYTHONPATH
+# (sys.path edits don't propagate); export before any SparkSession exists.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_REPO, os.environ.get("PYTHONPATH")) if p
+)
 
 from seoul_big_data_spark.queries import ORACLES, QUERIES  # noqa: E402
 

@@ -49,3 +49,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make this package importable on Spark's Python workers regardless of
+    the driver's cwd/PYTHONPATH: zip it once per session and ``addPyFile``.
+
+    Needed only by operators whose closures reference package functions
+    (mapInPandas/applyInPandas paths); pure column-expression queries run
+    entirely in the JVM and never import Python on workers."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(), "seoul_big_data_spark_ship")
+    zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
+                                   os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)

@@ -71,6 +71,10 @@ def fetch_categories(
     ``time.sleep(1)``, data_seoul_1_category.py:85). Cap global request rate
     by repartitioning the URL frame to the desired parallelism first."""
 
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(urls.sparkSession)
+
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []

@@ -54,6 +54,10 @@ def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     features. Arrow moves each partition's batch into pandas once; the loop
     below is per-batch vectorizable when a real codec lands."""
 
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
