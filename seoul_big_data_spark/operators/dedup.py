@@ -96,18 +96,28 @@ def minhash_lsh_candidates(
     buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = buckets.alias("a")
-    b_ = buckets.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    # Pair generation per bucket via sorted id-list + expression-level i<j
+    # combinations — one pass over the signatures (a self-join would
+    # recompute the whole signature lineage for each side) and no join at
+    # all. Near-dup buckets are small by construction; a bucket-size cap
+    # (skip degenerate boilerplate buckets) is the 100 TB guard.
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
     )
+    pairs = grouped.filter(F.size("ids") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def simhash(

@@ -417,3 +417,38 @@ def calendar_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
     )
+
+
+@query("enrich_categories_stub")  # HTTP source → rows-only (no network here)
+def enrich_categories_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/X17 + C7 — the category-enrichment pipeline end to end with a
+    deterministic stub transport: pending-work filter → partition-parallel
+    mapInPandas fetch+parse → merge_update write-back
+    (pipelines/category_enrich.py; ref: data_seoul_1_category.py:57-85).
+    The fetch/extract/merge logic is byte-identical to what a live transport
+    would run; only the socket is faked (container has no network)."""
+    from .pipelines.category_enrich import run as enrich_run
+
+    n = load(spark, "nation", sf_dir)
+    catalog = n.select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.lit(1).alias("collect_site_id"),
+        F.col("n_name").alias("data_name"),
+        F.concat(F.lit("Key"), F.col("n_nationkey")).alias("data_origin_key"),
+        F.lit("CSV").alias("collect_data_type"),
+        F.lit("http://x/").alias("collect_url_link"),
+        F.lit("Y").alias("is_collect_yn"),
+        F.when(F.col("n_nationkey") % 2 == 0, F.lit("done")).alias("category_big"),
+        F.lit(None).cast("string").alias("category_small"),
+    )
+
+    def stub_transport(url: str) -> str:
+        key = url.rsplit("/", 1)[-1]
+        return (
+            '<strong class="side-detail-ctg">\tCat-%s\n</strong>'
+            '<span class="side-detail-stitle"><a>Sub-%s</a></span>' % (key, key)
+        )
+
+    return enrich_run(catalog, stub_transport).select(
+        "id", "category_big", "category_small"
+    )
