@@ -452,3 +452,43 @@ def enrich_categories_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_run(catalog, stub_transport).select(
         "id", "category_big", "category_small"
     )
+
+
+@query("csv_roundtrip_load")  # C4 — local CSV scan path → rows-only
+def csv_roundtrip_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/F5/F6/J3 — the full CSV ingest path on the driver surface: a
+    deterministic CSV is materialized from lineitem, then loaded through
+    sources/csv_ingest.py (all-string scan, header skip, row numbering,
+    resume filter, catalog-schema bind + NUMBER/DATE coercion — the
+    reference's TMP_<id>.csv loop, data_seoul_2_csv_noopenapi.py:81-128)."""
+    import os
+    import tempfile
+
+    from .operators.windows import with_rank
+    from .sources.csv_ingest import load_csv_with_catalog_schema
+
+    li = load(spark, "lineitem", sf_dir)
+    sample = (
+        with_rank(li, [F.asc("l_orderkey"), F.asc("l_linenumber")])
+        .filter(F.col("rk") <= 1000)
+        .select(
+            F.col("l_orderkey").cast("string"),
+            F.col("l_quantity").cast("string"),
+            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship"),
+        )
+        .orderBy("l_orderkey", "l_quantity")
+    )
+    path = os.path.join(tempfile.gettempdir(), "seoul_csv_roundtrip")
+    sample.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    out = load_csv_with_catalog_schema(
+        spark,
+        path,
+        column_names=["COL_001", "COL_002", "COL_003"],
+        column_types=["NUMBER", "NUMBER", "DATE"],
+        start_idx=100,
+    )
+    return out.agg(
+        F.count("*").alias("n_loaded"),
+        F.min("ID").alias("first_id"),
+        F.sum(F.col("COL_002")).cast("double").alias("qty_sum"),
+    )
