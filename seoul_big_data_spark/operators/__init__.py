@@ -1,1 +1,9 @@
-from . import dedup, ingest, joins, similarity, windows  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    grouped_map,
+    ingest,
+    joins,
+    similarity,
+    skew,
+    windows,
+)

@@ -31,10 +31,29 @@ def stream_events_from_files(
 def hourly_rollup_stream(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
-    """The batch hourly rollup under a watermark: late events beyond
-    ``watermark`` are dropped and window state is evicted — the property that
-    bounds state size on an unbounded stream."""
-    return hourly_rollup(events.withWatermark("ts", watermark))
+    """The hourly rollup under a watermark: late events beyond ``watermark``
+    are dropped and window state is evicted — the property that bounds state
+    size on an unbounded stream.
+
+    Uses ``F.window`` (not the batch form's ``date_trunc``): Spark's
+    watermark/append-mode analysis recognizes only the window expression as
+    an event-time aggregation. For aligned 1-hour tumbling windows the
+    window start equals ``date_trunc('hour', ts)``, so results are identical
+    to the batch ``hourly_rollup`` (pinned in tests)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
 
 
 def run_available_now(
