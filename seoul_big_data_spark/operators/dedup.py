@@ -47,6 +47,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     n_hashes: int = 16,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """MinHash signatures as explode → groupBy-min: one hash evaluation per
     (shingle, seed), partial mins map-side, one shuffle on doc id.
@@ -63,6 +64,17 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("s"),
     )
+    if max_shingle_df is not None:
+        # Stop-shingle filter (the boilerplate guard at scale): shingles
+        # appearing in more than max_shingle_df documents carry no identity
+        # signal and concentrate skew; drop them before hashing.
+        common = (
+            sh.groupBy("s")
+            .agg(F.count_distinct("id").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(common, "s", "left_anti")
     return sh.groupBy("id").agg(
         *[F.min(F.xxhash64("s", F.lit(i))).alias(f"mh_{i}") for i in range(n_hashes)]
     )
@@ -75,6 +87,8 @@ def minhash_lsh_candidates(
     k_shingle: int = 3,
     n_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """N2 — MinHash+LSH candidate pairs (id_a < id_b).
 
@@ -86,7 +100,9 @@ def minhash_lsh_candidates(
     so the shape holds at 100 TB with salting reserved for degenerate buckets.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k_shingle, n_hashes)
+    sig = minhash_signatures(
+        df, text_col, id_col, k_shingle, n_hashes, max_shingle_df
+    )
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
@@ -104,7 +120,13 @@ def minhash_lsh_candidates(
     grouped = buckets.groupBy("band", "bucket").agg(
         F.array_sort(F.collect_list("id")).alias("ids")
     )
-    pairs = grouped.filter(F.size("ids") > 1).select(
+    sized = grouped.filter(F.size("ids") > 1)
+    if max_bucket_size is not None:
+        # Degenerate-bucket cap: a bucket of boilerplate-identical documents
+        # generates O(size^2) pairs — skip it (those documents are caught by
+        # exact dedup on normalized text instead).
+        sized = sized.filter(F.size("ids") <= max_bucket_size)
+    pairs = sized.select(
         F.explode(
             F.flatten(
                 F.transform(

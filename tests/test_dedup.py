@@ -94,3 +94,23 @@ def test_connected_components_chain_diameter(spark):
     )
     got = dedup.connected_components(verts, edges).collect()
     assert all(r["component"] == 0 for r in got)
+
+
+def test_lsh_guards_bucket_cap_and_stop_shingles(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "a completely different corpus document entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # default: the identical trio produces all 3 pairs
+    full = dedup.minhash_lsh_candidates(df)
+    assert full.count() == 3
+    # bucket cap of 2 skips the size-3 degenerate bucket -> no pairs
+    capped = dedup.minhash_lsh_candidates(df, max_bucket_size=2)
+    assert capped.count() == 0
+    # stop-shingle filter: shingles in >3 docs dropped; the trio's shingles
+    # appear in exactly 3 docs so candidates survive
+    filtered = dedup.minhash_lsh_candidates(df, max_shingle_df=3)
+    assert filtered.count() == 3

@@ -63,3 +63,26 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_ivf_layout_bucket_partition_prunes(spark, sf_dir, tmp_path):
+    """N3 scale layout: corpus written partitioned by LSH bucket → a probe
+    reads only its own bucket's partition (the IVF inverted-file pattern
+    from SCALE.md, expressed with plain partition pruning)."""
+    from seoul_big_data_spark.functions.vector import random_hyperplane_signs
+    from seoul_big_data_spark.q_ml import _fixed_planes
+    from seoul_big_data_spark.sources.tables import load as load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    planes = _fixed_planes(4, 64)  # 16 buckets
+    signed = emb.withColumn("bucket", random_hyperplane_signs("embedding", planes))
+    path = str(tmp_path / "ivf")
+    signed.write.partitionBy("bucket").parquet(path)
+
+    probe = signed.limit(1).collect()[0]
+    back = spark.read.parquet(path).filter(F.col("bucket") == probe["bucket"])
+    plan = _plan(spark, back)
+    assert re.search(r"PartitionFilters: \[.*bucket", plan), plan[:1500]
+    # pruned read returns exactly the probe's bucket-mates
+    expect = signed.filter(F.col("bucket") == probe["bucket"]).count()
+    assert back.count() == expect
