@@ -1,0 +1,73 @@
+"""SQL API surface (SURVEY.md §1.4, pyspark guide: SQL and DataFrame APIs
+produce the same Catalyst plans).
+
+``register_tables`` + ``run_sql`` give users the ad-hoc SQL entry point over
+the same engine; the registered queries below prove the surface, including
+one whose *identical* SQL text runs on both Spark and the DuckDB oracle
+(shared ANSI dialect — the portability check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import query
+from .sources.tables import load_all
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for ad-hoc SQL."""
+    load_all(spark, sf_dir)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Ad-hoc SQL over the registered engine tables."""
+    register_tables(spark, sf_dir)
+    return spark.sql(sql)
+
+
+# Identical text on both engines: ANSI constructs only (no strftime /
+# date_format divergence), decimal-determinism convention for the sum.
+_SHARED_SQL = """
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           count(DISTINCT l_orderkey) AS n_orders,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.02 AND 0.08
+    GROUP BY l_returnflag
+"""
+
+
+@query("sql_shared_dialect", _SHARED_SQL)
+def sql_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same SQL string executed by Spark SQL here and by DuckDB as the
+    oracle — the engine's SQL API is first-class, not a wrapper."""
+    return run_sql(spark, sf_dir, _SHARED_SQL)
+
+
+@query(
+    "sql_window_over_join",
+    """
+    SELECT c_custkey, o_orderkey, rk FROM (
+      SELECT c.c_custkey, o.o_orderkey,
+             row_number() OVER (PARTITION BY c.c_custkey
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ) WHERE rk <= 2
+    """,
+)
+def sql_window_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API join + window (same plan Catalyst builds for the DataFrame
+    form — window_topk_per_group — demonstrated through spark.sql)."""
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, o_orderkey, rk FROM (
+          SELECT c.c_custkey, o.o_orderkey,
+                 row_number() OVER (PARTITION BY c.c_custkey
+                                    ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        ) WHERE rk <= 2
+        """,
+    )
