@@ -381,3 +381,47 @@ def merge_update_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         F.coalesce("n_nations", F.lit(0)).cast("long").alias("n_nations"),
     )
+
+
+@query(
+    "merge_upsert_pattern",
+    """
+    WITH source AS (
+      SELECT s_suppkey, s_name, s_acctbal + 100 AS s_acctbal
+      FROM supplier WHERE s_suppkey % 3 = 0
+      UNION ALL
+      SELECT s_suppkey + 10000, s_name, s_acctbal
+      FROM supplier WHERE s_suppkey % 7 = 0
+    )
+    SELECT coalesce(t.s_suppkey, s.s_suppkey) AS s_suppkey,
+           CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_name
+                ELSE t.s_name END AS s_name,
+           CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_acctbal
+                ELSE t.s_acctbal END AS s_acctbal
+    FROM supplier t FULL OUTER JOIN source s ON t.s_suppkey = s.s_suppkey
+    WHERE NOT (t.s_suppkey IS NOT NULL AND s.s_suppkey IS NOT NULL
+               AND s.s_acctbal < 0)
+    """,
+)
+def merge_upsert_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE (update + insert + conditional delete) as a pure query —
+    `sources/writers.py::merge_upsert` applied to a deterministic source
+    built from the supplier table: every 3rd supplier updated (+100
+    balance, deleted instead when the new balance is negative), every 7th
+    re-inserted under a shifted key. The oracle is the equivalent FULL
+    OUTER JOIN + CASE expression."""
+    from .sources.writers import merge_upsert
+
+    s = load(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_acctbal")
+    source = (
+        s.filter(F.col("s_suppkey") % 3 == 0)
+        .withColumn("s_acctbal", F.col("s_acctbal") + 100)
+        .unionByName(
+            s.filter(F.col("s_suppkey") % 7 == 0).withColumn(
+                "s_suppkey", F.col("s_suppkey") + 10000
+            )
+        )
+    )
+    return merge_upsert(
+        s, source, "s_suppkey", delete_condition=F.col("_src_s_acctbal") < 0
+    )

@@ -346,3 +346,468 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations by year — the
+    self-join-on-dim (nation aliased twice) pattern with a disjunctive
+    pair filter that Catalyst cannot push into either single dim alone."""
+    l = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n1 = load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume END) AS DOUBLE)
+           / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    ) GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: market-share ratio — conditional aggregation over an
+    eight-way star join; both ratio legs are exact decimal sums cast to
+    double before the single IEEE division."""
+    l = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n1 = load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")))
+                .cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    - CAST(0.4 AS DECIMAL(2,1))
+                      * CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by nation/year. The reference schema has no
+    partsupp table, so supply cost is modeled as 0.4 * p_retailprice —
+    all arithmetic stays in exact decimals until the final cast."""
+    l = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(F.col("p_name").contains("widget"))
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    cost = (
+        F.lit("0.4").cast("decimal(2,1)")
+        * _dec("p_retailprice")
+        * _dec("l_quantity")
+    )
+    amount = _dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)")) - cost
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_value",
+    """
+    SELECT n_name, s_suppkey, value
+    FROM (
+      SELECT n.n_name, s.s_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, s.s_suppkey
+    )
+    WHERE value > (
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      FROM lineitem
+    ) * CAST(0.01 AS DOUBLE)
+    """,
+)
+def tpch_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: grouped value filtered against a fraction of the global
+    total (scalar subquery). No partsupp table in this schema, so lineitem
+    revenue stands in for stock value; the HAVING threshold is the same
+    fraction-of-global-scalar pattern. The global total is one extra
+    aggregate over the same scan (Catalyst reuses the exchange where
+    possible); the threshold is computed once on the driver and broadcast
+    as a literal — no per-row subquery."""
+    l = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)"))
+    total = l.agg(F.sum(vol).cast("double")).first()[0]
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(vol).cast("double").alias("value"))
+        .filter(F.col("value") > F.lit(total) * 0.01)
+    )
+
+
+@query(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: order-count histogram including zero-order customers —
+    outer join with an ON-clause (not WHERE) filter, then two stacked
+    aggregations. The second groupBy is tiny (distinct counts), so the
+    only real shuffle is the first group on c_custkey."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2))) END)
+                AS DOUBLE) * 100
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional-share-of-total in one aggregation pass over a
+    month of shipments; part is broadcast onto the pruned lineitem scan."""
+    l = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load(spark, "part", sf_dir)
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", vol)).cast("double") * 100
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < CAST(0.2 AS DOUBLE) * (
+        SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated per-part average decorrelated into a window —
+    rows below 20% of their part's mean quantity. The window partitions by
+    l_partkey AFTER the broadcast part filter, so the per-part mean is
+    computed only for the surviving ~1/25 of parts, exactly matching the
+    correlated subquery's scope (every lineitem of those parts is present:
+    the join is on the part key itself)."""
+    p = load(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3")
+    l = load(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(_dec("l_quantity")).over(w).cast("double") / F.count("*").over(w)
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .withColumn("_avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < F.lit(0.2).cast("double") * F.col("_avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH eu AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             l.l_extendedprice / l.l_quantity AS unit_price
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, e.unit_price
+    FROM eu e
+    JOIN part p     ON e.l_partkey = p.p_partkey
+    JOIN supplier s ON e.l_suppkey = s.s_suppkey
+    WHERE p.p_type = 'LARGE' AND p.p_size < 10
+      AND e.unit_price = (SELECT min(e2.unit_price) FROM eu e2
+                          WHERE e2.l_partkey = e.l_partkey)
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: cheapest supplier per part within a region — the
+    correlated-min subquery, decorrelated into a window min. No partsupp
+    table in this schema, so observed unit price (extendedprice/quantity,
+    one IEEE division both engines) stands in for ps_supplycost. Ties at
+    the min are all retained, as in the SQL form."""
+    l = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    p = load(spark, "part", sf_dir).filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 10)
+    )
+    eu = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "s_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu.withColumn("_min_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("_min_price"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "unit_price")
+    )
+
+
+@query(
+    "tpch_q20_part_promotion",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT sh.l_suppkey FROM shipped sh
+      JOIN part p ON sh.l_partkey = p.p_partkey
+      WHERE p.p_type = 'PROMO' AND sh.qty > CAST(50 AS DOUBLE)
+    )
+    """,
+)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested semi-join chain — suppliers who moved more than a
+    threshold quantity of promo parts in a year. The inner aggregate
+    (shipped) groups the pruned fact once; the IN becomes a left-semi
+    broadcast join against the (tiny) qualifying-supplier set."""
+    l = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    shipped = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("qty")
+    )
+    qualifying = (
+        shipped.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .filter(F.col("qty") > F.lit(50).cast("double"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    return (
+        s.join(qualifying, "s_suppkey", "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS + NOT EXISTS against the same fact — suppliers who
+    are the SOLE returner in a multi-supplier finished order. The schema has
+    no commit/receipt dates, so l_returnflag='R' stands in for 'kept the
+    order waiting'. Instead of two correlated-subquery rescans, both EXISTS
+    are decorrelated into one per-order aggregate (distinct supplier count,
+    distinct returning-supplier count) joined back — one extra shuffle on
+    o_orderkey replaces two."""
+    o = (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l = load(spark, "lineitem", sf_dir).join(
+        F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret"),
+    )
+    failed = l.filter(F.col("l_returnflag") == "R")
+    s = load(spark, "supplier", sf_dir)
+    return (
+        failed.join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1)).select(
+                "l_orderkey"
+            ),
+            "l_orderkey",
+            "left_semi",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -51,3 +51,109 @@ def merge_update(
             f"_new_{c}"
         )
     return out
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    delete_condition: F.Column | None = None,
+) -> DataFrame:
+    """Full MERGE semantics over plain parquet frames:
+
+    - WHEN MATCHED [AND delete_condition] THEN DELETE
+    - WHEN MATCHED THEN UPDATE SET * (source row wins)
+    - WHEN NOT MATCHED THEN INSERT *
+
+    Delta/Iceberg express this natively (``MERGE INTO``); on immutable
+    parquet it is one full outer join + per-column coalesce, persisted via
+    ``overwrite_table`` (atomic-swap analogue). Target and source must share
+    a schema. The join shuffles both sides on ``key`` — at 100 TB, bucket
+    both tables on the merge key so the exchange is avoided entirely;
+    broadcast is wrong here because MERGE sources are usually fact-sized
+    deltas, unlike ``merge_update``'s catalog-sized updates.
+
+    ``delete_condition`` is evaluated over the joined row (source columns
+    visible under their ``_src_`` prefix)."""
+    cols = target.columns
+    if source.columns != cols:
+        raise ValueError(f"schema mismatch: {source.columns} vs {cols}")
+    src = source.select(
+        F.col(key).alias("_src_key"),
+        *[F.col(c).alias(f"_src_{c}") for c in cols if c != key],
+    )
+    joined = target.join(src, target[key] == src["_src_key"], "full_outer")
+    if delete_condition is not None:
+        joined = joined.filter(
+            ~(F.col("_src_key").isNotNull() & F.col(key).isNotNull()
+              & delete_condition)
+        )
+    out_cols = [F.coalesce(F.col(key), F.col("_src_key")).alias(key)] + [
+        F.when(F.col("_src_key").isNotNull(), F.col(f"_src_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in cols
+        if c != key
+    ]
+    return joined.select(*out_cols)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key: str,
+    tracked: list[str],
+    load_ts: str,
+    end_of_time: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: maintain row history with
+    ``valid_from``/``valid_to``/``is_current`` columns.
+
+    ``dim`` carries (key, *tracked, valid_from, valid_to, is_current);
+    ``snapshot`` carries (key, *tracked) — the new full extract. Rows whose
+    tracked values changed are closed (valid_to = load_ts) and re-inserted
+    open; new keys are inserted open; unchanged and historical rows pass
+    through. One shuffle on the key; at scale, bucket the dimension on the
+    key and partition by ``is_current`` so the current slice prunes.
+
+    Change detection is null-safe (``eqNullSafe``) per tracked column."""
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+    snap = snapshot.select(
+        F.col(key).alias("_s_key"),
+        *[F.col(c).alias(f"_s_{c}") for c in tracked],
+    )
+    j = cur.join(snap, cur[key] == snap["_s_key"], "full_outer")
+    changed = ~F.concat_ws(
+        "\x00", *[F.col(c).cast("string") for c in tracked]
+    ).eqNullSafe(
+        F.concat_ws("\x00", *[F.col(f"_s_{c}").cast("string") for c in tracked])
+    )
+    closed = j.filter(
+        F.col(key).isNotNull() & F.col("_s_key").isNotNull() & changed
+    ).select(
+        F.col(key),
+        *[F.col(c) for c in tracked],
+        F.col("valid_from"),
+        F.lit(load_ts).cast("timestamp").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    deleted_keep = j.filter(F.col("_s_key").isNull()).select(
+        F.col(key), *tracked, "valid_from", "valid_to", "is_current"
+    )
+    unchanged = j.filter(
+        F.col(key).isNotNull() & F.col("_s_key").isNotNull() & ~changed
+    ).select(F.col(key), *tracked, "valid_from", "valid_to", "is_current")
+    opened = j.filter(
+        F.col("_s_key").isNotNull()
+        & (F.col(key).isNull() | changed)
+    ).select(
+        F.col("_s_key").alias(key),
+        *[F.col(f"_s_{c}").alias(c) for c in tracked],
+        F.lit(load_ts).cast("timestamp").alias("valid_from"),
+        F.lit(end_of_time).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return hist.unionByName(closed).unionByName(deleted_keep).unionByName(
+        unchanged
+    ).unionByName(opened)

@@ -1,0 +1,117 @@
+"""MERGE upsert/delete and SCD2 dimension-history operators
+(sources/writers.py — the Delta/Iceberg-style mutation surface expressed
+over immutable parquet frames)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seoul_big_data_spark.sources.writers import merge_upsert, scd2_apply
+
+
+@pytest.fixture
+def target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -500.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, name string, bal double",
+    )
+
+
+def test_merge_upsert_update_insert_delete(spark, target):
+    source = spark.createDataFrame(
+        [(2, "b2", -450.0),  # matched + delete condition (negative balance)
+         (3, "c2", 99.0),    # matched → update
+         (9, "new", 1.0)],   # not matched → insert
+        "k int, name string, bal double",
+    )
+    out = merge_upsert(
+        target, source, "k", delete_condition=F.col("_src_bal") < 0
+    )
+    got = {r["k"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert got == {
+        1: ("a", 10.0),      # untouched
+        3: ("c2", 99.0),     # updated
+        4: ("d", 40.0),      # untouched
+        9: ("new", 1.0),     # inserted
+    }                        # 2 deleted
+
+
+def test_merge_upsert_schema_mismatch_raises(spark, target):
+    bad = target.select("k", "name")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(target, bad, "k")
+
+
+def test_merge_upsert_null_update_value_wins(spark, target):
+    """MERGE semantics: source row wins wholesale, even with nulls —
+    unlike merge_update's per-column coalesce."""
+    source = spark.createDataFrame(
+        [(1, None, 11.0)], "k int, name string, bal double"
+    )
+    out = merge_upsert(target, source, "k")
+    row = out.filter(F.col("k") == 1).first()
+    assert row["name"] is None and row["bal"] == 11.0
+
+
+def _dim(spark, rows):
+    return (
+        spark.createDataFrame(
+            rows,
+            "k int, name string, valid_from string, valid_to string,"
+            " is_current boolean",
+        )
+        .withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+        .withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+    )
+
+
+def test_scd2_change_new_delete_unchanged(spark):
+    eot = "9999-12-31 00:00:00"
+    dim = _dim(
+        spark,
+        [
+            (1, "alpha", "2020-01-01 00:00:00", eot, True),
+            (2, "beta", "2020-01-01 00:00:00", eot, True),
+            (3, "gamma", "2020-01-01 00:00:00", eot, True),
+            # pre-existing history row must pass through untouched
+            (2, "beta_v0", "2019-01-01 00:00:00", "2020-01-01 00:00:00", False),
+        ],
+    )
+    snapshot = spark.createDataFrame(
+        [(1, "alpha"),        # unchanged
+         (2, "beta_v2"),      # changed → close + reopen
+         (9, "iota")],        # new key → open; key 3 absent → kept current
+        "k int, name string",
+    )
+    out = scd2_apply(dim, snapshot, "k", ["name"], "2021-06-01 00:00:00")
+    rows = {(r["k"], r["name"]): r for r in out.collect()}
+    assert len(rows) == 6
+    # unchanged row stays current with original valid_from
+    r1 = rows[(1, "alpha")]
+    assert r1["is_current"] and str(r1["valid_from"]).startswith("2020-01-01")
+    # changed: old version closed at load_ts, new version opened
+    old2 = rows[(2, "beta")]
+    assert not old2["is_current"] and str(old2["valid_to"]).startswith("2021-06-01")
+    new2 = rows[(2, "beta_v2")]
+    assert new2["is_current"] and str(new2["valid_from"]).startswith("2021-06-01")
+    # deleted key keeps its current row (soft behavior, documented)
+    assert rows[(3, "gamma")]["is_current"]
+    # brand-new key opened
+    r9 = rows[(9, "iota")]
+    assert r9["is_current"] and str(r9["valid_from"]).startswith("2021-06-01")
+    # history passthrough
+    assert not rows[(2, "beta_v0")]["is_current"]
+
+
+def test_scd2_idempotent_on_same_snapshot(spark):
+    """Re-applying the identical snapshot must be a no-op (no spurious
+    close/reopen churn) — the property that makes daily loads safe."""
+    eot = "9999-12-31 00:00:00"
+    dim = _dim(spark, [(1, "alpha", "2020-01-01 00:00:00", eot, True)])
+    snapshot = spark.createDataFrame([(1, "alpha")], "k int, name string")
+    once = scd2_apply(dim, snapshot, "k", ["name"], "2021-01-01 00:00:00")
+    twice = scd2_apply(once, snapshot, "k", ["name"], "2021-02-01 00:00:00")
+    assert twice.count() == 1
+    r = twice.first()
+    assert r["is_current"] and str(r["valid_from"]).startswith("2020-01-01")
