@@ -39,24 +39,43 @@ _SMALL_RE = re.compile(
 )
 
 
+def _clean(s: str | None) -> str | None:
+    return re.sub(r"[\t\n]", "", s).strip() if s is not None else None
+
+
+def _extract_via_bs4(html: str) -> tuple[str | None, str | None]:
+    """DOM-selector path (raises ImportError when bs4 is absent)."""
+    from bs4 import BeautifulSoup  # type: ignore
+
+    soup = BeautifulSoup(html, "html.parser")
+    big_el = soup.find("strong", {"class": "side-detail-ctg"})
+    small_el = soup.find("span", {"class": "side-detail-stitle"})
+    return (
+        big_el.get_text() if big_el else None,
+        small_el.get_text() if small_el else None,
+    )
+
+
+def _extract_via_regex(html: str) -> tuple[str | None, str | None]:
+    """Dependency-free fallback against the same CSS-class markers."""
+    big_m = _BIG_RE.search(html)
+    small_m = _SMALL_RE.search(html)
+    return (
+        big_m.group(1) if big_m else None,
+        small_m.group(1) if small_m else None,
+    )
+
+
 def extract_categories(html: str) -> tuple[str | None, str | None]:
     """Pull (category_big, category_small) out of a detail page, stripping
-    tabs/newlines the way the reference does (X1, data_seoul_1_category.py:72)."""
+    tabs/newlines the way the reference does (X1, data_seoul_1_category.py:72).
+    Uses BeautifulSoup when importable, else the regex fallback — both paths
+    are pinned equal in test_pipelines.py::test_extract_paths_agree."""
     try:
-        from bs4 import BeautifulSoup  # type: ignore
-
-        soup = BeautifulSoup(html, "html.parser")
-        big_el = soup.find("strong", {"class": "side-detail-ctg"})
-        small_el = soup.find("span", {"class": "side-detail-stitle"})
-        big = big_el.get_text() if big_el else None
-        small = small_el.get_text() if small_el else None
+        big, small = _extract_via_bs4(html)
     except ImportError:
-        big_m = _BIG_RE.search(html)
-        small_m = _SMALL_RE.search(html)
-        big = big_m.group(1) if big_m else None
-        small = small_m.group(1) if small_m else None
-    clean = lambda s: re.sub(r"[\t\n]", "", s).strip() if s is not None else None  # noqa: E731
-    return clean(big), clean(small)
+        big, small = _extract_via_regex(html)
+    return _clean(big), _clean(small)
 
 
 def fetch_categories(

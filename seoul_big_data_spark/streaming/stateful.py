@@ -71,3 +71,54 @@ def running_user_totals(events: DataFrame, evict_idle_ms: int = 0) -> DataFrame:
             timeoutConf=timeout,
         )
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) on Spark 4.x ``transformWithState`` —
+    the successor API to ``applyInPandasWithState`` with typed state
+    primitives (value/list/map state, timers, TTL) instead of one opaque
+    tuple.
+
+    Same semantics as ``running_user_totals``; kept as a twin so either
+    runtime path can be chosen per deployment (transformWithState requires
+    the RocksDB state-store provider — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` before starting the query).
+    At scale the RocksDB store spills state to local disk + changelog
+    checkpoints, so per-key state is bounded by disk, not executor heap —
+    the right default for 100 TB streams with wide key spaces."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "total_value": total}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _RunningTotals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -222,3 +222,43 @@ def test_merge_update_null_updates_keep_old(spark):
     updates = spark.createDataFrame([(1, None), (2, "B")], "id long, v string")
     got = {r["id"]: r["v"] for r in merge_update(target, updates, "id", ["v"]).collect()}
     assert got == {1: "a", 2: "B"}
+
+
+def test_extract_paths_agree():
+    """bs4 and regex extraction paths must agree on the marker page —
+    including missing-field and attribute-bearing-tag variants — so the
+    dependency-free fallback is a true drop-in when bs4 is absent."""
+    from seoul_big_data_spark.sources.html_fetch import (
+        _clean,
+        _extract_via_regex,
+        extract_categories,
+    )
+
+    pages = [
+        _PAGE.replace("{key}", "X"),
+        "<html><body>no markers here</body></html>",
+        '<strong class="side-detail-ctg" id="z">\t문화\n</strong>',
+        '<span class="side-detail-stitle">plain text, no anchor</span>',
+    ]
+    try:
+        from seoul_big_data_spark.sources.html_fetch import _extract_via_bs4
+
+        _extract_via_bs4("<p></p>")  # raises ImportError when bs4 absent
+        have_bs4 = True
+    except ImportError:
+        have_bs4 = False
+    for page in pages:
+        rx = tuple(map(_clean, _extract_via_regex(page)))
+        assert extract_categories(page) == (
+            tuple(map(_clean, _extract_via_bs4(page))) if have_bs4 else rx
+        )
+        if have_bs4:  # the two paths themselves must agree
+            assert rx == tuple(map(_clean, _extract_via_bs4(page)))
+    # regex path pins exact values regardless of which libs are installed
+    assert tuple(map(_clean, _extract_via_regex(pages[0]))) == ("교통", "버스운행X")
+    assert _extract_via_regex(pages[1]) == (None, None)
+    assert tuple(map(_clean, _extract_via_regex(pages[2]))) == ("문화", None)
+    assert tuple(map(_clean, _extract_via_regex(pages[3]))) == (
+        None,
+        "plain text, no anchor",
+    )
