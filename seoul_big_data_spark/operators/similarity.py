@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, random_hyperplane_signs
+from ..functions.vector import cosine, dot, random_hyperplane_signs
 
 
 def brute_force_topk(
@@ -46,6 +46,17 @@ def brute_force_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+# Query-directed probing sequence over margin-ranked plane positions
+# (Lv et al., "Multi-Probe LSH", VLDB'07 — approximated with a static
+# pattern over the per-query margin ranking: position p means "the plane
+# with the (p+1)-th smallest |dot|"). Each tuple is one perturbation set;
+# the expected quality order interleaves 2-bit sets among 1-bit ones.
+_PROBE_PATTERN: list[tuple[int, ...]] = [
+    (0,), (1,), (0, 1), (2,), (0, 2), (3,), (1, 2), (0, 3), (4,), (1, 3),
+    (2, 3), (0, 4), (5,), (0, 1, 2), (1, 4), (2, 4), (6,), (3, 4), (7,),
+]
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,20 +65,28 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: int = 1,
+    probes: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: both sides signed against the same fixed random
     hyperplanes; candidates are corpus rows sharing one of the query's probe
     buckets.
 
     ``multi_probe``: 1 probes only the query's own bucket; 2 also probes
-    every bucket at Hamming distance 1 (flip each sign bit) — the standard
-    multi-probe LSH recall/cost dial (n_planes+1 probes per query). Probes
-    are exploded on the (small, broadcast) query side only; the corpus is
-    signed once.
+    every bucket at Hamming distance 1 (flip each sign bit) — the blanket
+    recall/cost dial (n_planes+1 probes per query).
 
-    At scale the corpus is written bucketed/partitioned by ``bucket`` so a
-    probe touches one partition — the IVF-style inverted-file layout
-    expressed with plain hash partitioning.
+    ``probes`` (overrides ``multi_probe``): query-adaptive multi-probe —
+    probe exactly ``probes`` buckets, chosen by flipping the planes with the
+    smallest |margin| (dot products nearest the boundary), following the
+    multi-probe LSH perturbation sequence. Same recall knob, but the probe
+    count no longer grows with the plane count, so signature width (bucket
+    granularity) and probe budget (read amplification) tune independently —
+    the property that matters at 100 TB where each probe is a partition read.
+
+    Probes are exploded on the (small, broadcast) query side only; the
+    corpus is signed once. At scale the corpus is written bucketed/
+    partitioned by ``bucket`` so a probe touches one partition — the
+    IVF-style inverted-file layout expressed with plain hash partitioning.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -79,10 +98,56 @@ def lsh_topk(
         F.col(vec_col).alias("q_vec"),
         random_hyperplane_signs(vec_col, planes).alias("_sig"),
     )
-    if multi_probe <= 1:
+    nb = len(planes)
+    if probes is not None and probes > 1:
+        # margin-ranked plane order: _rank[p] = index of the plane with the
+        # (p+1)-th smallest |dot(query, plane)|
+        dots = F.array(
+            *[
+                dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in pl]))
+                for pl in planes
+            ]
+        )
+        ranked = F.transform(
+            F.array_sort(
+                F.zip_with(
+                    F.transform(dots, lambda d: F.abs(d)),
+                    F.array(*[F.lit(i) for i in range(nb)]),
+                    lambda m, i: F.struct(m.alias("m"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        )
+        q_sig = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            random_hyperplane_signs(vec_col, planes).alias("_sig"),
+            ranked.alias("_rank"),
+        )
+        sets = [s for s in _PROBE_PATTERN if all(p < nb for p in s)]
+        flips = [F.col("_sig")]
+        for pset in sets[: probes - 1]:
+            flip_planes = F.array(*[F.element_at("_rank", p + 1) for p in pset])
+            flipped = F.concat_ws(
+                "",
+                F.zip_with(
+                    F.slice(F.split("_sig", ""), 1, nb),
+                    F.array(*[F.lit(i) for i in range(nb)]),
+                    lambda b, i: F.when(
+                        F.array_contains(flip_planes, i),
+                        F.when(b == "1", "0").otherwise("1"),
+                    ).otherwise(b),
+                ),
+            )
+            flips.append(flipped)
+        q = (
+            q_sig.withColumn("bucket", F.explode(F.array(*flips)))
+            .drop("_sig", "_rank")
+            .distinct()
+        )
+    elif multi_probe <= 1:
         q = q_sig.withColumn("bucket", F.col("_sig")).drop("_sig")
     else:
-        nb = len(planes)
         flips = [F.col("_sig")] + [
             F.concat(
                 F.substring("_sig", 1, i),

@@ -177,3 +177,17 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return decode_features(with_blob)
+
+
+@query("similarity_lsh_ann_adaptive")  # hash-bucketed ANN → rows-only
+def similarity_lsh_ann_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 scale path, tuned probing — query-adaptive multi-probe LSH
+    (margin-ranked perturbation sequence, 12 probes/query against 8 planes).
+    Unlike Hamming-1 blanket probing, the probe budget is independent of the
+    signature width: widen to 16+ planes for finer buckets at 100 TB without
+    multiplying reads. Recall monotonicity and the probe-count contract are
+    asserted in tests/test_similarity.py."""
+    emb = load(spark, "embeddings", sf_dir)
+    planes = _fixed_planes(n_planes=8, dim=64)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return lsh_topk(emb, queries, planes, k=10, probes=12)

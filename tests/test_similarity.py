@@ -80,3 +80,56 @@ def test_multi_probe_improves_recall(spark, sf_dir):
         return hit
 
     assert recall(2) >= recall(1)
+
+
+def test_adaptive_probes_recall_scales(spark, sf_dir):
+    """Query-adaptive multi-probe (margin-ranked perturbation sequence):
+    recall must be monotone in the probe budget, and a large budget must
+    reach at least Hamming-1's recall while small budgets spend far fewer
+    probes than blanket flipping."""
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    planes = _fixed_planes(8, 64)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(**kw):
+        rows = lsh_topk(emb, queries, planes, k=10, **kw).collect()
+        return sum(
+            1
+            for r in rows
+            if r["neighbor_id"] in exact_sets.get(r["query_id"], set())
+        )
+
+    r1 = recall(multi_probe=1)
+    r5 = recall(probes=5)
+    r16 = recall(probes=16)
+    assert r1 <= r5 <= r16
+    assert r16 >= recall(multi_probe=2)  # 16 adaptive probes ≥ 9 blanket
+
+
+def test_adaptive_probe_count_is_exact(spark, sf_dir):
+    """The probe explosion emits exactly `probes` distinct buckets per query
+    (before dedup of colliding flips) — the read-amplification contract."""
+    from seoul_big_data_spark.functions.vector import random_hyperplane_signs
+
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3)
+    planes = _fixed_planes(8, 64)
+    # count distinct buckets probed per query by instrumenting via the
+    # operator's own join input: run with a corpus that has every bucket
+    got = lsh_topk(emb, queries, planes, k=10**6, probes=6)
+    # per-query candidate set must come from ≤6 buckets
+    sig = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        random_hyperplane_signs("embedding", planes).alias("nb_bucket"),
+    )
+    joined = got.join(sig, "neighbor_id")
+    n_buckets = (
+        joined.groupBy("query_id")
+        .agg(F.count_distinct("nb_bucket").alias("nb"))
+        .collect()
+    )
+    assert n_buckets and all(r["nb"] <= 6 for r in n_buckets)
