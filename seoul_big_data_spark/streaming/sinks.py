@@ -1,0 +1,105 @@
+"""Streaming sinks and cross-batch semantics (SURVEY.md §2.8 scale path).
+
+Three building blocks a production stream needs beyond a memory/console
+sink:
+
+- ``foreach_batch_idempotent``: exactly-once-per-batch parquet sink.
+  Structured Streaming guarantees ``foreachBatch`` is called with a
+  monotonically increasing ``batch_id`` and re-delivers the SAME batch id on
+  retry after failure; writing each batch to its own ``batch_id=N``
+  partition with dynamic overwrite makes the retry idempotent — re-running
+  a failed batch replaces its own partition instead of duplicating rows.
+  This is the file-sink transactionality pattern without a table format;
+  Delta/Iceberg replace the directory convention with a commit log, same
+  call site.
+
+- ``dedup_within_watermark``: cross-micro-batch deduplication with bounded
+  state (``dropDuplicatesWithinWatermark``) — the streaming side of the
+  north-star dedup family: state for a key is dropped once the watermark
+  passes it, so the dedup set does not grow with the stream.
+
+- ``enriched_stream_stream_join``: watermarked stream-stream interval join
+  (click joined to the impression that preceded it within a bounded
+  window). Both sides buffer only the watermark horizon of state — the
+  join works on an unbounded stream precisely because the interval bounds
+  + watermarks let Spark evict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def foreach_batch_idempotent(
+    stream: DataFrame, path: str, partition_col: str = "batch_id"
+) -> DataStreamWriter:
+    """Exactly-once-per-batch parquet sink via foreachBatch + per-batch
+    partition overwrite. Returns the configured writer (caller adds
+    checkpoint/trigger and starts)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn(partition_col, F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return stream.writeStream.foreachBatch(_write)
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Cross-batch exact dedup with bounded state: a duplicate arriving
+    within ``watermark`` of the first sighting is dropped; state for keys
+    older than the watermark is evicted. At 100 TB stream volume this is the
+    only tenable exact-dedup contract — unbounded-lookback dedup would
+    accrete state forever (that case is the batch MinHash/exact dedup's
+    job over the landed data)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def enriched_stream_stream_join(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    join_key: str = "user_id",
+    max_delay: str = "30 minutes",
+    wm: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click matched to
+    impressions by the same user that happened in the ``max_delay`` window
+    before the click. The time bound is mandatory — it is what lets each
+    side's buffered state be evicted once the watermark passes, keeping
+    state proportional to (rate × horizon), not stream length."""
+    imp = impressions.select(
+        F.col(join_key).alias("i_key"),
+        F.col("ts").alias("imp_ts"),
+        F.col("event_id").alias("imp_id"),
+    ).withWatermark("imp_ts", wm)
+    clk = clicks.select(
+        F.col(join_key).alias("c_key"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", wm)
+    return imp.join(
+        clk,
+        (F.col("i_key") == F.col("c_key"))
+        & (F.col("imp_ts") < F.col("click_ts"))
+        & (F.col("imp_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_delay}")),
+    ).select(
+        F.col("i_key").alias(join_key), "imp_id", "click_id", "imp_ts", "click_ts"
+    )
