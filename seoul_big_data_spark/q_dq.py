@@ -1,0 +1,288 @@
+"""Data-quality, profiling, and deterministic-sampling queries — the
+pipeline-hygiene layer a training-data engine runs before/after every load
+(dbt-style tests, table profiling, reproducible sampling).
+
+Determinism across engines: "random" sampling uses md5 over the key rendered
+as a string — identical bytes in Spark and DuckDB — so the sample is exactly
+reproducible anywhere (and stable across reruns/backfills, unlike
+``rand(seed)`` whose stream depends on partitioning). At 100 TB this is the
+only sane sampling contract: the sample of a row depends on the row alone,
+so it survives repartitioning, incremental loads, and engine swaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.tables import load
+
+
+@query(
+    "sample_stratified_md5",
+    """
+    SELECT c_mktsegment, c_custkey, smp_rank FROM (
+      SELECT c_mktsegment, c_custkey,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+             ) AS smp_rank
+      FROM customer
+    ) WHERE smp_rank <= 10
+    """,
+)
+def sample_stratified_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: 10 rows per market segment, chosen by
+    md5(key) order — a deterministic uniform draw with hard per-group
+    quotas (the 'balanced training mix' primitive). One shuffle on the
+    stratum key; per-group top-k, never a global sort."""
+    c = load(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    return (
+        c.select("c_mktsegment", "c_custkey", F.row_number().over(w).alias("smp_rank"))
+        .filter(F.col("smp_rank") <= 10)
+    )
+
+
+@query(
+    "sample_fraction_md5",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '20'
+    """,
+)
+def sample_fraction_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% Bernoulli sample (first md5 byte < 0x20): the
+    row's own key decides membership, so the sample is identical under any
+    partitioning, engine, or incremental backfill — and it composes (a 1/8
+    sample of a 1/8 sample uses a different byte). Pure map-side filter:
+    no shuffle, no state."""
+    o = load(spark, "orders", sf_dir)
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "20"
+    ).select("o_orderkey", "o_custkey")
+
+
+@query(
+    "dq_profile_columns",
+    """
+    WITH s AS (
+      SELECT count(*) AS n_rows,
+             count(*) - count(o_orderstatus)  AS null_status,
+             count(DISTINCT o_orderstatus)    AS dist_status,
+             CAST(min(o_orderstatus) AS VARCHAR) AS min_status,
+             CAST(max(o_orderstatus) AS VARCHAR) AS max_status,
+             count(*) - count(o_orderpriority) AS null_prio,
+             count(DISTINCT o_orderpriority)   AS dist_prio,
+             CAST(min(o_orderpriority) AS VARCHAR) AS min_prio,
+             CAST(max(o_orderpriority) AS VARCHAR) AS max_prio,
+             count(*) - count(o_totalprice)    AS null_price,
+             count(DISTINCT o_totalprice)      AS dist_price,
+             CAST(CAST(min(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR) AS min_price,
+             CAST(CAST(max(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR) AS max_price,
+             count(*) - count(o_custkey)       AS null_cust,
+             count(DISTINCT o_custkey)         AS dist_cust,
+             CAST(min(o_custkey) AS VARCHAR)   AS min_cust,
+             CAST(max(o_custkey) AS VARCHAR)   AS max_cust
+      FROM orders
+    )
+    SELECT 'o_orderstatus' AS col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(null_status AS BIGINT) AS n_nulls,
+           CAST(dist_status AS BIGINT) AS n_distinct,
+           min_status AS min_value, max_status AS max_value FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(n_rows AS BIGINT), CAST(null_prio AS BIGINT),
+           CAST(dist_prio AS BIGINT), min_prio, max_prio FROM s
+    UNION ALL
+    SELECT 'o_totalprice', CAST(n_rows AS BIGINT), CAST(null_price AS BIGINT),
+           CAST(dist_price AS BIGINT), min_price, max_price FROM s
+    UNION ALL
+    SELECT 'o_custkey', CAST(n_rows AS BIGINT), CAST(null_cust AS BIGINT),
+           CAST(dist_cust AS BIGINT), min_cust, max_cust FROM s
+    """,
+)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile → one row per column (n_rows, nulls,
+    distincts, min/max rendered as strings; numerics via DECIMAL(12,2) for
+    cross-engine stable formatting). ONE aggregation computes every
+    column's stats; the unpivot to rows is a driver-side-free stack over
+    the 1-row result — at 100 TB the cost is exactly one scan."""
+    o = load(spark, "orders", sf_dir)
+    s = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_orderstatus")).alias("null_status"),
+        F.count_distinct("o_orderstatus").alias("dist_status"),
+        F.min("o_orderstatus").cast("string").alias("min_status"),
+        F.max("o_orderstatus").cast("string").alias("max_status"),
+        (F.count("*") - F.count("o_orderpriority")).alias("null_prio"),
+        F.count_distinct("o_orderpriority").alias("dist_prio"),
+        F.min("o_orderpriority").cast("string").alias("min_prio"),
+        F.max("o_orderpriority").cast("string").alias("max_prio"),
+        (F.count("*") - F.count("o_totalprice")).alias("null_price"),
+        F.count_distinct("o_totalprice").alias("dist_price"),
+        F.min("o_totalprice").cast("decimal(12,2)").cast("string").alias("min_price"),
+        F.max("o_totalprice").cast("decimal(12,2)").cast("string").alias("max_price"),
+        (F.count("*") - F.count("o_custkey")).alias("null_cust"),
+        F.count_distinct("o_custkey").alias("dist_cust"),
+        F.min("o_custkey").cast("string").alias("min_cust"),
+        F.max("o_custkey").cast("string").alias("max_cust"),
+    )
+    rows = [
+        ("o_orderstatus", "null_status", "dist_status", "min_status", "max_status"),
+        ("o_orderpriority", "null_prio", "dist_prio", "min_prio", "max_prio"),
+        ("o_totalprice", "null_price", "dist_price", "min_price", "max_price"),
+        ("o_custkey", "null_cust", "dist_cust", "min_cust", "max_cust"),
+    ]
+    parts = [
+        s.select(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows"),
+            F.col(nulls).alias("n_nulls"),
+            F.col(dist).alias("n_distinct"),
+            F.col(mn).alias("min_value"),
+            F.col(mx).alias("max_value"),
+        )
+        for name, nulls, dist, mn, mx in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "dq_fk_orphans",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           CAST(count(*) AS BIGINT) AS n_bad
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'customer.c_custkey->orders (childless)', CAST(count(*) AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per FK relation (plus the
+    childless-parent inverse) via left-anti joins. Each check is an
+    anti-join on the FK key; at scale the dimension side broadcasts and
+    the fact side never shuffles."""
+    l = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    p = load(spark, "part", sf_dir)
+
+    def orphans(label, fact, dim, fk, pk):
+        return (
+            fact.join(
+                F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
+            )
+            .agg(F.count("*").alias("n_bad"))
+            .select(F.lit(label).alias("relation"), "n_bad")
+        )
+
+    return (
+        orphans("lineitem.l_orderkey->orders", l, o, "l_orderkey", "o_orderkey")
+        .unionByName(
+            orphans("orders.o_custkey->customer", o, c, "o_custkey", "c_custkey")
+        )
+        .unionByName(
+            orphans("lineitem.l_partkey->part", l, p, "l_partkey", "p_partkey")
+        )
+        .unionByName(
+            orphans(
+                "customer.c_custkey->orders (childless)",
+                c,
+                o.select(F.col("o_custkey").alias("c_custkey")),
+                "c_custkey",
+                "c_custkey",
+            )
+        )
+    )
+
+
+@query(
+    "dq_accepted_values",
+    """
+    SELECT 'o_orderstatus in (O,F,P)' AS rule, CAST(count(*) AS BIGINT) AS n_violations
+    FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+    UNION ALL
+    SELECT 'l_discount in [0, 0.1]', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_discount < CAST(0 AS DOUBLE) OR l_discount > CAST(0.1 AS DOUBLE)
+    UNION ALL
+    SELECT 'l_quantity > 0', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE NOT (l_quantity > 0)
+    UNION ALL
+    SELECT 'o_totalprice >= 0', CAST(count(*) AS BIGINT)
+    FROM orders WHERE NOT (o_totalprice >= 0)
+    """,
+)
+def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style accepted-values / range rules → violation counts. Each
+    rule is a pushed-down filter + count; a full rule suite is one scan
+    per table when fused (Catalyst collapses the unioned scans per
+    source)."""
+    o = load(spark, "orders", sf_dir)
+    l = load(spark, "lineitem", sf_dir)
+
+    def rule(label, df, cond):
+        return (
+            df.filter(cond)
+            .agg(F.count("*").alias("n_violations"))
+            .select(F.lit(label).alias("rule"), "n_violations")
+        )
+
+    return (
+        rule(
+            "o_orderstatus in (O,F,P)",
+            o,
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        )
+        .unionByName(
+            rule(
+                "l_discount in [0, 0.1]",
+                l,
+                (F.col("l_discount") < F.lit(0).cast("double"))
+                | (F.col("l_discount") > F.lit(0.1).cast("double")),
+            )
+        )
+        .unionByName(rule("l_quantity > 0", l, ~(F.col("l_quantity") > 0)))
+        .unionByName(rule("o_totalprice >= 0", o, ~(F.col("o_totalprice") >= 0)))
+    )
+
+
+@query(
+    "dq_histogram_totalprice",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY bucket_lo
+    """,
+)
+def dq_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (50k buckets over order totals) — one
+    map-side bucketing expression + one small groupBy; the profiling
+    companion to the exact percentiles in agg_stats."""
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.select(
+            (F.floor(F.col("o_totalprice") / 50000).cast("bigint") * 50000).alias(
+                "bucket_lo"
+            )
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n"))
+    )
