@@ -204,3 +204,168 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@query(
+    "events_funnel_conversion",
+    """
+    WITH w AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+    fv AS (SELECT user_id, min(ts) AS t_view FROM w
+           WHERE event_type = 'view' GROUP BY user_id),
+    fc AS (SELECT e.user_id, min(e.ts) AS t_click FROM w e
+           JOIN fv ON e.user_id = fv.user_id AND e.ts > fv.t_view
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    fp AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM w e
+           JOIN fc ON e.user_id = fc.user_id AND e.ts > fc.t_click
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM fv
+    UNION ALL
+    SELECT 'view>click', CAST(count(*) AS BIGINT) FROM fc
+    UNION ALL
+    SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM fp
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → later click → later purchase) over
+    one week of events: each stage joins the previous stage's first-reach
+    time and requires strict progression. Each stage is a groupBy on
+    user_id — same key every stage, so at scale one repartition by user_id
+    serves all three aggregations (no re-shuffle between stages)."""
+    w = load(spark, "events", sf_dir).filter(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    fv = (
+        w.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    fc = (
+        w.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    fp = (
+        w.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(label, df):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage("view", fv)
+        .unionByName(stage("view>click", fc))
+        .unionByName(stage("view>click>purchase", fp))
+    )
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+           CAST((epoch(act_week) - epoch(cohort_week)) / 604800 AS INTEGER)
+             AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM first_seen JOIN activity USING (user_id)
+    GROUP BY cohort_week, act_week
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    in each later activity week. Both CTEs group on user_id, then the
+    (cohort, offset) aggregate is tiny. Week offsets via epoch arithmetic
+    (exact multiples of 604800 s on week-truncated UTC timestamps — no
+    engine-specific week-diff semantics)."""
+    e = load(spark, "events", sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy("cohort_week", "act_week")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            (
+                (
+                    F.unix_timestamp("act_week")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "n_users",
+        )
+    )
+
+
+@query(
+    "events_sequence_pattern",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(s) AS INTEGER) AS n_events,
+           CASE WHEN s LIKE '%vc%' THEN 1 ELSE 0 END AS has_view_then_click,
+           CASE WHEN s LIKE '%v%c%p%' THEN 1 ELSE 0 END AS has_v_c_p_anywhere
+    FROM seq
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection: each user's ordered
+    event-initial string (v/c/s/e/p), pattern-matched for immediate
+    view→click adjacency and the gapped view…click…purchase motif. The
+    per-user sequence builds with sort_array(collect_list(struct)) inside
+    one aggregation — ordered string aggregation without a global sort."""
+    e = load(spark, "events", sf_dir).filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    seq = (
+        e.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+            ).alias("st"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("st")), lambda s: s["ch"]
+                ),
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("int").alias("n_events"),
+        F.when(F.col("s").contains("vc"), 1).otherwise(0).alias(
+            "has_view_then_click"
+        ),
+        F.when(F.col("s").rlike("v.*c.*p"), 1).otherwise(0).alias(
+            "has_v_c_p_anywhere"
+        ),
+    )

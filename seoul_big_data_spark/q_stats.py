@@ -281,3 +281,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.25)
         .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+@query(
+    "agg_percentile_exact",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+           round(quantile_cont(l_quantity, 0.5),  2) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 2) AS p75,
+           round(quantile_cont(l_quantity, 0.9),  2) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (both engines use
+    the 1 + p·(n-1) rank definition, verified value-identical). The exact
+    form sorts each group's values — fine per-group here; at 100 TB prefer
+    `agg_percentile_approx` (t-digest-style sketch, mergeable map-side)
+    and keep this for the final small-group pass."""
+    l = load(spark, "lineitem", sf_dir)
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 2).alias("p75"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 2).alias("p90"),
+    )
