@@ -45,6 +45,11 @@ HEADLINE = [
     "similarity_brute_force_topk",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "dq_profile_columns",
+    "merge_upsert_pattern",
+    "events_funnel_conversion",
     "corpus_prep_pipeline",
 ]
 

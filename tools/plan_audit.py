@@ -26,6 +26,26 @@ CHECKS = {
     "tpch_q5_local_supplier_volume": ["BroadcastHashJoin"],
     "window_latest_per_group": ["Window"],
     "project_rename_drop": ["ReadSchema"],
+    # new TPC-H shapes: dims must broadcast; date filters must reach parquet
+    "tpch_q7_nation_volume": ["BroadcastHashJoin"],
+    "tpch_q8_market_share": ["BroadcastHashJoin"],
+    "tpch_q9_product_profit": ["BroadcastHashJoin"],
+    "tpch_q13_custdist": ["HashAggregate"],
+    "tpch_q14_promo_revenue": [
+        "BroadcastHashJoin",
+        "PushedFilters: [IsNotNull(l_shipdate)",
+    ],
+    "tpch_q17_small_qty_revenue": ["BroadcastHashJoin", "Window"],
+    "tpch_q20_part_promotion": [
+        "PushedFilters: [IsNotNull(l_shipdate)",
+        "LeftSemi",
+    ],
+    "tpch_q21_waiting_supplier": ["BroadcastHashJoin", "LeftSemi"],
+    # DQ layer: rule filters must push down; profiling is one aggregate
+    "dq_accepted_values": ["PushedFilters:"],
+    "sample_fraction_md5": ["Filter"],
+    "dq_profile_columns": ["HashAggregate"],
+    "events_funnel_conversion": ["HashAggregate"],
 }
 
 
