@@ -1,0 +1,234 @@
+"""Training-data curation queries — the corpus-hygiene operators a
+pre-training pipeline runs beyond dedup (COVERAGE.md §2.10 extension):
+Gopher-style repetition metrics, benchmark-contamination screening,
+PII redaction, and deterministic weighted mixture sampling.
+
+All four are pure Catalyst expressions / joins (no Python UDFs) and
+DuckDB-oracle-checked. Scale notes per query docstring; the common theme is
+that per-document metrics stay map-side (array expressions inside codegen,
+no shuffle) and only genuinely relational steps (contamination join) shuffle.
+
+Oracle notes: tokenization mirrors q_text.py; DuckDB lacks ``regexp_count``
+so the oracle uses ``len(regexp_extract_all(...))``; fractions are rounded
+to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as tx
+from .registry import query
+from .sources.tables import load
+
+_DUCK_TOKENS_LOWER = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+)
+
+
+@query(
+    "text_repetition_metrics",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS_LOWER} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, t,
+             [array_to_string(t[i:i+1], ' ')
+              FOR i IN range(1, greatest(len(t) - 1, 1) + 1)] AS g2
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           round(list_max([len(list_filter(t, x -> x = u))
+                           FOR u IN list_distinct(t)]) * 1.0 / len(t), 6)
+             AS top_token_frac,
+           round((len(g2) - len(list_distinct(g2))) * 1.0 / len(g2), 6)
+             AS dup_2gram_frac
+    FROM grams
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of tokens
+    taken by the single most frequent token, and the fraction of 2-grams
+    that are repeats of an earlier 2-gram. High values flag boilerplate /
+    spam docs that dedup misses (repetition is *within* one doc).
+
+    Scale shape: everything is an array expression over the tokenized
+    column — zero shuffles, runs inside whole-stage codegen over the scan.
+    The per-doc O(distinct × n) token-count scan is bounded by document
+    length, not corpus size, so it parallelizes embarrassingly at 100 TB
+    (vs the explode→groupBy alternative which would shuffle every token).
+    """
+    d = load(spark, "documents", sf_dir)
+    toks = tx.tokens(F.lower(F.col("text")))
+    g2 = tx.shingles("text", k=2)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    )
+    return (
+        d.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.round(top_cnt / F.size(toks), 6).alias("top_token_frac"),
+            F.round(
+                (F.size(g2) - F.size(F.array_distinct(g2))) / F.size(g2), 6
+            ).alias("dup_2gram_frac"),
+        )
+    )
+
+
+@query(
+    "text_contamination_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, source, unnest(shingles) AS shingle FROM sh
+    ), bench AS (
+      SELECT DISTINCT shingle FROM ex WHERE source = 'src0'
+    )
+    SELECT e.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS contamination
+    FROM (SELECT doc_id, shingle FROM ex WHERE source <> 'src0') e
+    LEFT JOIN bench b ON e.shingle = b.shingle
+    GROUP BY e.doc_id
+    """,
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: treating ``source='src0'`` as the
+    held-out benchmark corpus, score every other document by the fraction
+    of its distinct 3-shingles that also occur in the benchmark — the
+    n-gram-overlap decontamination check run before training.
+
+    Scale shape: the benchmark shingle set is small relative to the corpus
+    (eval suites are MBs, corpora are TBs) → broadcast it; the eval side
+    then needs no shuffle for the join, only the per-doc groupBy (keyed on
+    doc_id, map-side combinable counts).
+    """
+    d = load(spark, "documents", sf_dir)
+    ex = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(tx.shingles("text", k=3))).alias("shingle"),
+    )
+    bench = (
+        ex.filter(F.col("source") == "src0").select("shingle").distinct()
+    ).withColumn("hit", F.lit(1))
+    ev = ex.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    joined = ev.join(F.broadcast(bench), "shingle", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*"), 6
+        ).alias("contamination"),
+    )
+
+
+# PII patterns kept to syntax that means the same thing in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, no
+# lookaround / backreferences in the *match* patterns.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "010-[0-9]{4}-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@ex.org tel 010-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || '-1234' AS aug_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug_text, '{_EMAIL_RE}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(aug_text, '{_PHONE_RE}')) AS INTEGER)
+             AS n_phones,
+           regexp_replace(regexp_replace(aug_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over text: count and mask email addresses
+    and KR-mobile-style phone numbers. The synthetic corpus contains no
+    PII, so the query *injects* a deterministic email+phone derived from
+    doc_id on both engines — the redaction path is exercised on every row
+    (each output must contain '<EMAIL>'/'<PHONE>' and count exactly 1).
+
+    Scale shape: pure per-row regexp expressions — map-side only, no
+    shuffle, whole-stage codegen; the pattern alternation cost is linear
+    in document length. Real deployments extend the pattern list (SSNs,
+    credit cards, IPs) with the same shape.
+    """
+    d = load(spark, "documents", sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.org tel 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-1234"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+@query(
+    "sample_weighted_mixture",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 'd0'
+               WHEN source IN ('src4', 'src5', 'src6', 'src7') THEN '80'
+               ELSE '40' END
+    """,
+)
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: per-source acceptance rates (~81% for the
+    high-quality sources, ~50% mid, ~25% tail — the 'upsample curated,
+    downsample crawl' mixing step), decided by md5 over the row's own key
+    so the draw is deterministic under any partitioning, engine, or
+    incremental backfill (same contract as sample_fraction_md5).
+
+    Scale shape: pure map-side filter over the scan — no shuffle, no
+    state; mixture weights live in a tiny CASE (or a broadcast dim table
+    when the source list is long).
+    """
+    d = load(spark, "documents", sf_dir)
+    threshold = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), "d0")
+        .when(F.col("source").isin("src4", "src5", "src6", "src7"), "80")
+        .otherwise("40")
+    )
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < threshold
+    ).select("doc_id", "source")

@@ -461,6 +461,7 @@ from . import q_tpch  # noqa: E402,F401  (multi-join star-schema analytics)
 from . import q_misc  # noqa: E402,F401  (arrays/maps/nulls/frames/sliding windows)
 from . import q_stats  # noqa: E402,F401  (moments, TPC-H Q4/Q6/Q12/Q18, TF-IDF, cosine near-dup)
 from . import q_dq  # noqa: E402,F401  (data-quality rules, profiling, deterministic sampling)
+from . import q_mlprep  # noqa: E402,F401  (corpus hygiene: repetition, contamination, PII, mixture sampling)
 from . import sql_interface  # noqa: E402,F401  (ad-hoc SQL surface, shared-dialect parity)
 
 __all__ = ["QUERIES", "ORACLES", "query"]
