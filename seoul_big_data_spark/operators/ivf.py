@@ -1,0 +1,204 @@
+"""IVF (inverted-file) ANN: k-means coarse quantizer + cell-probed search
+(north-star N3's second scale path, SURVEY.md §2.10).
+
+Complements the LSH path in ``operators/similarity.py``: where LSH buckets by
+random hyperplane signs, IVF *learns* the partitioning from the data — cells
+follow the embedding distribution, so probe counts stay low even when the
+corpus is clustered (exactly where random hyperplanes waste probes on empty
+half-spaces).
+
+Scale shape (100 TB): centroids are tiny (k × dim doubles) and live on the
+driver / in broadcast — the classic MLlib layout. Each Lloyd iteration is one
+corpus scan with a map-side-combinable (cell, dim_pos) partial-sum shuffle of
+at most ``partitions × k × dim`` rows. Search assigns the corpus once (write
+it partitioned by ``cell`` and a probe touches one partition) and probes the
+``nprobe`` nearest cells per query — read amplification is nprobe/k of a full
+scan, independent of corpus size.
+
+Everything is deterministic: md5-ordered seeding, fixed iteration count,
+exact-tie cell assignment to the lowest cell id — re-runs and backfills
+produce byte-identical indexes (same convention as q_dq.py sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot, norm
+
+
+def _lit_vec(vals: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _normalized(vec: F.Column | str) -> F.Column:
+    """Unit-normalize a float array (zero vectors pass through unchanged) —
+    spherical k-means operates on directions, so cosine == dot thereafter."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    n = norm(v)
+    return F.when(
+        n > 0, F.transform(v, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(v, lambda x: x.cast("double")))
+
+
+def _nearest_cell(vec: F.Column | str, centroids: list[list[float]]) -> F.Column:
+    """Index of the max-dot centroid (ties → lowest cell id). One array_max
+    over (dot, -cell) structs — k dot products, whole-stage codegen, no UDF."""
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("s"), dot(vec, _lit_vec(c)), F.lit("ni"), F.lit(-i)
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return (-F.array_max(scored)["ni"]).cast("int")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd) over an embedding column; returns k
+    unit-normalized centroids as plain Python lists.
+
+    Seeding: the k vectors with the smallest ``md5(id)`` — a deterministic
+    pseudo-random draw that is stable across partitionings and backfills.
+    Each iteration: assign (broadcast centroids, argmax dot) → recompute
+    means via posexplode + groupBy(cell, pos) — partial aggregation makes the
+    shuffle O(partitions × k × dim), not O(rows). Empty cells keep their
+    previous centroid (no respawn, keeps runs comparable).
+    """
+    normed = df.select(
+        F.col(id_col).alias("_id"), _normalized(vec_col).alias("_v")
+    )
+    seeds = (
+        normed.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["_v"]) for r in seeds]
+    for _ in range(iters):
+        assigned = normed.select(
+            _nearest_cell("_v", centroids).alias("cell"),
+            F.posexplode("_v").alias("i", "x"),
+        )
+        means = (
+            assigned.groupBy("cell", "i")
+            .agg(F.avg("x").alias("cx"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("p"))
+            .select("cell", F.transform("p", lambda s: s["cx"]).alias("c"))
+            .collect()
+        )
+        nxt = list(centroids)  # empty cells keep the previous centroid
+        for r in means:
+            v = list(r["c"])
+            n = sum(x * x for x in v) ** 0.5
+            nxt[r["cell"]] = [x / n for x in v] if n > 0 else v
+        centroids = nxt
+    return centroids
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add the IVF ``cell`` column (nearest-centroid id). At scale, write the
+    result partitioned/bucketed by ``cell`` so one probe reads one partition."""
+    return df.withColumn("cell", _nearest_cell(_normalized(vec_col), centroids))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: each query probes its ``nprobe`` nearest cells and
+    ranks candidates by exact cosine. ``nprobe == len(centroids)`` degrades
+    gracefully to the exact brute-force result (every cell probed).
+
+    The probe list is exploded on the (small, broadcast) query side only; the
+    corpus is assigned once and joined on ``cell`` — a co-partitioned lookup,
+    never a cross product. Columns: query_id, neighbor_id, score, rk.
+    """
+    c = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        centroids,
+        vec_col="c_vec",
+    )
+    ranked_cells = F.transform(
+        F.array_sort(
+            F.array(
+                *[
+                    F.named_struct(
+                        F.lit("nd"),
+                        -dot(_normalized(vec_col), _lit_vec(cen)),
+                        F.lit("i"),
+                        F.lit(i),
+                    )
+                    for i, cen in enumerate(centroids)
+                ]
+            )
+        ),
+        lambda s: s["i"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.slice(ranked_cells, 1, nprobe)).alias("cell"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (c.cell == q.cell) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style near-duplicate pairs: candidate pairs are generated
+    ONLY within a k-means cell, then filtered by exact cosine ≥ threshold.
+
+    This is the embedding twin of MinHash-LSH banding: the all-pairs
+    O(N²) comparison becomes Σ|cell|², and because identical / near-identical
+    vectors share a nearest centroid by construction, exact duplicates are
+    never missed — only genuinely borderline cross-cell pairs are (recall
+    measured in tests/test_ivf.py). Keep-lowest-id convention matches
+    dedup_exact. Columns: cell, id_a (keep), id_b (drop), cos.
+    """
+    cells = assign_cells(df, centroids, vec_col=vec_col).select(
+        "cell", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    a = cells.select(
+        "cell", F.col("_id").alias("id_a"), F.col("_v").alias("va")
+    )
+    b = cells.select(
+        F.col("cell").alias("cell_b"),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+    )
+    return (
+        a.join(b, (a.cell == b.cell_b) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_raw", cosine("va", "vb"))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("cell", "id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+    )

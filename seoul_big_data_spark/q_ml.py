@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .functions.vector import cosine, dot, norm
+from .operators.ivf import ivf_topk, kmeans_fit, semantic_dedup_pairs
 from .operators.similarity import brute_force_topk, lsh_topk
 from .registry import query
 from .sources.tables import load
@@ -191,3 +192,30 @@ def similarity_lsh_ann_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _fixed_planes(n_planes=8, dim=64)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return lsh_topk(emb, queries, planes, k=10, probes=12)
+
+
+@query("similarity_ivf_ann")  # learned-partition ANN → rows-only
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 scale path, learned partitioning — IVF ANN: spherical k-means
+    coarse quantizer (8 cells, md5-seeded, deterministic), queries probe
+    their 3 nearest cells. Where LSH's random hyperplanes waste probes on
+    empty half-spaces, IVF cells track the data distribution; at scale the
+    corpus is written partitioned by cell so a probe reads one partition.
+    Exactness at nprobe=k and recall at nprobe<k asserted in
+    tests/test_ivf.py."""
+    emb = load(spark, "embeddings", sf_dir)
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, queries, centroids, k=10, nprobe=3)
+
+
+@query("dedup_semantic_ivf")  # learned-cluster candidate gen → rows-only
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 scale path — SemDeDup-style semantic near-dup pairs: candidates
+    only within a k-means cell (Σ|cell|² comparisons instead of N²), exact
+    cosine filter after. Exact duplicates share a nearest centroid by
+    construction so they are never missed; the subset property and recall
+    vs the global pair set are asserted in tests/test_ivf.py."""
+    emb = load(spark, "embeddings", sf_dir)
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    return semantic_dedup_pairs(emb, centroids, threshold=0.25)

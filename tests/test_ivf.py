@@ -1,0 +1,139 @@
+"""IVF ANN + SemDeDup-style semantic dedup (operators/ivf.py, north-star
+N2/N3 scale paths, SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from seoul_big_data_spark.functions.vector import cosine
+from seoul_big_data_spark.operators.ivf import (
+    assign_cells,
+    ivf_topk,
+    kmeans_fit,
+    semantic_dedup_pairs,
+)
+from seoul_big_data_spark.operators.similarity import brute_force_topk
+from seoul_big_data_spark.sources.tables import load
+
+K, ITERS = 8, 3
+
+
+def _numpy_kmeans(ids, vecs, k, iters):
+    """The identical algorithm in numpy: md5 seeding, spherical Lloyd,
+    max-dot assignment with lowest-cell tie-break, empty cells frozen."""
+    import hashlib
+
+    v = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    v = np.where(norms > 0, v / np.where(norms == 0, 1, norms), v)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    cents = v[order[:k]].copy()
+    for _ in range(iters):
+        dots = v @ cents.T
+        # lowest cell wins exact ties (argmax already returns the first max)
+        cells = np.argmax(dots, axis=1)
+        nxt = cents.copy()
+        for c in range(k):
+            members = v[cells == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                nxt[c] = m / n if n > 0 else m
+        cents = nxt
+    return cents
+
+
+def test_kmeans_matches_numpy(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = [list(r["embedding"]) for r in rows]
+    got = np.asarray(kmeans_fit(emb, k=K, iters=ITERS))
+    want = _numpy_kmeans(ids, vecs, K, ITERS)
+    assert got.shape == want.shape == (K, 64)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """nprobe == k probes every cell — the result must be EXACTLY the
+    brute-force top-k (graceful degradation contract)."""
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = kmeans_fit(emb, k=K, iters=ITERS)
+    exact = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    full = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in ivf_topk(emb, queries, cents, k=10, nprobe=K).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_recall_scales_with_nprobe(spark, sf_dir):
+    """More probes → monotonically no-worse recall, and nprobe=3 of 8 finds
+    a meaningful share of the exact top-10."""
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = kmeans_fit(emb, k=K, iters=ITERS)
+    exact_sets: dict[int, set[int]] = {}
+    for r in brute_force_topk(emb, queries, k=10).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(s) for s in exact_sets.values())
+
+    def recall(nprobe):
+        hits = 0
+        for r in ivf_topk(emb, queries, cents, k=10, nprobe=nprobe).collect():
+            if r["neighbor_id"] in exact_sets.get(r["query_id"], set()):
+                hits += 1
+        return hits / total
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 >= 0.3, (r1, r3)
+
+
+def test_semantic_dedup_subset_of_global_pairs(spark, sf_dir):
+    """Every cell-bounded pair is a true global near-dup pair (precision is
+    exact — only recall is approximate), and exact duplicates are never
+    missed (identical vectors share a nearest centroid by construction)."""
+    emb = load(spark, "embeddings", sf_dir)
+    # plant an exact duplicate of vec 0 with a fresh id
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    data = emb.unionByName(dup)
+    cents = kmeans_fit(data, k=K, iters=ITERS)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(data, cents, threshold=0.5).collect()
+    }
+    a = data.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = data.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    global_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine("va", "vb") >= 0.5)
+        .collect()
+    }
+    assert got <= global_pairs
+    assert (0, 1_000_000) in got  # the planted exact duplicate is caught
+
+
+def test_assign_cells_deterministic_under_repartition(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    cents = kmeans_fit(emb, k=K, iters=ITERS)
+    once = {
+        r["vec_id"]: r["cell"] for r in assign_cells(emb, cents).collect()
+    }
+    again = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(emb.repartition(13), cents).collect()
+    }
+    assert once == again
+    assert set(once.values()) <= set(range(K))
