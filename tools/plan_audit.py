@@ -46,6 +46,11 @@ CHECKS = {
     "sample_fraction_md5": ["Filter"],
     "dq_profile_columns": ["HashAggregate"],
     "events_funnel_conversion": ["HashAggregate"],
+    # ML-prep + ANN: small sides must broadcast (benchmark set, probe set)
+    "text_contamination_overlap": ["BroadcastHashJoin"],
+    "similarity_ivf_ann": ["BroadcastHashJoin"],
+    "dedup_semantic_ivf": ["BroadcastHashJoin"],
+    "text_repetition_metrics": ["ReadSchema"],
 }
 
 
