@@ -71,18 +71,42 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    prev = _load_prev_round()
+    if prev:
+        out["vs_prev"] = {
+            q: round(timings[q] / prev[q], 2)
+            for q in timings
+            if prev.get(q)
+        }
+    print(json.dumps(out))
     spark.stop()
+
+
+def _load_prev_round() -> dict[str, float]:
+    """Per-query timings from the latest BENCH_r{N}.json the driver recorded,
+    so each run prints this-run/prev-round ratios (regressions visible
+    in-run; methodology is identical across rounds — warm timed run)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()),
+    )
+    if not rounds:
+        return {}
+    try:
+        with open(os.path.join(here, rounds[-1])) as fh:
+            doc = json.load(fh)
+        # The driver wraps bench's JSON line under "parsed".
+        return (doc.get("parsed") or doc).get("queries", {}) or {}
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return {}
 
 
 if __name__ == "__main__":

@@ -195,19 +195,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """N2 ground truth — exact shingle-Jaccard similar pairs (id_a < id_b).
 
     explode(shingles) → self-join on shingle → |A∩B| per pair → Jaccard via
     inclusion-exclusion with per-doc distinct-shingle counts. Shuffles on
     shingle then on (id_a, id_b); skew on ultra-common shingles is the known
-    hazard at scale — mitigate by dropping top-frequency shingles (stop-shingle
-    filter) before the join.
+    hazard at scale — ``max_shingle_df`` drops shingles appearing in more
+    than that many documents BEFORE the self-join (a shingle in d docs
+    contributes O(d^2) join rows; boilerplate shingles dominate the shuffle
+    and carry no identity signal). Per-doc sizes are recomputed over the
+    filtered shingle universe, so the Jaccard stays a true set similarity on
+    that universe (same convention as ``minhash_signatures``).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("shingle"),
     )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -49,55 +49,37 @@ def asof_join(
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` for the same key.
 
-    Union-and-window implementation: tag both sides, union by name, sort
-    within key by (ts, side) and carry the last right values forward with
+    Union-and-window implementation: tag both sides, union by name (left rows
+    carry their full payload; right rows carry nulls for it), sort within key
+    by (ts, side) and carry the last right values forward with
     ``last(..., ignorenulls=True)``. One shuffle on ``key``; linear, no
     cross product — survives 100x scale-up where a non-equi join would not.
+    No row-id self-join: all left columns travel through the union, so there
+    is no nondeterministic ``monotonically_increasing_id`` to re-evaluate in
+    two plan branches.
     """
-    lt = left.withColumn("_ts", F.col(left_ts).cast("timestamp")).withColumn(
-        "_side", F.lit(1)
+    lt = (
+        left.withColumn("_ts", F.col(left_ts).cast("timestamp"))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_k", F.col(key))
     )
-    rt = right.withColumn("_ts", F.col(right_ts).cast("timestamp")).withColumn(
-        "_side", F.lit(0)
-    )
-    rsel = rt.select(
+    rsel = right.select(
         F.col(key).alias("_k"),
-        "_ts",
-        "_side",
+        F.col(right_ts).cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_side"),
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
-    lmeta = lt.withColumn("_k", F.col(key)).withColumn(
-        "_row_id", F.monotonically_increasing_id()
-    )
-    # Window pass over the union: right rows sort before coincident left rows
-    # (side 0 < 1) so an exactly-equal timestamp matches.
-    unioned = rsel.unionByName(
-        lmeta.select(
-            "_k",
-            "_ts",
-            "_side",
-            *[
-                F.lit(None).cast(rt.schema[c].dataType).alias(f"_r_{c}")
-                for c in right_cols
-            ],
-            "_row_id",
-        ),
-        allowMissingColumns=True,
-    )
+    # Right rows sort before coincident left rows (side 0 < 1) so an
+    # exactly-equal timestamp matches.
+    unioned = rsel.unionByName(lt, allowMissingColumns=True)
     w = Window.partitionBy("_k").orderBy("_ts", "_side").rowsBetween(
         Window.unboundedPreceding, 0
     )
     filled = unioned.select(
-        "_k",
-        "_ts",
-        "_side",
-        "_row_id",
+        "*",
         *[
             F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
             for c in right_cols
         ],
     ).filter(F.col("_side") == 1)
-    return (
-        lmeta.join(filled.select("_row_id", *[f"asof_{c}" for c in right_cols]), "_row_id")
-        .drop("_row_id", "_k", "_ts", "_side")
-    )
+    return filled.select(*left.columns, *[f"asof_{c}" for c in right_cols])

@@ -198,12 +198,14 @@ def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18 shape: group-by with HAVING over the join."""
+    """Q18 shape: group-by with HAVING over the join. orders is fact-sized —
+    no broadcast hint; AQE sizes the join (sort-merge at 100 TB, ideally over
+    the bucketed order-key layout of ``join_bucketed_fact_fact``)."""
     o = load(spark, "orders", sf_dir)
     l = load(spark, "lineitem", sf_dir)
     qty = F.sum(F.col("l_quantity").cast("decimal(12,2)"))
     return (
-        l.join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
+        l.join(o, o.o_orderkey == l.l_orderkey)
         .groupBy("o_orderkey", "o_custkey")
         .agg(qty.cast("double").alias("total_qty"), qty.alias("_q"))
         .filter(F.col("_q") > 150)

@@ -190,6 +190,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    "dedup_ngram_jaccard_skewsafe",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex0 AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), ex AS (
+      SELECT * FROM ex0 WHERE shingle NOT IN (
+        SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 25
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — exact Jaccard with the stop-shingle (hot-key) filter applied:
+    shingles in more than 25 documents are dropped before the self-join, so
+    a boilerplate shingle shared by d documents can no longer contribute
+    O(d^2) rows to the shuffle — the skew guard the 100 TB run requires
+    (operators/dedup.py::ngram_jaccard_pairs with ``max_shingle_df``)."""
+    d = load(spark, "documents", sf_dir)
+    out = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3, max_shingle_df=25)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @query("dedup_minhash_lsh")  # hash-based bucketing → rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 — MinHash+LSH candidate pairs (16 hashes, 4 bands). Recall vs the

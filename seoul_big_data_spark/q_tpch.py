@@ -36,8 +36,10 @@ def _dec(c: str, t: str = "decimal(12,2)"):
     """,
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 shape: dim-filtered fact join + grouped revenue. customer is
-    broadcast; the only shuffle is the final group on l_orderkey."""
+    """Q3 shape: dim-filtered fact join + grouped revenue. orders and
+    customer are fact-sized (no broadcast hint — AQE picks the strategy from
+    runtime sizes; at 100 TB this is a sort-merge on the key, ideally over
+    the bucketed layout proven in ``join_bucketed_fact_fact``)."""
     c = load(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, "orders", sf_dir).filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -46,7 +48,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
     )
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        l.join(o.join(c, o.o_custkey == c.c_custkey),
                l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -80,8 +82,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 shape: six-way join with a local-supplier (same-nation) predicate;
-    all dims broadcast, lineitem never shuffles until the final small group."""
+    """Q5 shape: six-way join with a local-supplier (same-nation) predicate.
+    True dims (supplier/nation/region) are broadcast; orders and customer are
+    fact-sized and left unhinted so AQE sizes the join — at sf0.01 it will
+    promote them to broadcast at runtime, at 100 TB it sort-merges."""
     c = load(spark, "customer", sf_dir)
     o = load(spark, "orders", sf_dir)
     l = load(spark, "lineitem", sf_dir)
@@ -89,8 +93,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     n = load(spark, "nation", sf_dir)
     r = load(spark, "region", sf_dir)
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .filter(c.c_nationkey == s.s_nationkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -126,8 +130,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
     n = load(spark, "nation", sf_dir)
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -387,8 +391,8 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
@@ -444,8 +448,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)"))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -503,7 +507,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
         .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -789,7 +793,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     l = load(spark, "lineitem", sf_dir).join(
-        F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")
+        o, F.col("l_orderkey") == F.col("o_orderkey")
     )
     per_order = l.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
@@ -810,4 +814,60 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "join_bucketed_fact_fact",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact over the co-located bucketed layout — the 100 TB strategy
+    for joins whose both sides are too big to broadcast (SCALE.md: bucket
+    lineitem and orders on the order key once at write time; every subsequent
+    join on that key is exchange-free).
+
+    Both sides are written with ``bucketBy(16, key).sortBy(key)`` and re-read
+    from the catalog, so the join plan has NO Exchange on the fact join — the
+    only shuffle left is the final 5-group aggregate. Asserted mechanically in
+    ``tools/plan_audit.py`` (negative needle: no ``hashpartitioning(l_orderkey``).
+    The write cost is paid once and amortized across every downstream join —
+    the same trade Hive/Iceberg bucketing makes.
+    """
+    import os
+    import re as _re
+    import tempfile
+
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"seoul_bucketed_{tag}")
+    for name, df in (("li_fact_bucketed", li), ("o_fact_bucketed", o)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(16, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    joined = spark.table("li_fact_bucketed").join(
+        spark.table("o_fact_bucketed"), "l_orderkey"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
     )

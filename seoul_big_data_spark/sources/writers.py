@@ -84,9 +84,12 @@ def merge_upsert(
     )
     joined = target.join(src, target[key] == src["_src_key"], "full_outer")
     if delete_condition is not None:
+        # SQL MERGE treats a NULL delete predicate as not-satisfied (the row
+        # is updated, not deleted); a bare NULL here would make the whole
+        # filter predicate NULL and silently drop the row.
         joined = joined.filter(
             ~(F.col("_src_key").isNotNull() & F.col(key).isNotNull()
-              & delete_condition)
+              & F.coalesce(delete_condition, F.lit(False)))
         )
     out_cols = [F.coalesce(F.col(key), F.col("_src_key")).alias(key)] + [
         F.when(F.col("_src_key").isNotNull(), F.col(f"_src_{c}"))
@@ -124,11 +127,12 @@ def scd2_apply(
         *[F.col(c).alias(f"_s_{c}") for c in tracked],
     )
     j = cur.join(snap, cur[key] == snap["_s_key"], "full_outer")
-    changed = ~F.concat_ws(
-        "\x00", *[F.col(c).cast("string") for c in tracked]
-    ).eqNullSafe(
-        F.concat_ws("\x00", *[F.col(f"_s_{c}").cast("string") for c in tracked])
-    )
+    # Per-column null-safe comparison: concat_ws would SKIP nulls, conflating
+    # (NULL,'x') with ('x',NULL) and NULL with '' — missed changes.
+    same = F.lit(True)
+    for c in tracked:
+        same = same & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+    changed = ~same
     closed = j.filter(
         F.col(key).isNotNull() & F.col("_s_key").isNotNull() & changed
     ).select(

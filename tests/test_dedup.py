@@ -114,3 +114,31 @@ def test_lsh_guards_bucket_cap_and_stop_shingles(spark):
     # appear in exactly 3 docs so candidates survive
     filtered = dedup.minhash_lsh_candidates(df, max_shingle_df=3)
     assert filtered.count() == 3
+
+
+def test_ngram_jaccard_stop_shingle_filter(spark):
+    """max_shingle_df: (a) a loose cap is a no-op (identical pairs);
+    (b) hot boilerplate shingles are dropped but truly-similar pairs
+    survive with their similarity intact."""
+    boiler = "subscribe to our newsletter for more"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon eta {boiler}"),
+        (3, f"totally different content one two three {boiler}"),
+        (4, f"unrelated words four five six seven {boiler}"),
+        (5, f"more filler text eight nine ten {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = dedup.ngram_jaccard_pairs(df, k_shingle=3, threshold=0.3)
+    noop = dedup.ngram_jaccard_pairs(
+        df, k_shingle=3, threshold=0.3, max_shingle_df=1000
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, noop.collect()))
+    # cap=4: the boilerplate shingles (in all 5 docs) are dropped
+    filtered = dedup.ngram_jaccard_pairs(
+        df, k_shingle=3, threshold=0.3, max_shingle_df=4
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in filtered.collect()}
+    assert (1, 2) in pairs  # genuinely similar pair survives the filter
+    # boilerplate-only overlaps no longer qualify
+    assert (3, 4) not in pairs and (3, 5) not in pairs and (4, 5) not in pairs

@@ -1,0 +1,54 @@
+"""Join operators (operators/joins.py) — as-of join semantics and stability.
+
+The as-of join is the union-and-window shape (SCALE.md): one shuffle on the
+key, no row-id self-join, so results are deterministic regardless of input
+partitioning (regression: monotonically_increasing_id was evaluated in two
+plan branches and could diverge after a shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seoul_big_data_spark.operators.joins import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:00", 1),
+            ("a", "2024-01-01 12:00:00", 2),
+            ("a", "2024-01-01 09:00:00", 3),  # before any right row
+            ("b", "2024-01-01 11:00:00", 4),
+        ],
+        "k string, ts string, payload int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:00", 100.0),  # equal ts matches
+            ("a", "2024-01-01 11:30:00", 200.0),
+            ("b", "2024-01-01 10:30:00", 300.0),
+        ],
+        "k string, rts string, px double",
+    )
+    return left, right
+
+
+def test_asof_basic_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "ts", "rts", ["px"])
+    got = {r["payload"]: r["asof_px"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 200.0, 3: None, 4: 300.0}
+    assert set(out.columns) == {"k", "ts", "payload", "asof_px"}
+
+
+def test_asof_stable_after_repartition(spark):
+    """Same answer on shuffled/odd-partitioned inputs — the property the
+    row-id-based implementation could not guarantee."""
+    left, right = _frames(spark)
+    out1 = asof_join(left, right, "k", "ts", "rts", ["px"])
+    out2 = asof_join(
+        left.repartition(7, "payload"), right.repartition(5), "k", "ts", "rts", ["px"]
+    )
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+    assert out2.count() == left.count()  # every left row preserved exactly once

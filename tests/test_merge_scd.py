@@ -37,6 +37,21 @@ def test_merge_upsert_update_insert_delete(spark, target):
     }                        # 2 deleted
 
 
+def test_merge_upsert_null_delete_condition_updates_not_deletes(spark, target):
+    """SQL MERGE: a NULL delete predicate is NOT satisfied → the matched row
+    is updated, not silently dropped (regression: NULL propagated through the
+    filter and deleted the row)."""
+    tgt = target.unionByName(
+        spark.createDataFrame([(5, "e", None)], "k int, name string, bal double")
+    )
+    source = spark.createDataFrame(
+        [(5, "e2", None)], "k int, name string, bal double"
+    )
+    out = merge_upsert(tgt, source, "k", delete_condition=F.col("_src_bal") < 0)
+    row = out.filter(F.col("k") == 5).collect()
+    assert len(row) == 1 and row[0]["name"] == "e2" and row[0]["bal"] is None
+
+
 def test_merge_upsert_schema_mismatch_raises(spark, target):
     bad = target.select("k", "name")
     with pytest.raises(ValueError, match="schema mismatch"):
@@ -102,6 +117,37 @@ def test_scd2_change_new_delete_unchanged(spark):
     assert r9["is_current"] and str(r9["valid_from"]).startswith("2021-06-01")
     # history passthrough
     assert not rows[(2, "beta_v0")]["is_current"]
+
+
+def test_scd2_null_shift_detected_as_change(spark):
+    """(NULL,'x') → ('x',NULL) is a real change and NULL vs '' is a real
+    change — per-column eqNullSafe must catch both (regression: a single
+    concat_ws comparison skipped nulls and conflated them)."""
+    eot = "9999-12-31 00:00:00"
+    dim = (
+        spark.createDataFrame(
+            [
+                (1, None, "x", "2020-01-01 00:00:00", eot, True),
+                (2, None, "y", "2020-01-01 00:00:00", eot, True),
+            ],
+            "k int, a string, b string, valid_from string, valid_to string,"
+            " is_current boolean",
+        )
+        .withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+        .withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+    )
+    snapshot = spark.createDataFrame(
+        [(1, "x", None),   # null shifted across columns
+         (2, "", "y")],    # NULL vs '' on column a
+        "k int, a string, b string",
+    )
+    out = scd2_apply(dim, snapshot, "k", ["a", "b"], "2021-06-01 00:00:00")
+    cur = {r["k"]: r for r in out.filter(F.col("is_current")).collect()}
+    assert cur[1]["a"] == "x" and cur[1]["b"] is None
+    assert str(cur[1]["valid_from"]).startswith("2021-06-01")
+    assert cur[2]["a"] == "" and str(cur[2]["valid_from"]).startswith("2021-06-01")
+    # both old versions closed
+    assert out.filter(~F.col("is_current")).count() == 2
 
 
 def test_scd2_idempotent_on_same_snapshot(spark):

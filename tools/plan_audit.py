@@ -3,6 +3,19 @@ greps for the scale-critical properties (pushed filters, pruned read schema,
 broadcast joins, whole-stage codegen coverage). Run after operator changes —
 a correct-but-wrong-shaped plan is a 100 TB bug that sf0.01 hides.
 
+Two phases:
+
+1. **Default config** (AQE on, normal broadcast threshold): positive needles
+   per query — the plan the engine actually runs locally.
+2. **Hint audit** (autoBroadcastJoinThreshold=-1, AQE off): with auto-sizing
+   disabled, the ONLY joins that broadcast are the explicitly hinted ones, so
+   this phase proves no fact-sized table (orders/customer, multi-TB in the
+   100 TB regime) is force-broadcast by an ``F.broadcast`` pin. A broadcast
+   subtree scanning orders/customer parquet is allowed only when it contains
+   a HashAggregate (i.e. the broadcast side is an aggregate reduced to dim
+   cardinality, not the raw fact). Also proves the bucketed fact-fact join
+   plans with zero Exchange on the join key.
+
 Usage: python tools/plan_audit.py [query ...]
 """
 
@@ -26,7 +39,7 @@ CHECKS = {
     "tpch_q5_local_supplier_volume": ["BroadcastHashJoin"],
     "window_latest_per_group": ["Window"],
     "project_rename_drop": ["ReadSchema"],
-    # new TPC-H shapes: dims must broadcast; date filters must reach parquet
+    # TPC-H shapes: dims must broadcast; date filters must reach parquet
     "tpch_q7_nation_volume": ["BroadcastHashJoin"],
     "tpch_q8_market_share": ["BroadcastHashJoin"],
     "tpch_q9_product_profit": ["BroadcastHashJoin"],
@@ -53,16 +66,86 @@ CHECKS = {
     "text_repetition_metrics": ["ReadSchema"],
 }
 
+# Phase-2 negative audit: queries joining fact tables. With broadcast
+# auto-sizing off, any BroadcastExchange here comes from an explicit hint.
+FACT_TABLES = ("orders.parquet", "customer.parquet", "lineitem.parquet")
+HINT_AUDIT = [
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales",
+    "join_bucketed_fact_fact",
+]
+
+
+def _plan_str(spark, df) -> str:
+    return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _broadcast_subtrees(df) -> list[str]:
+    """Stringified subtree under every BroadcastExchange in the physical plan
+    (AQE must be off so the static plan is the executed shape)."""
+    out: list[str] = []
+
+    def walk(node):
+        if node.nodeName() == "BroadcastExchange":
+            out.append(node.toString())
+        kids = node.children()
+        for i in range(kids.length()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def _audit_hints(spark, failures: list) -> None:
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in HINT_AUDIT:
+            df = QUERIES[name](spark, SF_DIR)
+            bad = [
+                sub
+                for sub in _broadcast_subtrees(df)
+                if any(t in sub for t in FACT_TABLES) and "HashAggregate" not in sub
+            ]
+            if bad:
+                failures.append((name, "fact-table under BroadcastExchange"))
+                print(f"!! {name}: raw fact scan force-broadcast:\n{bad[0][:1500]}")
+            else:
+                print(f"[hint-audit ok] {name}")
+        # Bucketed layout: the fact join itself must be exchange-free —
+        # the only allowed shuffle is the final group-by aggregate.
+        plan = _plan_str(spark, QUERIES["join_bucketed_fact_fact"](spark, SF_DIR))
+        if "SortMergeJoin" not in plan:
+            failures.append(("join_bucketed_fact_fact", "SortMergeJoin"))
+        if "hashpartitioning(l_orderkey" in plan:
+            failures.append(
+                ("join_bucketed_fact_fact", "NO Exchange on l_orderkey (bucketed)")
+            )
+        else:
+            print("[hint-audit ok] join_bucketed_fact_fact: zero Exchange on join key")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
 
 def main() -> None:
     names = sys.argv[1:] or list(CHECKS)
     spark = get_spark("plan_audit")
-    failures = []
+    failures: list = []
     for name in names:
         df = QUERIES[name](spark, SF_DIR)
-        plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = _plan_str(spark, df)
         print(f"\n===== {name} =====")
         print(plan[:4000])
         for needle in CHECKS.get(name, []):
@@ -74,6 +157,9 @@ def main() -> None:
         ids = set(re.findall(r"codegen id : (\d+)", plan))
         if ids:
             print(f"[codegen spans: {len(ids)}]")
+    if not sys.argv[1:]:
+        print("\n===== hint audit (broadcast threshold off) =====")
+        _audit_hints(spark, failures)
     if failures:
         print("\nAUDIT FAILURES:", failures)
         sys.exit(1)
