@@ -165,19 +165,55 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stub")  # Pandas-UDF plumbing → rows-only
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N5 — the decode/feature-extract stage as mapInPandas over binary
-    payloads. The decode itself is a deterministic fake (media libs absent,
-    clearly marked in sources/multimodal.py); the Spark plumbing — schema,
-    Arrow batching, partition mapping — is real and tested."""
-    from .sources.multimodal import decode_features
+@query("multimodal_decode")  # binary image decode → rows-only (no SQL codec)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 — REAL image decode over a binary payload column: each document is
+    rendered as a deterministic 24-bit BMP (dimensions and pixels derived
+    from doc_id and text bytes), then decoded back by the pure-Python BMP
+    codec in ``sources/multimodal.py`` — content-derived width/height/channel
+    means, not length heuristics. Both the render and the decode run as
+    Arrow-batched ``mapInPandas``: payload bytes are created and consumed
+    executor-side, never on the driver — the 100 TB shape for media columns.
+    Round-trip exactness (known pixels → known stats) is pinned in
+    tests/test_multimodal.py; compressed codecs (JPEG/PNG) remain an explicit
+    ``NotImplementedError`` slot."""
+    from collections.abc import Iterator
 
-    d = load(spark, "documents", sf_dir)
-    with_blob = d.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    import pandas as pd
+
+    from .session import ensure_package_shipped
+    from .sources.multimodal import decode_features, encode_bmp
+
+    ensure_package_shipped(spark)
+    d = load(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                w, h = (doc_id % 6) + 2, (doc_id % 4) + 2
+
+                def pix(x, y, data=data, w=w):
+                    i = (y * w + x) * 3
+                    return (
+                        data[i % len(data)] if data else 0,
+                        data[(i + 1) % len(data)] if data else 0,
+                        data[(i + 2) % len(data)] if data else 0,
+                    )
+
+                payloads.append(bytearray(encode_bmp(int(w), int(h), pix)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = d.mapInPandas(_render, schema="doc_id bigint, payload binary")
+    out = decode_features(blobs)
+    return out.select(
+        "doc_id", "n_bytes", "format", "width", "height", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("feat_mean", 6).alias("feat_mean"),
     )
-    return decode_features(with_blob)
 
 
 @query("similarity_lsh_ann_adaptive")  # hash-bucketed ANN → rows-only

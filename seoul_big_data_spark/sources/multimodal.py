@@ -6,15 +6,18 @@ batched ``mapInPandas`` — per-partition, vectorized, no driver involvement —
 which is the correct 100 TB shape: decode cost scales with executors, and the
 payload bytes never leave the executor that scanned them.
 
-The actual media decoding is STUBBED: this container has no image/audio libs
-(PIL/cv2/torchaudio). ``_decode_payload`` raises ``NotImplementedError`` for
-real media and falls back to a deterministic fake for payloads tagged
-``fake/*`` — so the Spark-side plumbing (schema, batching, UDF signature) is
-real and fully tested while the codec slot stays explicit.
+Decoding is REAL for the two uncompressed raster formats a pure-Python
+decoder can handle exactly — BMP (24-bit BI_RGB) and PPM (P6 binary / P3
+ascii) — producing true content-derived width/height/channel statistics.
+Compressed formats (JPEG/PNG/MP3/...) raise ``NotImplementedError`` at the
+clearly-marked codec slot (plug PIL/cv2/ffmpeg there when the environment
+has them); payloads tagged ``fake/*`` fall back to a deterministic fake so
+plumbing tests don't depend on any codec.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -22,37 +25,162 @@ from pyspark.sql import DataFrame
 
 DECODE_SCHEMA = (
     "doc_id bigint, n_bytes int, format string, width int, height int, "
+    "channels int, mean_r double, mean_g double, mean_b double, "
     "feat_mean double"
 )
 
+_COLS = [
+    "doc_id", "n_bytes", "format", "width", "height", "channels",
+    "mean_r", "mean_g", "mean_b", "feat_mean",
+]
 
-def _decode_payload(payload: bytes, fmt: str = "fake/text") -> dict:
-    """Decode one payload. REAL CODECS NOT AVAILABLE IN THIS CONTAINER.
 
-    For ``fake/*`` formats, produces deterministic pseudo-features from the
-    raw bytes (so tests exercise the full path). Any real media format raises
-    NotImplementedError — the integration point for PIL/ffmpeg when present.
-    """
-    if not fmt.startswith("fake/"):
+def _decode_bmp(payload: bytes) -> dict:
+    """Windows BMP, uncompressed 24-bit BI_RGB (the self-describing subset a
+    dependency-free decoder can handle exactly). Header layout per the public
+    BITMAPFILEHEADER/BITMAPINFOHEADER spec: pixel-array offset at byte 10,
+    width/height at 18/22, bit depth at 28, compression at 30. Rows are
+    4-byte padded and stored bottom-up (positive height), samples in BGR
+    order."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            f"media codec for {fmt!r} not available in this environment; "
-            "plug PIL/cv2/ffmpeg here"
+            f"BMP variant (bpp={bpp}, compression={compression}) needs a real "
+            "codec; plug PIL here"
         )
-    n = len(payload)
-    # Deterministic fake: "dimensions" from byte length, "feature" = mean byte.
+    n_rows = abs(height)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    sums = [0, 0, 0]  # B, G, R accumulation order as stored
+    for r in range(n_rows):
+        row = payload[data_offset + r * stride:data_offset + r * stride + row_bytes]
+        if len(row) < row_bytes:
+            raise ValueError("truncated BMP pixel array")
+        for c in range(3):
+            sums[c] += sum(row[c::3])
+    n_px = width * n_rows
     return {
-        "n_bytes": n,
-        "format": fmt,
-        "width": (n % 640) + 1,
-        "height": (n % 480) + 1,
-        "feat_mean": (sum(payload) / n) if n else 0.0,
+        "format": "bmp",
+        "width": width,
+        "height": n_rows,
+        "channels": 3,
+        "mean_r": sums[2] / n_px,
+        "mean_g": sums[1] / n_px,
+        "mean_b": sums[0] / n_px,
+        "feat_mean": sum(sums) / (3 * n_px),
     }
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Netpbm PPM: ``P6`` (binary) or ``P3`` (ascii) — magic, whitespace-
+    separated width/height/maxval with ``#`` comments, then RGB triplets."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    # tokenize the header (comments run to end of line)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM needs a real codec")
+    if magic == b"P6":
+        pos += 1  # single whitespace byte after maxval
+        px = payload[pos:pos + width * height * 3]
+        if len(px) < width * height * 3:
+            raise ValueError("truncated PPM pixel data")
+        samples = list(px)
+    else:
+        samples = [int(t) for t in payload[pos:].split()]
+        if len(samples) < width * height * 3:
+            raise ValueError("truncated PPM pixel data")
+        samples = samples[:width * height * 3]
+    n_px = width * height
+    sums = [sum(samples[c::3]) for c in range(3)]  # R, G, B order
+    return {
+        "format": "ppm",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "mean_r": sums[0] / n_px,
+        "mean_g": sums[1] / n_px,
+        "mean_b": sums[2] / n_px,
+        "feat_mean": sum(sums) / (3 * n_px),
+    }
+
+
+def _decode_payload(payload: bytes, fmt: str | None = None) -> dict:
+    """Decode one payload: real BMP/PPM decode, deterministic fake for
+    ``fake/*`` tags, NotImplementedError for formats needing a real codec
+    (the PIL/cv2/ffmpeg integration slot)."""
+    out = {"n_bytes": len(payload)}
+    if payload[:2] == b"BM":
+        out.update(_decode_bmp(payload))
+        return out
+    if payload[:2] in (b"P6", b"P3"):
+        out.update(_decode_ppm(payload))
+        return out
+    if fmt is None or fmt.startswith("fake/"):
+        # Deterministic fake: "dimensions" from byte length, "feature" = mean
+        # byte — keeps plumbing tests codec-independent.
+        n = len(payload)
+        out.update(
+            {
+                "format": fmt or "fake/opaque",
+                "width": (n % 640) + 1,
+                "height": (n % 480) + 1,
+                "channels": 1,
+                "mean_r": None,
+                "mean_g": None,
+                "mean_b": None,
+                "feat_mean": (sum(payload) / n) if n else 0.0,
+            }
+        )
+        return out
+    raise NotImplementedError(
+        f"media codec for {fmt!r} not available in this environment; "
+        "plug PIL/cv2/ffmpeg here"
+    )
+
+
+def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (test-vector generator — the inverse
+    of ``_decode_bmp``). ``pixel_fn(x, y) -> (r, g, b)`` with y=0 at the top;
+    rows are written bottom-up with 4-byte padding per the format."""
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            body += bytes((b, g, r))
+        body += b"\x00" * (stride - row_bytes)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )  # infoheader: size, w, h, planes, bpp, compression, image size,
+    #    x/y pixels-per-meter, palette used/important
+    return header + bytes(body)
 
 
 def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas decode stage: (doc_id, payload binary) → typed metadata +
-    features. Arrow moves each partition's batch into pandas once; the loop
-    below is per-batch vectorizable when a real codec lands."""
+    content statistics. Arrow moves each partition's batch into pandas once;
+    decode runs executor-side only."""
 
     from ..session import ensure_package_shipped
 
@@ -64,16 +192,6 @@ def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 {"doc_id": doc_id, **_decode_payload(bytes(payload))}
                 for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col])
             ]
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "n_bytes",
-                    "format",
-                    "width",
-                    "height",
-                    "feat_mean",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=_COLS)
 
     return df.mapInPandas(_decode, schema=DECODE_SCHEMA)

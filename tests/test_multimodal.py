@@ -1,19 +1,82 @@
-"""N5 multimodal plumbing — mapInPandas decode stage with stubbed codec."""
+"""N5 multimodal plumbing — mapInPandas decode stage with a REAL pure-Python
+BMP/PPM decoder (content-derived width/height/channel stats) and an explicit
+codec slot for compressed formats."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from seoul_big_data_spark.sources.multimodal import _decode_payload, decode_features
+from seoul_big_data_spark.sources.multimodal import (
+    _decode_payload,
+    decode_features,
+    encode_bmp,
+)
 from seoul_big_data_spark.sources.tables import load
+
+COLS = [
+    "doc_id", "n_bytes", "format", "width", "height", "channels",
+    "mean_r", "mean_g", "mean_b", "feat_mean",
+]
+
+
+def test_bmp_decode_known_pixels():
+    # 3x2 image, width 3 → row stride padded 9→12: exercises the padding path
+    px = {
+        (0, 0): (255, 0, 0), (1, 0): (0, 255, 0), (2, 0): (0, 0, 255),
+        (0, 1): (10, 20, 30), (1, 1): (40, 50, 60), (2, 1): (70, 80, 90),
+    }
+    payload = encode_bmp(3, 2, lambda x, y: px[(x, y)])
+    got = _decode_payload(payload)
+    assert (got["format"], got["width"], got["height"], got["channels"]) == (
+        "bmp", 3, 2, 3
+    )
+    assert got["mean_r"] == pytest.approx((255 + 0 + 0 + 10 + 40 + 70) / 6)
+    assert got["mean_g"] == pytest.approx((0 + 255 + 0 + 20 + 50 + 80) / 6)
+    assert got["mean_b"] == pytest.approx((0 + 0 + 255 + 30 + 60 + 90) / 6)
+    assert got["feat_mean"] == pytest.approx(
+        sum(v for rgb in px.values() for v in rgb) / 18
+    )
+    assert got["n_bytes"] == len(payload) == 54 + 2 * 12
+
+
+def test_ppm_p6_and_p3_decode_agree():
+    # 2x2 with a header comment; P6 binary and P3 ascii must decode the same
+    pix = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (250, 128, 0)]
+    body = b"".join(bytes(p) for p in pix)
+    p6 = b"P6\n# test comment\n2 2\n255\n" + body
+    p3 = ("P3\n# test comment\n2 2\n255\n" + " ".join(
+        str(v) for p in pix for v in p
+    )).encode()
+    g6, g3 = _decode_payload(p6), _decode_payload(p3)
+    for got in (g6, g3):
+        assert (got["format"], got["width"], got["height"]) == ("ppm", 2, 2)
+        assert got["mean_r"] == pytest.approx((1 + 4 + 7 + 250) / 4)
+        assert got["mean_g"] == pytest.approx((2 + 5 + 8 + 128) / 4)
+        assert got["mean_b"] == pytest.approx((3 + 6 + 9 + 0) / 4)
+    assert g6["feat_mean"] == pytest.approx(g3["feat_mean"])
+
+
+def test_decode_features_real_images_distributed(spark):
+    """End-to-end: binary payload column → mapInPandas decode → exact stats.
+    Mixed formats in one batch (BMP + PPM + fake) exercise the dispatch."""
+    bmp = encode_bmp(4, 3, lambda x, y: (x * 10, y * 20, (x + y) * 5))
+    ppm = b"P6\n2 1\n255\n" + bytes((100, 150, 200, 50, 60, 70))
+    rows = [(1, bytearray(bmp)), (2, bytearray(ppm)), (3, bytearray(b"opaque-bytes"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_features(df.repartition(3)).collect()}
+    assert out[1]["format"] == "bmp" and (out[1]["width"], out[1]["height"]) == (4, 3)
+    assert out[1]["mean_r"] == pytest.approx(sum(x * 10 for x in range(4)) * 3 / 12)
+    assert out[2]["format"] == "ppm" and out[2]["mean_b"] == pytest.approx(135.0)
+    assert out[3]["format"] == "fake/opaque" and out[3]["mean_r"] is None
+    assert out[3]["feat_mean"] == pytest.approx(sum(b"opaque-bytes") / 12)
 
 
 def test_decode_features_schema_and_determinism(spark, sf_dir):
     d = load(spark, "documents", sf_dir).limit(50)
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     out = decode_features(blobs)
-    assert out.columns == ["doc_id", "n_bytes", "format", "width", "height", "feat_mean"]
+    assert out.columns == COLS
     rows = {r["doc_id"]: r for r in out.collect()}
     assert len(rows) == 50
     # n_bytes must equal the utf-8 length computed natively
@@ -27,6 +90,9 @@ def test_decode_features_schema_and_determinism(spark, sf_dir):
         assert 0.0 <= r["feat_mean"] <= 255.0
 
 
-def test_real_codecs_explicitly_stubbed():
+def test_compressed_formats_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         _decode_payload(b"\x89PNG...", fmt="image/png")
+    with pytest.raises(NotImplementedError):
+        # 16-bit PPM is beyond the pure-Python decoder
+        _decode_payload(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
