@@ -7,9 +7,11 @@ column pruning reach the remote database automatically, and
 ``partitionColumn`` turns one remote table into N parallel range scans —
 the scalable replacement for the reference's single-cursor ``fetchall()``.
 
-No database (or JDBC driver jar) exists in this container, so this module is
-exercised structurally (option construction) rather than against a live DB;
-every option maps 1:1 to the public Spark JDBC data source options.
+Exercised end-to-end against embedded Apache Derby (ships inside the Spark
+distribution — zero-daemon): tests/test_jdbc.py round-trips a catalog table
+through ``write.jdbc``/``read.jdbc``, proves predicate pushdown reaches the
+remote query, and splits a read into parallel range scans. Every option maps
+1:1 to the public Spark JDBC data source options.
 """
 
 from __future__ import annotations
