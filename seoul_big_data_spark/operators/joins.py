@@ -33,9 +33,48 @@ def range_join(
 ) -> DataFrame:
     """Range (band) join on half-open intervals [lo, hi): fact rows matched
     to the dim interval containing ``value``. With a small dim this is a
-    broadcast nested-loop — fine; with a large dim, pre-bucket both sides on
-    floor(value/width) first so the join becomes an equi-join on bucket."""
+    broadcast nested-loop — fine; with a large dim use ``banded_range_join``
+    (bucket equi-join, no nested loop)."""
     return fact.join(F.broadcast(dim), (value >= lo) & (value < hi), "inner")
+
+
+def banded_range_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value: Column,
+    lo: Column,
+    hi: Column,
+    band_width: float,
+    vmin: float,
+    vmax: float,
+) -> DataFrame:
+    """Scalable range join: bin the point side by ``floor(value/band_width)``
+    and replicate each [lo, hi) interval across the bins it overlaps, turning
+    the non-equi join into a hash equi-join on the bin plus a residual
+    predicate — the standard binned-range-join technique; no broadcast, no
+    nested loop, so BOTH sides may be fact-sized.
+
+    Each fact value lands in exactly one bin and an interval is replicated to
+    that bin at most once, so matching pairs appear exactly once (no dedup
+    pass). ``vmin``/``vmax`` clamp interval replication to the observed value
+    domain so open-ended intervals (hi = +inf sentinels) replicate to a
+    bounded bin range rather than exploding; values outside the clamp cannot
+    exist, so clamping never drops a match. Replication factor per interval
+    is O(interval_width / band_width) — pick band_width near the typical
+    interval width. One shuffle per side on the bin key; skewed bins go
+    through AQE skew-join like any other equi-join.
+    """
+    w = float(band_width)
+    b_fact = fact.withColumn("_band", F.floor(value / w).cast("long"))
+    first = F.floor(F.greatest(lo, F.lit(vmin)) / w).cast("long")
+    # last bin containing values < hi: ceil(hi/w) - 1 (exact on boundaries —
+    # [400,500) with w=100 ends at bin 4, [400,550) at bin 5)
+    last = (F.ceil(F.least(hi, F.lit(vmax + w)) / w) - 1).cast("long")
+    b_iv = intervals.filter(last >= first).withColumn(
+        "_band", F.explode(F.sequence(first, last))
+    )
+    joined = b_fact.join(b_iv, "_band").filter((value >= lo) & (value < hi))
+    return joined.drop("_band")
 
 
 def asof_join(

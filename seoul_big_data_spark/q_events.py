@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .operators.joins import asof_join, range_join
+from .operators.joins import asof_join, banded_range_join, range_join
 from .registry import query
 from .sources.tables import load
 from .streaming.batch_windows import hourly_rollup, session_stats
@@ -178,6 +178,40 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_name string, lo double, hi double",
     )
     joined = range_join(e, bands, F.col("value"), F.col("lo"), F.col("hi"))
+    return joined.groupBy("band_name").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "events_range_join_banded",
+    """
+    SELECT b.band_name, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 100.0), ('mid', 100.0, 500.0), ('high', 500.0, 1e18))
+         b(band_name, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_name
+    """,
+)
+def events_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via the binned equi-join (operators/joins.py::
+    banded_range_join) — same semantics as ``events_range_join`` but with NO
+    broadcast nested-loop, so it survives an interval table too large to
+    broadcast (tiered pricing tables, IP-range geo maps). The value domain
+    for clamping open-ended intervals comes from one min/max aggregate
+    (driver-side scalar, catalog-sized)."""
+    e = load(spark, "events", sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1e18)],
+        "band_name string, lo double, hi double",
+    )
+    vmin, vmax = e.agg(F.min("value"), F.max("value")).first()
+    joined = banded_range_join(
+        e, bands, F.col("value"), F.col("lo"), F.col("hi"),
+        band_width=100.0, vmin=vmin, vmax=vmax,
+    )
     return joined.groupBy("band_name").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),

@@ -52,3 +52,32 @@ def test_asof_stable_after_repartition(spark):
     )
     assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
     assert out2.count() == left.count()  # every left row preserved exactly once
+
+
+def test_banded_range_join_matches_nested_loop(spark):
+    """The binned equi-join must produce exactly the broadcast-nested-loop
+    result — including boundary values (half-open intervals), intervals
+    spanning many bins, open-ended sentinels, and empty intervals."""
+    from seoul_big_data_spark.operators.joins import banded_range_join, range_join
+
+    vals = [0.0, 99.999, 100.0, 100.001, 250.0, 499.9, 500.0, 1234.5, 7.25]
+    fact = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    iv = spark.createDataFrame(
+        [
+            ("low", 0.0, 100.0),
+            ("mid", 100.0, 500.0),
+            ("wide", 50.0, 1300.0),       # spans 13 bins, overlaps others
+            ("open", 500.0, 1e18),        # open-ended sentinel
+            ("empty", 900.0, 900.0),      # zero-width: matches nothing
+        ],
+        "name string, lo double, hi double",
+    )
+    expect = range_join(fact, iv, F.col("v"), F.col("lo"), F.col("hi"))
+    got = banded_range_join(
+        fact, iv, F.col("v"), F.col("lo"), F.col("hi"),
+        band_width=100.0, vmin=min(vals), vmax=max(vals),
+    )
+    key = lambda r: (r["i"], r["name"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, expect.collect()))
+    # exactly-once: no pair duplicated by the replication
+    assert got.count() == got.select("i", "name").distinct().count()

@@ -74,3 +74,42 @@ def test_format_timestamp(spark):
         scalar.format_timestamp(F.lit("2024-01-02 03:04:05").cast("timestamp")),
     )
     assert got == "2024-01-02 03:04:05"
+
+
+def test_percentile_interpolation_convention_adversarial(spark):
+    """Pin the Spark `percentile` ↔ DuckDB `quantile_cont` equivalence (the
+    1 + p·(n-1) linear-interpolation rank) on adversarial groups: ties,
+    single element, even/odd cardinality, negative values. If either engine
+    changed convention, agg_percentile_exact/agg_stats would silently drift —
+    this test pins the contract locally.
+    """
+    import duckdb
+
+    groups = {
+        "odd": [1.0, 2.0, 10.0],
+        "even": [1.0, 2.0, 3.0, 100.0],
+        "single": [42.0],
+        "ties": [5.0, 5.0, 5.0, 7.0, 7.0],
+        "pair": [-3.0, 9.0],
+        "negatives": [-10.0, -5.0, -1.0, 0.0],
+    }
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    agg = df.groupBy("g").agg(
+        *[F.expr(f"percentile(v, {p})").alias(f"p{i}") for i, p in enumerate(ps)]
+    )
+    got = {r["g"]: [r[f"p{i}"] for i in range(len(ps))] for r in agg.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sel = ", ".join(f"quantile_cont(v, {p})" for p in ps)
+    want = {g: list(vals) for g, *vals in con.execute(
+        f"SELECT g, {sel} FROM t GROUP BY g"
+    ).fetchall()}
+
+    assert set(got) == set(want)
+    for g in got:
+        for s_val, d_val in zip(got[g], want[g]):
+            assert s_val == pytest.approx(d_val, abs=1e-9), (g, got[g], want[g])
