@@ -434,3 +434,46 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "events_rollup_two_level",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) pattern: hourly partial
+    aggregates re-aggregated to daily by MERGING partials — count=Σcounts,
+    sum=Σsums, min=min(mins), max=max(maxs). The oracle computes the daily
+    rollup directly from raw events, proving the merge is lossless — the
+    property that lets a 100 TB pipeline maintain cheap incremental hourly
+    partials and serve any coarser window without rescanning raw data.
+    Value sums are exact decimals so two-level and direct summation agree
+    bit-for-bit regardless of merge order."""
+    e = load(spark, "events", sf_dir)
+    hourly = (
+        e.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+            F.min("value").alias("_min"),
+            F.max("value").alias("_max"),
+        )
+    )
+    return (
+        hourly.withColumn("day", F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.sum("_sum").cast("double").alias("total_value"),
+            F.round(F.min("_min"), 6).alias("min_value"),
+            F.round(F.max("_max"), 6).alias("max_value"),
+        )
+    )

@@ -255,3 +255,38 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
     centroids = kmeans_fit(emb, k=8, iters=3)
     return semantic_dedup_pairs(emb, centroids, threshold=0.25)
+
+
+def _rp_oracle_sql() -> str:
+    """Oracle for embedding_random_projection: the same fixed plane matrix
+    rendered as DuckDB list literals (full-precision repr round-trips)."""
+    planes = _fixed_planes(n_planes=8, dim=64)
+    cols = ",\n           ".join(
+        "round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(v) for v in plane)}]), 6) AS rp_{i}"
+        for i, plane in enumerate(planes)
+    )
+    return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
+
+
+@query("embedding_random_projection", _rp_oracle_sql())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — random-projection dimensionality reduction (64 → 8 dims) with a
+    deterministic md5-seeded plane matrix: the Johnson–Lindenstrauss trick
+    that makes downstream clustering/ANN cheaper at 100 TB (8x fewer bytes
+    per vector through every shuffle). Pure Catalyst higher-order functions
+    (zip_with + aggregate, double accumulation) — compiles to codegen, rides
+    the scan, zero shuffles, and the projected table can be written once and
+    reused by every ANN/cluster pass. Cross-checked value-exactly against
+    DuckDB's list_dot_product over the identical literal matrix."""
+    emb = load(spark, "embeddings", sf_dir)
+    planes = _fixed_planes(n_planes=8, dim=64)
+    return emb.select(
+        "vec_id",
+        *[
+            F.round(
+                dot("embedding", F.array(*[F.lit(float(v)) for v in plane])), 6
+            ).alias(f"rp_{i}")
+            for i, plane in enumerate(planes)
+        ],
+    )

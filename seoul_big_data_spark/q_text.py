@@ -356,3 +356,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(
         d.select("doc_id"), edges, id_col="doc_id"
     ).select("doc_id", F.col("component").cast("long").alias("component"))
+
+
+@query(
+    "dedup_span_exact",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+7], ' ')
+                             FOR i IN range(1, greatest(len(t) - 7, 0) + 1, 8)])
+               AS span
+      FROM toks
+    )
+    SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+    FROM spans
+    GROUP BY span
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1/N2 at sub-document granularity — cross-document repeated 8-token
+    spans (the boilerplate/template detector a corpus pipeline runs before
+    training; sentence splitting degenerates on punctuation-free text, so
+    fixed-width non-overlapping token spans are the granularity): tokenize →
+    non-overlapping 8-token windows → one hash aggregate on the span.
+    At 100 TB this is the same explode → map-side-combine → single-shuffle
+    shape as the shingle pipeline — span count is n_tokens/8 per doc (vs
+    n_tokens for overlapping shingles), and the HAVING prunes the dominant
+    unique-span mass before any downstream join."""
+    d = load(spark, "documents", sf_dir)
+    toks = tx.tokens(F.lower(F.col("text")))
+    # sequence(1, stop, 8) throws on stop < 1 — short docs yield no spans
+    spans = F.when(
+        F.size(toks) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 7, F.lit(8)),
+            lambda i: F.array_join(F.slice(toks, i, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = d.select("doc_id", F.explode(spans).alias("span"))
+    return (
+        exploded.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_total"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
