@@ -783,10 +783,12 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: EXISTS + NOT EXISTS against the same fact — suppliers who
     are the SOLE returner in a multi-supplier finished order. The schema has
     no commit/receipt dates, so l_returnflag='R' stands in for 'kept the
-    order waiting'. Instead of two correlated-subquery rescans, both EXISTS
-    are decorrelated into one per-order aggregate (distinct supplier count,
-    distinct returning-supplier count) joined back — one extra shuffle on
-    o_orderkey replaces two."""
+    order waiting'. Both EXISTS decorrelate into ONE per-order aggregate:
+    because qualifying orders have exactly one distinct returning supplier,
+    that supplier's key and its R-lineitem count ride the same aggregation
+    (max/count over the R-filtered rows), so no second fact pass and no
+    semi-join back — a single shuffle on l_orderkey, then a broadcast
+    supplier lookup over order-cardinality rows."""
     o = (
         load(spark, "orders", sf_dir)
         .filter(F.col("o_orderstatus") == "F")
@@ -795,25 +797,19 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, "lineitem", sf_dir).join(
         o, F.col("l_orderkey") == F.col("o_orderkey")
     )
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
     per_order = l.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret"),
+        F.count_distinct(ret_supp).alias("n_ret"),
+        F.max(ret_supp).alias("r_supp"),
+        F.count(ret_supp).alias("n_r_items"),
     )
-    failed = l.filter(F.col("l_returnflag") == "R")
     s = load(spark, "supplier", sf_dir)
     return (
-        failed.join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1)).select(
-                "l_orderkey"
-            ),
-            "l_orderkey",
-            "left_semi",
-        )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
+        .join(F.broadcast(s), F.col("r_supp") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_r_items").cast("long").alias("numwait"))
     )
 
 
