@@ -425,3 +425,71 @@ def merge_upsert_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         s, source, "s_suppkey", delete_condition=F.col("_src_s_acctbal") < 0
     )
+
+
+@query(
+    "cdc_apply_latest",
+    """
+    WITH t AS (
+      SELECT p_partkey, p_name, round(p_retailprice, 2) AS price FROM part
+    ), changes AS (
+      SELECT p_partkey AS k, 'U' AS op, 10 AS seq, p_name AS name,
+             round(p_retailprice * 2, 2) AS price
+      FROM part WHERE p_partkey % 5 = 0
+      UNION ALL
+      SELECT p_partkey, 'D', 20, NULL, NULL FROM part WHERE p_partkey % 11 = 0
+      UNION ALL
+      SELECT p_partkey + 1000000, 'I', 5, 'new_' || p_name,
+             round(p_retailprice + 1, 2)
+      FROM part WHERE p_partkey % 13 = 0
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC)
+                  AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT coalesce(t.p_partkey, l.k) AS p_partkey,
+           CASE WHEN l.k IS NOT NULL THEN l.name ELSE t.p_name END AS p_name,
+           CASE WHEN l.k IS NOT NULL THEN l.price ELSE t.price END AS price
+    FROM t FULL JOIN latest l ON t.p_partkey = l.k
+    WHERE coalesce(l.op != 'D', TRUE)
+    """,
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed apply (sources/writers.py::cdc_apply): a deterministic
+    I/U/D feed built from the part table — every 5th part updated (price
+    doubled, seq 10), every 11th deleted (seq 20, so it beats a same-key
+    update), every 13th re-inserted under a shifted key (seq 5). Highest
+    sequence wins per key; the oracle replays the same feed with a window +
+    FULL JOIN. One shuffle for the latest-op window, one for the join —
+    both disappear under a bucketed-by-key layout at 100 TB."""
+    from .sources.writers import cdc_apply
+
+    t = load(spark, "part", sf_dir).select(
+        "p_partkey", "p_name", F.round("p_retailprice", 2).alias("price")
+    )
+    p = load(spark, "part", sf_dir)
+    upd = p.filter(F.col("p_partkey") % 5 == 0).select(
+        "p_partkey",
+        "p_name",
+        F.round(F.col("p_retailprice") * 2, 2).alias("price"),
+        F.lit("U").alias("op"),
+        F.lit(10).alias("seq"),
+    )
+    dels = p.filter(F.col("p_partkey") % 11 == 0).select(
+        "p_partkey",
+        F.lit(None).cast("string").alias("p_name"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit("D").alias("op"),
+        F.lit(20).alias("seq"),
+    )
+    ins = p.filter(F.col("p_partkey") % 13 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("p_partkey"),
+        F.concat(F.lit("new_"), F.col("p_name")).alias("p_name"),
+        F.round(F.col("p_retailprice") + 1, 2).alias("price"),
+        F.lit("I").alias("op"),
+        F.lit(5).alias("seq"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return cdc_apply(t, changes, "p_partkey", seq_col="seq", op_col="op")

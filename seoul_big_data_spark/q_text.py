@@ -407,3 +407,24 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "text_fingerprint_md5",
+    """
+    SELECT doc_id,
+           md5(array_to_string(
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != ''), ' ')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — cross-engine-portable document fingerprint: md5 of the
+    token-normalized text. The xxhash64 twin (`text_fingerprint`) is the
+    faster engine-internal form; this md5 form is the one to persist when
+    fingerprints must survive an engine migration or be compared against an
+    external system — both are pure column expressions riding the scan."""
+    d = load(spark, "documents", sf_dir)
+    norm = F.array_join(tx.tokens(F.lower(F.col("text"))), " ")
+    return d.select("doc_id", F.md5(norm).alias("fp"))

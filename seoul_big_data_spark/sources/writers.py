@@ -101,6 +101,51 @@ def merge_upsert(
     return joined.select(*out_cols)
 
 
+def cdc_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change feed (ops 'I'/'U'/'D' with a monotone sequence
+    column) to a snapshot: per key, the HIGHEST-sequence op wins — 'D'
+    removes the row, 'I'/'U' upsert the payload, untouched keys pass
+    through.
+
+    Shape: one window (latest op per key — shuffle on key) + one full-outer
+    join on key. At 100 TB bucket both sides on the key so neither the
+    window nor the join exchanges; this is exactly how Delta/Hudi compact a
+    change stream into a snapshot, expressed over immutable parquet. The
+    sequence column must totally order ops per key (ties broken by op
+    descending for determinism — 'U' beats 'D' beats 'I' on equal seq)."""
+    from pyspark.sql import Window
+
+    cols = target.columns
+    payload = [c for c in cols if c != key]
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(op_col))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(key).alias("_c_key"),
+            F.col(op_col).alias("_c_op"),
+            *[F.col(c).alias(f"_c_{c}") for c in payload],
+        )
+    )
+    j = target.join(latest, target[key] == latest["_c_key"], "full_outer")
+    kept = j.filter(F.coalesce(F.col("_c_op") != "D", F.lit(True)))
+    return kept.select(
+        F.coalesce(F.col(key), F.col("_c_key")).alias(key),
+        *[
+            F.when(F.col("_c_key").isNotNull(), F.col(f"_c_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload
+        ],
+    )
+
+
 def scd2_apply(
     dim: DataFrame,
     snapshot: DataFrame,

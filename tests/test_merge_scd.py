@@ -161,3 +161,35 @@ def test_scd2_idempotent_on_same_snapshot(spark):
     assert twice.count() == 1
     r = twice.first()
     assert r["is_current"] and str(r["valid_from"]).startswith("2020-01-01")
+
+
+def test_cdc_apply_latest_op_wins(spark):
+    from seoul_big_data_spark.sources.writers import cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", "U", 1), (1, "a2", "U", 2),   # latest U wins
+            (2, None, "D", 1), (2, "b2", "U", 2),   # U after D → row survives
+            (3, None, "D", 5),                        # plain delete
+            (9, "i9", "I", 1),                        # insert new key
+            (10, None, "D", 1),                       # delete of absent key: no-op
+        ],
+        "k int, v string, op string, seq int",
+    )
+    out = {r["k"]: r["v"] for r in cdc_apply(target, changes, "k").collect()}
+    assert out == {1: "a2", 2: "b2", 9: "i9"}
+
+
+def test_cdc_apply_equal_seq_tiebreak_deterministic(spark):
+    from seoul_big_data_spark.sources.writers import cdc_apply
+
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    changes = spark.createDataFrame(
+        [(1, None, "D", 7), (1, "u", "U", 7)], "k int, v string, op string, seq int"
+    )
+    # documented tie-break: op descending → 'U' beats 'D' on equal seq
+    out = cdc_apply(target, changes, "k").collect()
+    assert len(out) == 1 and out[0]["v"] == "u"
