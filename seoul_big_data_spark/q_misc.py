@@ -492,3 +492,68 @@ def csv_roundtrip_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ID").alias("first_id"),
         F.sum(F.col("COL_002")).cast("double").alias("qty_sum"),
     )
+
+
+@query(
+    "timeseries_locf_interpolate",
+    """
+    WITH w AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, value FROM events
+      WHERE user_id < 50 AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+                         AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+    ), hourly AS (
+      SELECT user_id, hr, round(avg(value), 6) AS v FROM w GROUP BY user_id, hr
+    ), bounds AS (
+      SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ), joined AS (
+      SELECT g.user_id, g.hr, h.v FROM grid g
+      LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+    )
+    SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hr ROWS UNBOUNDED PRECEDING
+           ) AS v_locf,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+    FROM joined
+    """,
+)
+def timeseries_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LOCF interpolation: per-user hourly grid densified with
+    ``sequence``+explode, gaps filled by last-observation-carried-forward
+    (``last(..., ignorenulls=True)`` over an unbounded-preceding frame) with
+    a ``was_gap`` marker. The grid explode is per-user-bounded (no global
+    calendar cross join) and the fill is one window over the user partition —
+    one shuffle total; the standard sensor/metrics densification shape."""
+    e = load(spark, "events", sf_dir).filter(
+        (F.col("user_id") < 50)
+        & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    )
+    hourly = (
+        e.withColumn("hr", F.date_trunc("hour", "ts"))
+        .groupBy("user_id", "hr")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
+    )

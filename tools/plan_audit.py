@@ -64,6 +64,17 @@ CHECKS = {
     "similarity_ivf_ann": ["BroadcastHashJoin"],
     "dedup_semantic_ivf": ["BroadcastHashJoin"],
     "text_repetition_metrics": ["ReadSchema"],
+    # round-2 additions: banded range join must be a hash equi-join (no
+    # BroadcastNestedLoopJoin); span dedup is one hash aggregate; CDC apply
+    # is window + one join
+    "events_range_join_banded": ["HashAggregate"],
+    "dedup_span_exact": ["HashAggregate", "Generate"],
+    "cdc_apply_latest": ["Window", "SortMergeJoin"],
+}
+
+NEGATIVE_CHECKS = {
+    "events_range_join_banded": ["BroadcastNestedLoopJoin"],
+    "dedup_span_exact": ["BroadcastNestedLoopJoin"],
 }
 
 # Phase-2 negative audit: queries joining fact tables. With broadcast
@@ -152,6 +163,10 @@ def main() -> None:
             if needle not in plan:
                 failures.append((name, needle))
                 print(f"!! MISSING: {needle}")
+        for needle in NEGATIVE_CHECKS.get(name, []):
+            if needle in plan:
+                failures.append((name, f"FORBIDDEN {needle}"))
+                print(f"!! FORBIDDEN: {needle}")
         # Under AQE the un-executed plan carries no codegen annotations;
         # when present (non-AQE or executed final plans) report them.
         ids = set(re.findall(r"codegen id : (\d+)", plan))
