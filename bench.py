@@ -53,6 +53,22 @@ HEADLINE = [
     "corpus_prep_pipeline",
 ]
 
+# Round-2 operators, timed identically but reported under "extended" (NOT
+# part of "value"/"queries") so the headline series stays comparable across
+# rounds while new operators still get measured.
+EXTENDED = [
+    "events_range_join_banded",
+    "join_skew_salted",
+    "cdc_apply_latest",
+    "dedup_ngram_jaccard_skewsafe",
+    "embedding_random_projection",
+    "dedup_span_exact",
+    "events_rollup_two_level",
+    "timeseries_locf_interpolate",
+    "join_bucketed_fact_fact",
+    "tpch_q18_large_orders",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,11 +87,19 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        QUERIES[name](spark, sf_dir).count()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        extended[name] = round(time.perf_counter() - t0, 3)
+
     out = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
         "sf": sf,
     }
     prev = _load_prev_round()

@@ -419,14 +419,29 @@ def calendar_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("enrich_categories_stub")  # HTTP source → rows-only (no network here)
+@query(
+    "enrich_categories_stub",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS id,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'done'
+                ELSE 'Cat-Key' || CAST(n_nationkey AS VARCHAR)
+           END AS category_big,
+           CASE WHEN n_nationkey % 2 = 0 THEN NULL
+                ELSE 'Sub-Key' || CAST(n_nationkey AS VARCHAR)
+           END AS category_small
+    FROM nation
+    """,
+)
 def enrich_categories_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5/X17 + C7 — the category-enrichment pipeline end to end with a
     deterministic stub transport: pending-work filter → partition-parallel
     mapInPandas fetch+parse → merge_update write-back
     (pipelines/category_enrich.py; ref: data_seoul_1_category.py:57-85).
     The fetch/extract/merge logic is byte-identical to what a live transport
-    would run; only the socket is faked (container has no network)."""
+    would run; only the socket is faked (container has no network) — and
+    because the stub derives the page from the key, the whole pipeline
+    (URL build → fetch → HTML parse → whitespace strip → merge) is
+    oracle-checkable: the oracle states the expected end-to-end result."""
     from .pipelines.category_enrich import run as enrich_run
 
     n = load(spark, "nation", sf_dir)
@@ -454,13 +469,36 @@ def enrich_categories_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("csv_roundtrip_load")  # C4 — local CSV scan path → rows-only
+@query(
+    "csv_roundtrip_load",
+    """
+    WITH top1000 AS (
+      SELECT l_orderkey, l_quantity FROM (
+        SELECT l_orderkey, l_quantity,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rk
+        FROM lineitem
+      ) WHERE rk <= 1000
+    ), seq AS (
+      -- the CSV is written ordered on STRING-cast columns: lexicographic
+      SELECT l_quantity,
+             row_number() OVER (ORDER BY CAST(l_orderkey AS VARCHAR),
+                                         CAST(l_quantity AS VARCHAR)) AS id
+      FROM top1000
+    )
+    SELECT count(*) AS n_loaded, CAST(min(id) AS INTEGER) AS first_id,
+           CAST(sum(l_quantity) AS DOUBLE) AS qty_sum
+    FROM seq WHERE id > 100
+    """,
+)
 def csv_roundtrip_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/F5/F6/J3 — the full CSV ingest path on the driver surface: a
     deterministic CSV is materialized from lineitem, then loaded through
     sources/csv_ingest.py (all-string scan, header skip, row numbering,
     resume filter, catalog-schema bind + NUMBER/DATE coercion — the
-    reference's TMP_<id>.csv loop, data_seoul_2_csv_noopenapi.py:81-128)."""
+    reference's TMP_<id>.csv loop, data_seoul_2_csv_noopenapi.py:81-128).
+    Oracle-checkable because the aggregate is order-insensitive at ties:
+    rows tied on the CSV sort key share the same quantity, so the resume
+    boundary excludes the same values whichever tied row lands first."""
     import os
     import tempfile
 
