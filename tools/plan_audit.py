@@ -53,7 +53,10 @@ CHECKS = {
         "PushedFilters: [IsNotNull(l_shipdate)",
         "LeftSemi",
     ],
-    "tpch_q21_waiting_supplier": ["BroadcastHashJoin", "LeftSemi"],
+    # q21 is the single-pass rewrite: both EXISTS ride one per-order
+    # aggregate, so the plan must show a broadcast supplier lookup and NO
+    # semi-join / second fact pass (see single-scan assertion below).
+    "tpch_q21_waiting_supplier": ["BroadcastHashJoin"],
     # DQ layer: rule filters must push down; profiling is one aggregate
     "dq_accepted_values": ["PushedFilters:"],
     "sample_fraction_md5": ["Filter"],
@@ -70,11 +73,25 @@ CHECKS = {
     "events_range_join_banded": ["HashAggregate"],
     "dedup_span_exact": ["HashAggregate", "Generate"],
     "cdc_apply_latest": ["Window", "SortMergeJoin"],
+    # single-pass exact Jaccard: pairs + sizes both hang off one cached
+    # shingle aggregation (single corpus scan, asserted below)
+    "dedup_ngram_jaccard_skewsafe": ["HashAggregate", "InMemoryTableScan"],
 }
 
 NEGATIVE_CHECKS = {
     "events_range_join_banded": ["BroadcastNestedLoopJoin"],
     "dedup_span_exact": ["BroadcastNestedLoopJoin"],
+    # single-pass q21: a LeftSemi would mean the EXISTS decorrelation
+    # regressed to a second pass over lineitem
+    "tpch_q21_waiting_supplier": ["LeftSemi"],
+}
+
+# Queries whose design promise is "the named table is scanned exactly once"
+# (decorrelated-EXISTS / single-aggregation rewrites). More than one scan
+# substring in the formatted plan means the rewrite regressed.
+SINGLE_SCAN = {
+    "tpch_q21_waiting_supplier": "lineitem.parquet",
+    "dedup_ngram_jaccard_skewsafe": "documents.parquet",
 }
 
 # Phase-2 negative audit: queries joining fact tables. With broadcast
@@ -167,6 +184,19 @@ def main() -> None:
             if needle in plan:
                 failures.append((name, f"FORBIDDEN {needle}"))
                 print(f"!! FORBIDDEN: {needle}")
+        tbl = SINGLE_SCAN.get(name)
+        if tbl:
+            # one "Location: ...<table>" line per scan node in the formatted
+            # details section — more than one means a second pass crept in
+            n_scans = sum(
+                1 for line in plan.splitlines()
+                if "Location" in line and tbl in line
+            )
+            if n_scans > 1:
+                failures.append((name, f"{n_scans} scans of {tbl} (want 1)"))
+                print(f"!! MULTI-SCAN: {tbl} x{n_scans}")
+            else:
+                print(f"[single-scan ok] {tbl}")
         # Under AQE the un-executed plan carries no codegen annotations;
         # when present (non-AQE or executed final plans) report them.
         ids = set(re.findall(r"codegen id : (\d+)", plan))
