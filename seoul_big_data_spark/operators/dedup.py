@@ -143,12 +143,19 @@ def minhash_lsh_candidates(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", bits: int = 64, id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """N2 — SimHash fingerprint column ``simhash`` (bigint).
 
-    Per token: xxhash64; per bit: +1 if set else -1, summed over tokens; the
-    fingerprint sets bit i iff the sum is positive.
+    Per token: xxhash64 (or, with ``portable=True``, the first 15 hex chars
+    of md5 as a 60-bit int — md5 is engine-independent, so the fingerprint
+    survives an engine migration and is cross-checkable against any SQL
+    engine; use ``bits<=60`` with it); per bit: +1 if set else -1, summed
+    over tokens; the fingerprint sets bit i iff the sum is positive.
 
     Shape: explode tokens → one hash per token row → 64 conditional-sum
     aggregates (codegen'd hash agg with map-side partial sums, one shuffle on
@@ -156,14 +163,21 @@ def simhash(
     higher-order expressions over the token array — re-evaluates the
     tokenize+hash array per bit (no CSE) and measured ~50x slower at sf0.1.
     """
+    if portable and bits > 60:
+        raise ValueError("portable (md5-derived) simhash supports at most 60 bits")
     par = df.sparkSession.sparkContext.defaultParallelism
+    h = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+        if portable
+        else F.xxhash64("t")
+    )
     tok_rows = (
         df.repartition(par)
         .select(
             F.col(id_col).alias("_id"),
             F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
         )
-        .select("_id", F.xxhash64("t").alias("h"))
+        .select("_id", h.alias("h"))
     )
     sums = tok_rows.groupBy("_id").agg(
         *[

@@ -92,6 +92,108 @@ def agg_moments_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_skew_kurt_exact",
+    """
+    WITH p AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(9,2)) AS x1,
+             CAST(CAST(l_extendedprice AS DECIMAL(9,2))
+                  * CAST(l_extendedprice AS DECIMAL(9,2)) AS DECIMAL(19,4)) AS x2
+      FROM lineitem
+    ), p2 AS (
+      SELECT l_returnflag, x1, x2,
+             CAST(x2 * x1 AS DECIMAL(22,6)) AS x3
+      FROM p
+    ), p3 AS (
+      SELECT l_returnflag, x1, x2, x3,
+             CAST(x3 * x1 AS DECIMAL(32,8)) AS x4
+      FROM p2
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2,
+             CAST(sum(x3) AS DOUBLE) AS s3,
+             CAST(sum(x4) AS DOUBLE) AS s4
+      FROM p3 GROUP BY l_returnflag
+    ), m AS (
+      SELECT l_returnflag,
+             s1 / n AS m1, s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+      FROM s
+    ), c AS (
+      SELECT l_returnflag, m1, r2, r3, r4,
+             r2 - m1 * m1 AS m2,
+             r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+             r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                - 3.0 * m1 * m1 * m1 * m1 AS m4
+      FROM m
+    )
+    SELECT l_returnflag,
+           round(m3 / (sqrt(m2) * m2), 6) AS price_skew,
+           round(m4 / (m2 * m2) - 3.0, 6) AS price_kurt
+    FROM c
+    """,
+)
+def agg_skew_kurt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness / excess kurtosis from exact decimal power sums — the
+    cross-engine-deterministic twin of `agg_moments_builtin`'s
+    F.skewness/F.kurtosis (engine-native accumulators use different merge
+    formulas and drift at ~1e-4 on small groups).
+
+    Each power is computed in decimal with the precision/scale widened at
+    every multiply (x4 tops out at decimal(32,8); its sum fits decimal(38,8)
+    through ~10^13 rows per group), so the sums are exact integers-in-scale
+    on both engines; one shared IEEE formula — only +,-,*,/ and sqrt, no
+    pow, all of which are correctly-rounded and engine-independent — then
+    maps the sums to g1 = m3/m2^1.5 and excess g2 = m4/m2^2 - 3, matching
+    Spark's population-moment convention. Equality with the built-ins is
+    pinned in tests/test_stats_moments.py."""
+    li = load(spark, "lineitem", sf_dir)
+    x1 = F.col("l_extendedprice").cast("decimal(9,2)")
+    p = li.select(
+        "l_returnflag", x1.alias("x1"), (x1 * x1).cast("decimal(19,4)").alias("x2")
+    )
+    p2 = p.withColumn("x3", (F.col("x2") * F.col("x1")).cast("decimal(22,6)"))
+    p3 = p2.withColumn("x4", (F.col("x3") * F.col("x1")).cast("decimal(32,8)"))
+    s = p3.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("x3").cast("double").alias("s3"),
+        F.sum("x4").cast("double").alias("s4"),
+    )
+    m = s.select(
+        "l_returnflag",
+        (F.col("s1") / F.col("n")).alias("m1"),
+        (F.col("s2") / F.col("n")).alias("r2"),
+        (F.col("s3") / F.col("n")).alias("r3"),
+        (F.col("s4") / F.col("n")).alias("r4"),
+    )
+    m1, r2, r3, r4 = (F.col(c) for c in ("m1", "r2", "r3", "r4"))
+    c = m.select(
+        "l_returnflag",
+        m1,
+        r2,
+        r3,
+        r4,
+        (r2 - m1 * m1).alias("m2"),
+        (r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1).alias("m3"),
+        (
+            r4
+            - F.lit(4.0) * m1 * r3
+            + F.lit(6.0) * m1 * m1 * r2
+            - F.lit(3.0) * m1 * m1 * m1 * m1
+        ).alias("m4"),
+    )
+    m2, m3, m4 = (F.col(x) for x in ("m2", "m3", "m4"))
+    return c.select(
+        "l_returnflag",
+        F.round(m3 / (F.sqrt(m2) * m2), 6).alias("price_skew"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("price_kurt"),
+    )
+
+
+@query(
     "tpch_q6_forecast_revenue",
     """
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -252,6 +252,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_md5",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> x != '')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+    ), bitsums AS (
+      SELECT doc_id, i.i AS i,
+             sum(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) i
+      GROUP BY doc_id, i.i
+    ), fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bitsums GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(fp.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — cross-engine-portable SimHash: 60-bit fingerprints whose
+    per-token hash is the first 15 hex chars of md5 (engine-independent,
+    unlike xxhash64), so the same documents produce the same fingerprints on
+    any engine — the form to persist when near-dup state must survive an
+    engine migration. Same plan shape as the xxhash64 twin `dedup_simhash`:
+    explode tokens → 60 conditional-sum aggregates → pack bits."""
+    d = load(spark, "documents", sf_dir)
+    return dedup.simhash(d, bits=60, portable=True).select("doc_id", "simhash")
+
+
+@query(
     "corpus_prep_pipeline",
     f"""
     WITH scored AS (

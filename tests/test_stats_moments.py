@@ -1,0 +1,73 @@
+"""Pins for the exact-power-sum moment queries.
+
+`agg_skew_kurt_exact` recomputes skewness/kurtosis from exact decimal power
+sums with one shared IEEE formula; these tests pin that reformulation to
+Spark's native accumulators (F.skewness = population g1, F.kurtosis = excess
+g2), so the cross-engine-deterministic variant can never drift from the
+built-in semantics, and pin the portable md5 SimHash to its xxhash64 twin's
+structural properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seoul_big_data_spark.operators import dedup
+from seoul_big_data_spark.q_stats import agg_skew_kurt_exact
+from seoul_big_data_spark.sources.tables import load
+
+
+def test_exact_skew_kurt_matches_builtins(spark, sf_dir):
+    exact = {
+        r["l_returnflag"]: (r["price_skew"], r["price_kurt"])
+        for r in agg_skew_kurt_exact(spark, sf_dir).collect()
+    }
+    built = {
+        r["l_returnflag"]: (r["sk"], r["ku"])
+        for r in load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.skewness("l_extendedprice").alias("sk"),
+            F.kurtosis("l_extendedprice").alias("ku"),
+        )
+        .collect()
+    }
+    assert exact.keys() == built.keys()
+    for flag, (sk, ku) in exact.items():
+        bsk, bku = built[flag]
+        # built-ins accumulate in streaming single-pass form; the exact-sum
+        # reformulation agrees to well past the 6 rounded decimals
+        assert abs(sk - bsk) < 1e-6, (flag, sk, bsk)
+        assert abs(ku - bku) < 1e-6, (flag, ku, bku)
+
+
+def test_portable_simhash_structure(spark, sf_dir):
+    d = load(spark, "documents", sf_dir).limit(200)
+    fp = dedup.simhash(d, bits=60, portable=True).select("doc_id", "simhash")
+    rows = fp.collect()
+    assert len(rows) == d.count()
+    # 60-bit fingerprints: always non-negative, below 2^60
+    assert all(0 <= r["simhash"] < (1 << 60) for r in rows)
+    # determinism across evaluations
+    again = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(d, bits=60, portable=True)
+        .select("doc_id", "simhash")
+        .collect()
+    }
+    assert all(again[r["doc_id"]] == r["simhash"] for r in rows)
+    # identical texts must collide exactly (same tokens -> same bit sums)
+    dup = d.limit(1).collect()[0]
+    two = spark.createDataFrame(
+        [(1, dup["text"]), (2, dup["text"])], "doc_id int, text string"
+    )
+    fps = dedup.simhash(two, bits=60, portable=True).select("simhash").collect()
+    assert fps[0]["simhash"] == fps[1]["simhash"]
+
+
+def test_portable_simhash_rejects_wide_bits(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with _pytest.raises(ValueError):
+        dedup.simhash(df, bits=64, portable=True)
