@@ -493,3 +493,94 @@ def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = upd.unionByName(dels).unionByName(ins)
     return cdc_apply(t, changes, "p_partkey", seq_col="seq", op_col="op")
+
+
+@query(
+    "agg_histogram_fixed_bins",
+    """
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(bin * CAST(5000 AS DOUBLE), 2) AS lo,
+           round((bin + 1) * CAST(5000 AS DOUBLE), 2) AS hi
+    FROM (
+      SELECT CAST(floor(CAST(l_extendedprice AS DECIMAL(9,2))
+                        / CAST(5000 AS DOUBLE)) AS INT) AS bin
+      FROM lineitem
+    )
+    GROUP BY bin
+    """,
+)
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the price column: bin = floor(x / width) —
+    one map-side expression plus one hash aggregate on a few dozen bins (the
+    profiling primitive for choosing partition bounds at 100 TB; map-side
+    combine makes the shuffle a handful of rows per task). Division of an
+    exact decimal by a double and floor are both correctly-rounded IEEE
+    steps, so the binning is bit-identical across engines — no edge row can
+    land in a different bucket."""
+    li = load(spark, "lineitem", sf_dir)
+    bin_ = F.floor(F.col("l_extendedprice").cast("decimal(9,2)") / F.lit(5000.0)).cast(
+        "int"
+    )
+    return (
+        li.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("bin") * 5000.0, 2).alias("lo"),
+            F.round((F.col("bin") + 1) * 5000.0, 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "agg_frequent_items_topk",
+    """
+    SELECT l_returnflag, qty, cnt, rk FROM (
+      SELECT l_returnflag, l_quantity AS qty,
+             CAST(count(*) AS BIGINT) AS cnt,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY count(*) DESC, l_quantity
+             ) AS rk
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rk <= 5
+    """,
+)
+def agg_frequent_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group heavy hitters: count per (group, value), then a
+    top-k window with a total-order tiebreak (count desc, value asc). Two
+    shuffles — the count aggregate (map-side combined) and the tiny window
+    over distinct values, never over raw rows. The ground truth the sketch
+    twin `agg_approx_top_k` is judged against."""
+    li = load(spark, "lineitem", sf_dir)
+    counted = (
+        li.groupBy("l_returnflag", F.col("l_quantity").alias("qty"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("qty"))
+    return (
+        counted.select("l_returnflag", "qty", "cnt", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@query("agg_approx_top_k")  # DataSketches frequent-items sketch → rows-only
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters (`approx_top_k`, DataSketches
+    frequent-items under the hood): one pass, fixed memory, mergeable across
+    partitions — the 100 TB form when the distinct-value space is too large
+    to count exactly. Exactness on this data is asserted against
+    `agg_frequent_items_topk` in tests/test_stats_moments.py; engine-native
+    sketch internals make it rows-only on the oracle gate."""
+    li = load(spark, "lineitem", sf_dir)
+    li.createOrReplaceTempView("_li_topk")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               explode(approx_top_k(l_quantity, 5)) AS hit
+        FROM _li_topk GROUP BY l_returnflag
+        """
+    ).select("l_returnflag", F.col("hit.item").alias("qty"), F.col("hit.count").alias("cnt"))

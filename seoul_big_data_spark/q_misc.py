@@ -595,3 +595,67 @@ def timeseries_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_locf"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
     )
+
+
+@query(
+    "timeseries_ewma_trailing",
+    """
+    WITH w AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, value FROM events
+      WHERE user_id < 30
+    ), hourly AS (
+      SELECT user_id, hr, round(avg(value), 6) AS v FROM w GROUP BY user_id, hr
+    ), framed AS (
+      SELECT user_id, hr,
+             list(v) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+             ) AS arr
+      FROM hourly
+    )
+    SELECT user_id,
+           strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           round(
+             list_reduce(arr, (acc, x) -> acc / 2 + x)
+             / list_reduce(list_transform(arr, x -> CAST(1 AS DOUBLE)),
+                           (acc, x) -> acc / 2 + x),
+             6) AS ewma
+    FROM framed
+    """,
+)
+def timeseries_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window EWMA (alpha = 1/2, 24-hour window) over per-user
+    hourly series — the metrics-smoothing primitive. The window collects the
+    trailing frame as an array (frame order = time order) and Horner-folds
+    it: acc' = acc/2 + x gives sum(x_j / 2^lag) with only exact halvings and
+    IEEE additions in a fixed sequential order — bit-deterministic
+    cross-engine, which libm pow() weights would not guarantee (Spark's
+    fold seeds acc=0.0, DuckDB's list_reduce seeds with the first element;
+    0/2 + x1 == x1 exactly, so the folds coincide). The normalizer is the
+    same fold over all-ones = 2 - 2^-(n-1). One shuffle for the hourly
+    rollup, one window — no state, no recursion, scales per-key."""
+    e = load(spark, "events", sf_dir).filter(F.col("user_id") < 30)
+    hourly = (
+        e.withColumn("hr", F.date_trunc("hour", "ts"))
+        .groupBy("user_id", "hr")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    framed = hourly.select(
+        "user_id", "hr", F.collect_list("v").over(w).alias("arr")
+    )
+    wsum = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, x: acc / F.lit(2) + x
+    )
+    norm = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, x: acc / F.lit(2) + F.lit(1.0)
+    )
+    return framed.select(
+        "user_id",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        F.round(wsum / norm, 6).alias("ewma"),
+    )

@@ -71,3 +71,36 @@ def test_portable_simhash_rejects_wide_bits(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with _pytest.raises(ValueError):
         dedup.simhash(df, bits=64, portable=True)
+
+
+def test_approx_top_k_exact_on_small_domain(spark, sf_dir):
+    """l_quantity has ~50 distinct values per group — far inside the sketch's
+    exact regime, so every sketch count must equal the true count and the
+    count multiset must match the exact top-k. (Membership under COUNT TIES
+    is legitimately engine-specific — the exact twin breaks ties by value,
+    the sketch by its own internal order — so assert counts, not tie picks.)"""
+    from collections import Counter
+
+    from seoul_big_data_spark.q_agg import agg_approx_top_k, agg_frequent_items_topk
+
+    true_counts = {
+        (r["l_returnflag"], r["qty"]): r["cnt"]
+        for r in load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag", F.col("l_quantity").alias("qty"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    exact_rows = agg_frequent_items_topk(spark, sf_dir).collect()
+    sketch_rows = agg_approx_top_k(spark, sf_dir).collect()
+    assert len(sketch_rows) == len(exact_rows)
+    # sketch counts are exact in this regime
+    for r in sketch_rows:
+        assert r["cnt"] == true_counts[(r["l_returnflag"], r["qty"])]
+    # same per-group count multiset as the exact top-k
+    def by_group(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["l_returnflag"], Counter())[r["cnt"]] += 1
+        return out
+
+    assert by_group(sketch_rows) == by_group(exact_rows)
