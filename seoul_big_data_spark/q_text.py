@@ -10,7 +10,7 @@ ground truth in tests/test_dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as tx
@@ -464,3 +464,166 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, "documents", sf_dir)
     norm = F.array_join(tx.tokens(F.lower(F.col("text"))), " ")
     return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+@query(
+    "text_token_count_bpe",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(
+                 regexp_replace(text, '([^\\sA-Za-z0-9]+|[0-9]+)', ' \\1 ', 'g'),
+                 '\\s+'), x -> x != '')) AS n_bpe,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x != '')) AS n_ws
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — BPE-ish token counting beside the whitespace count: punctuation
+    runs and digit runs are split off the way byte-pair pre-tokenizers do
+    (functions/text.py::bpe_ish_token_count), giving the budget-accurate
+    token estimate a training pipeline plans capacity with. Pure map-side
+    regex + split — rides the scan, no shuffle; the pattern avoids
+    lookaround so Java regex (Spark) and RE2 (DuckDB/most engines) agree
+    exactly."""
+    d = load(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        tx.bpe_ish_token_count("text").alias("n_bpe"),
+        tx.token_count("text").alias("n_ws"),
+    )
+
+
+@query(
+    "text_chunk_fixed_tokens",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), nz AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), st AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, n, 96)) AS chunk_start
+      FROM nz
+    )
+    SELECT doc_id, chunk_start,
+           len(t[chunk_start : chunk_start + 127]) AS n_tok,
+           array_to_string(t[chunk_start : chunk_start + 127], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def text_chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — fixed-size token chunking with overlap (window 128, stride 96 →
+    32-token overlap): the context-length packing primitive that turns
+    documents into training sequences. One sequence()+explode per document
+    (bounded by its own token count — no global grid) and pure array slices;
+    everything rides the scan, the only data movement is whatever the sink
+    needs. Chunks are keyed (doc_id, chunk_start) so downstream dedup or
+    loss-masking can address them stably."""
+    d = load(spark, "documents", sf_dir)
+    toks = tx.tokens("text")
+    nz = d.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
+    st = nz.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(96))).alias("chunk_start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("chunk_start"), 128)
+    return st.select(
+        "doc_id",
+        "chunk_start",
+        F.size(chunk).alias("n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "dedup_survivor_best_quality",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), walk AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.id
+    ), comp AS (
+      SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS component
+      FROM walk GROUP BY id
+    ), q AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != '')) AS n_tok,
+             length(text) AS n_chr,
+             CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                 / length(text) ELSE 0.0 END AS pr
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+                + (CASE WHEN pr < 0.2 THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN n_tok > 0 AND n_chr * 1.0 / n_tok
+                          BETWEEN 2.0 AND 12.0
+                        THEN 0.3 ELSE 0.0 END) AS DOUBLE) AS quality
+      FROM q
+    )
+    SELECT component, doc_id, round(quality, 2) AS quality FROM (
+      SELECT c.component, c.doc_id, s.quality,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY s.quality DESC, c.doc_id
+             ) AS rk
+      FROM comp c JOIN scored s ON c.doc_id = s.doc_id
+    ) WHERE rk = 1
+    """,
+)
+def dedup_survivor_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — quality-preferring survivor selection: near-dup clusters
+    (connected components over the exact Jaccard >= 0.3 graph, as
+    `dedup_clusters`) keep their highest-quality member instead of the
+    lowest id — the corpus-curation policy that preserves the best copy of
+    boilerplate-mutated documents. One window over the component key on top
+    of the clustering; ties broken by doc_id so the survivor is
+    deterministic."""
+    d = load(spark, "documents", sf_dir)
+    edges = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3)
+    comp = dedup.connected_components(d.select("doc_id"), edges, id_col="doc_id")
+    scored = d.select("doc_id", tx.quality_score("text").alias("quality"))
+    joined = comp.join(scored, "doc_id").select(
+        F.col("component").cast("long").alias("component"), "doc_id", "quality"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        joined.select(
+            "component", "doc_id", "quality", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .select("component", "doc_id", F.round("quality", 2).alias("quality"))
+    )
