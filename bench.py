@@ -67,6 +67,15 @@ EXTENDED = [
     "timeseries_locf_interpolate",
     "join_bucketed_fact_fact",
     "tpch_q18_large_orders",
+    "dedup_simhash_md5",
+    "agg_skew_kurt_exact",
+    "agg_histogram_fixed_bins",
+    "agg_frequent_items_topk",
+    "timeseries_ewma_trailing",
+    "text_chunk_fixed_tokens",
+    "dedup_survivor_best_quality",
+    "embedding_quantize_int8",
+    "events_session_busy_overlap",
 ]
 
 

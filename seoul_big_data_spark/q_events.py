@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .operators.joins import asof_join, banded_range_join, range_join
+from .operators.windows import sessionize
 from .registry import query
 from .sources.tables import load
 from .streaming.batch_windows import hourly_rollup, session_stats
@@ -476,4 +477,96 @@ def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("_min"), 6).alias("min_value"),
             F.round(F.max("_max"), 6).alias("max_value"),
         )
+    )
+
+
+@query(
+    "events_session_busy_overlap",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events
+    ), g AS (
+      SELECT user_id, tss,
+             CASE WHEN tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss)
+                       > 1800
+                  OR lag(tss) OVER (PARTITION BY user_id ORDER BY tss) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM t
+    ), sdf AS (
+      SELECT user_id, tss,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ), sess AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             min(tss) AS s_start, max(tss) AS s_end
+      FROM sdf GROUP BY user_id, session_id
+    ), hrs AS (
+      SELECT CAST(floor(tss / 3600) AS BIGINT) AS hr, count(*) AS cnt
+      FROM t GROUP BY 1
+    ), busy AS (
+      SELECT hr FROM (
+        SELECT hr, row_number() OVER (ORDER BY cnt DESC, hr) AS rk FROM hrs
+      ) WHERE rk <= 5
+    ), spans AS (
+      SELECT user_id, session_id, s_start, s_end,
+             unnest(generate_series(CAST(floor(s_start / 3600) AS BIGINT),
+                                    CAST(floor(s_end / 3600) AS BIGINT))) AS hr
+      FROM sess
+    )
+    SELECT s.user_id, s.session_id, s.hr,
+           CAST(least(s_end, (s.hr + 1) * 3600)
+                - greatest(s_start, s.hr * 3600) AS BIGINT) AS overlap_sec
+    FROM spans s JOIN busy b ON s.hr = b.hr
+    """,
+)
+def events_session_busy_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via time banding — the scale-safe form of the
+    theta join "session interval overlaps busy-hour interval". Sessions
+    (lag-gap sessionization) explode into the hour buckets they cover
+    (bounded by their own duration — no global grid), the busy-hour side is
+    a top-5 aggregate (tiny, broadcast), and the overlap becomes an
+    equi-join on the hour bucket plus an exact integer-seconds measure. A
+    BroadcastNestedLoopJoin never appears; the fact side is touched twice
+    (sessionize window + hourly count), both one-shuffle passes."""
+    e = load(spark, "events", sf_dir)
+    s = sessionize(e, "user_id", "ts", gap_minutes=30).withColumn(
+        "tss", F.col("ts").cast("long")
+    )
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.min("tss").alias("s_start"), F.max("tss").alias("s_end")
+    )
+    hrs = (
+        e.select(F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wb = Window.orderBy(F.desc("cnt"), F.asc("hr"))
+    busy = (
+        hrs.select("hr", F.row_number().over(wb).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("hr")
+    )
+    spans = sess.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_start") / 3600).cast("long"),
+                F.floor(F.col("s_end") / 3600).cast("long"),
+            )
+        ).alias("hr"),
+    )
+    return spans.join(F.broadcast(busy), "hr").select(
+        "user_id",
+        "session_id",
+        "hr",
+        (
+            F.least(F.col("s_end"), (F.col("hr") + 1) * 3600)
+            - F.greatest(F.col("s_start"), F.col("hr") * 3600)
+        )
+        .cast("long")
+        .alias("overlap_sec"),
     )

@@ -290,3 +290,44 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, plane in enumerate(planes)
         ],
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id,
+           round(amax, 6) AS scale_amax,
+           CASE WHEN amax > 0 THEN
+             list_transform(embedding,
+                            x -> CAST(floor((x * 127.0) / amax + 0.5) AS INT))
+           ELSE list_transform(embedding, x -> 0) END AS q8
+    FROM (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x))) AS amax
+      FROM embeddings
+    )
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — symmetric int8 scalar quantization of the embedding column
+    (per-vector scale = max|x|/127): 4x memory/IO reduction for the ANN
+    corpus, the standard first step before IVF/PQ at 100 TB. Pure array
+    expressions riding the scan — zero shuffle. Rounding is floor(v + 0.5)
+    rather than round(): floor and IEEE add/mul/div are all exactly
+    specified, so every quantized code is bit-identical cross-engine (an
+    engine's round() tie convention never decides a code)."""
+    emb = load(spark, "embeddings", sf_dir)
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    with_amax = emb.select("vec_id", "embedding", amax.alias("amax"))
+    q8 = F.when(
+        F.col("amax") > 0,
+        F.transform(
+            "embedding",
+            lambda x: F.floor((x * F.lit(127.0)) / F.col("amax") + F.lit(0.5)).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.transform("embedding", lambda x: F.lit(0)))
+    return with_amax.select(
+        "vec_id", F.round("amax", 6).alias("scale_amax"), q8.alias("q8")
+    )

@@ -76,6 +76,11 @@ CHECKS = {
     # single-pass exact Jaccard: pairs + sizes both hang off one cached
     # shingle aggregation (single corpus scan, asserted below)
     "dedup_ngram_jaccard_skewsafe": ["HashAggregate", "InMemoryTableScan"],
+    # interval-overlap via hour banding: equi-join on the band bucket with
+    # the busy side broadcast — never a nested-loop theta join
+    "events_session_busy_overlap": ["BroadcastHashJoin", "Window"],
+    # int8 quantization rides the scan: project + generate only, no shuffle
+    "embedding_quantize_int8": ["Project"],
 }
 
 NEGATIVE_CHECKS = {
@@ -84,6 +89,8 @@ NEGATIVE_CHECKS = {
     # single-pass q21: a LeftSemi would mean the EXISTS decorrelation
     # regressed to a second pass over lineitem
     "tpch_q21_waiting_supplier": ["LeftSemi"],
+    "events_session_busy_overlap": ["BroadcastNestedLoopJoin"],
+    "embedding_quantize_int8": ["Exchange"],
 }
 
 # Queries whose design promise is "the named table is scanned exactly once"
