@@ -76,6 +76,8 @@ EXTENDED = [
     "dedup_survivor_best_quality",
     "embedding_quantize_int8",
     "events_session_busy_overlap",
+    "events_variant_extract",
+    "graph_pagerank_neardup",
 ]
 
 

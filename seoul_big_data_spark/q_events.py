@@ -570,3 +570,36 @@ def events_session_busy_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_sec"),
     )
+
+
+@query(
+    "events_variant_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10)
+                AS BIGINT) AS k_mod_sum,
+           count(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 10
+    GROUP BY event_type
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the VARIANT type (Spark 4): props is
+    parsed once into the shredded binary-JSON representation and fields are
+    extracted with variant_get — at 100 TB this is the schema-on-read format
+    whose per-field access does not re-parse the JSON string per expression
+    (get_json_object does). Filter + aggregate push onto the extracted
+    field; the oracle reads the same numbers through DuckDB's JSON path."""
+    e = load(spark, "events", sf_dir)
+    v = e.select("event_type", F.parse_json("props").alias("pv"))
+    k = F.variant_get(F.col("pv"), "$.k", "int")
+    return (
+        v.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 10)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("k") % 10).cast("long").alias("k_mod_sum"),
+            F.count("*").alias("n"),
+        )
+    )

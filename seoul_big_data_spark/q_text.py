@@ -627,3 +627,91 @@ def dedup_survivor_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("component", "doc_id", F.round("quality", 2).alias("quality"))
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle: one CTE stage per iteration (DuckDB
+    recursive CTEs forbid aggregates in the recursive term, so the fixed
+    iteration count is expanded at build time — same numbers, plain SQL)."""
+    edges_cte = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), vx AS (
+      SELECT doc_id AS id FROM documents
+    ), nn AS (
+      SELECT count(*) * 1.0 AS n FROM vx
+    ), outdeg AS (
+      SELECT src, count(*) AS deg FROM edges GROUP BY src
+    ), pr0 AS (
+      SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM vx
+    )"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""", pr{i} AS (
+      SELECT vx.id,
+             ({1.0 - damping:g} / (SELECT n FROM nn))
+               + {damping:g} * COALESCE(agg.s, 0.0) AS rank
+      FROM vx LEFT JOIN (
+        SELECT e.dst AS id, sum(p.rank / o.deg) AS s
+        FROM edges e
+        JOIN pr{i - 1} p ON p.id = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) agg ON vx.id = agg.id
+    )""")
+    return (
+        edges_cte
+        + "".join(steps)
+        + f"\n    SELECT id AS doc_id, round(rank * 1000000, 4) AS rank_ppm"
+        f" FROM pr{iterations}"
+    )
+
+
+@query("graph_pagerank_neardup", _pagerank_oracle_sql())
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative-algorithm breadth beyond connected components: 10
+    power-iterations of PageRank (d = 0.85, dangling mass dropped) over the
+    undirected near-dup similarity graph — the authority signal a curation
+    pipeline uses to pick canonical documents inside big duplicate families.
+    Each iteration is one edge join + one vertex aggregate
+    (operators/graph.py::pagerank, cached per iteration so lineage stays
+    flat); the oracle unrolls the same ten iterations as plain CTE stages.
+    Ranks are reported in parts-per-million rounded to 4 decimals — double
+    summation order across engines differs at ~1e-15 per iteration, far
+    inside the rounding."""
+    d = load(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    from .operators.graph import pagerank
+
+    ranks = pagerank(d.select("doc_id"), edges, id_col="doc_id")
+    return ranks.select(
+        F.col("id").alias("doc_id"),
+        F.round(F.col("rank") * 1000000, 4).alias("rank_ppm"),
+    )
