@@ -659,3 +659,79 @@ def timeseries_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
         F.round(wsum / norm, 6).alias("ewma"),
     )
+
+
+@query(
+    "setop_except_all",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag-semantics difference (§2.6 completes the set-op
+    family beyond the DISTINCT forms): a customer with k orders and one
+    positive-balance row keeps k-1 copies. Spark plans it as a count-paired
+    hash aggregate + generate, one shuffle on the key — never a sort."""
+    o = load(spark, "orders", sf_dir).select(F.col("o_custkey").alias("custkey"))
+    c = (
+        load(spark, "customer", sf_dir)
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.exceptAll(c)
+
+
+@query(
+    "setop_intersect_all",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag-semantics intersection (min of per-side
+    multiplicities); same one-shuffle count-paired shape as EXCEPT ALL."""
+    o = load(spark, "orders", sf_dir).select(F.col("o_custkey").alias("custkey"))
+    c = (
+        load(spark, "customer", sf_dir)
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.intersectAll(c)
+
+
+@query(
+    "join_null_safe_eq",
+    """
+    WITH l AS (
+      SELECT nullif(o_orderstatus, 'P') AS status, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT nullif(o_orderstatus, 'P') AS status,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT l.status, l.n_orders, round(r.total, 2) AS total
+    FROM l JOIN r ON l.status IS NOT DISTINCT FROM r.status
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of silently dropping — the semantics dimension-lookup
+    joins need when the key is genuinely absent. Both sides pre-aggregate to
+    one row per key (NULL included), so the null bucket cannot explode; the
+    join itself hash-partitions on the null-safe key like any equi-join."""
+    o = load(spark, "orders", sf_dir)
+    status = F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status")
+    l = o.groupBy(status).agg(F.count("*").alias("n_orders"))
+    r = o.groupBy(status).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total")
+    )
+    return l.join(r, l.status.eqNullSafe(r.status)).select(
+        l.status, "n_orders", F.round("total", 2).alias("total")
+    )
