@@ -78,6 +78,8 @@ EXTENDED = [
     "events_session_busy_overlap",
     "events_variant_extract",
     "graph_pagerank_neardup",
+    "embedding_pq_codes",
+    "similarity_pq_adc",
 ]
 
 

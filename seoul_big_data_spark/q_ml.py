@@ -16,6 +16,7 @@ from pyspark.sql import types as T
 
 from .functions.vector import cosine, dot, norm
 from .operators.ivf import ivf_topk, kmeans_fit, semantic_dedup_pairs
+from .operators.pq import pq_decode, pq_encode, pq_fit
 from .operators.similarity import brute_force_topk, lsh_topk
 from .registry import query
 from .sources.tables import load
@@ -330,4 +331,62 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.transform("embedding", lambda x: F.lit(0)))
     return with_amax.select(
         "vec_id", F.round("amax", 6).alias("scale_amax"), q8.alias("q8")
+    )
+
+
+_PQ_CACHE: dict = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str, m: int = 8, k: int = 64):
+    """Memoized deterministic PQ fit per (sf_dir, m, k) — codes are
+    md5-seeded and tie-broken, so refitting always reproduces the same
+    codebooks; the memo just skips redundant Lloyd scans within a session
+    (the same write-once trade as the bucketed-layout query)."""
+    key = (sf_dir, m, k)
+    if key not in _PQ_CACHE:
+        _PQ_CACHE[key] = pq_fit(load(spark, "embeddings", sf_dir), m=m, k=k)
+    return _PQ_CACHE[key]
+
+
+@query("embedding_pq_codes")  # learned codebooks → rows-only
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — product-quantization codes (m=8 subspaces, k=64 codewords):
+    dim×4 bytes → 8 bytes per vector (32x), the memory/IO side of ANN at 100 TB
+    (operators/pq.py; determinism + reconstruction-quality pinned in
+    tests/test_pq.py). Codes ride the scan as pure column expressions."""
+    emb = load(spark, "embeddings", sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    return pq_encode(emb, books).select("vec_id", "pq_codes")
+
+
+@query("similarity_pq_adc")  # learned codebooks → rows-only
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — PQ asymmetric search: probes stay full-precision, the corpus is
+    scored through its reconstruction from PQ codes (decode against
+    broadcast-literal codebooks, cosine, per-query top-10). Recall vs the
+    exact brute force is pinned in tests/test_pq.py; at scale this reads
+    m-byte codes instead of dim×4-byte vectors."""
+    emb = load(spark, "embeddings", sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = pq_decode(pq_encode(emb, books), books).select(
+        F.col("vec_id").alias("neighbor_id"), "pq_vec"
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            cosine("q_vec", "pq_vec").alias("score"),
+        )
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
     )

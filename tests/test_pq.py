@@ -1,0 +1,92 @@
+"""operators/pq.py — determinism, reconstruction quality, ADC recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seoul_big_data_spark.functions.vector import cosine
+from seoul_big_data_spark.operators.pq import pq_decode, pq_encode, pq_fit
+from seoul_big_data_spark.operators.similarity import brute_force_topk
+from seoul_big_data_spark.sources.tables import load
+
+M, K = 8, 64
+
+
+def _fit(spark, sf_dir):
+    return pq_fit(load(spark, "embeddings", sf_dir), m=M, k=K)
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def books(spark, sf_dir):
+    # one shared fit; determinism vs a fresh fit is asserted below
+    return _fit(spark, sf_dir)
+
+
+def test_pq_fit_is_deterministic(spark, sf_dir, books):
+    assert _fit(spark, sf_dir) == books  # md5 seeding + fixed iters + ties
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir, books):
+    emb = load(spark, "embeddings", sf_dir)
+    rows = pq_encode(emb, books).select("pq_codes").collect()
+    assert all(len(r["pq_codes"]) == M for r in rows)
+    assert all(0 <= c < K for r in rows for c in r["pq_codes"])
+
+
+def test_pq_reconstruction_beats_global_mean(spark, sf_dir, books):
+    """PQ with a real codebook must reconstruct better than the degenerate
+    k=1 codebook (every subvector replaced by its global mean) — the
+    variance-reduction guarantee of any non-trivial quantizer."""
+    emb = load(spark, "embeddings", sf_dir)
+    books16 = books
+    books1 = pq_fit(emb, m=M, k=1)
+
+    def mse(books):
+        rec = pq_decode(pq_encode(emb, books), books)
+        per_row = F.aggregate(
+            F.zip_with(
+                "embedding", "pq_vec", lambda x, y: (x.cast("double") - y) ** 2
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return rec.select(F.avg(per_row).alias("m")).first()["m"]
+
+    assert mse(books16) < mse(books1) * 0.9
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir, books):
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    corpus = pq_decode(pq_encode(emb, books), books).select(
+        F.col("vec_id").alias("neighbor_id"), "pq_vec"
+    )
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    adc = (
+        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine("q_vec", "pq_vec").alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+    adc_sets = {}
+    for r in adc.collect():
+        adc_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(adc_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    # 8x64 codebooks on 64-dim synthetic embeddings (32x compression):
+    # mean top-10 recall far above the ~2% random baseline (measured ~0.44)
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
