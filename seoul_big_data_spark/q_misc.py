@@ -735,3 +735,29 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(r, l.status.eqNullSafe(r.status)).select(
         l.status, "n_orders", F.round("total", 2).alias("total")
     )
+
+
+@query(
+    "window_distribution_family",
+    """
+    SELECT s_suppkey,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           ntile(8) OVER w AS octile
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family — percent_rank / cume_dist / ntile over one
+    total order (tie-broken by key so every engine ranks identically). The
+    exact rationals (rank-1)/(n-1) and rank/n are deterministic doubles.
+    Completes the §2.5 window inventory beside the rank family."""
+    s = load(spark, "supplier", sf_dir)
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(8).over(w).alias("octile"),
+    )

@@ -715,3 +715,68 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.round(F.col("rank") * 1000000, 4).alias("rank_ppm"),
     )
+
+
+@query(
+    "text_pack_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), nz AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), st AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, n, 96)) AS chunk_start
+      FROM nz
+    ), chunks AS (
+      SELECT doc_id, chunk_start,
+             len(t[chunk_start : chunk_start + 127]) AS n_tok
+      FROM st
+    ), cum AS (
+      SELECT doc_id, chunk_start, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id, chunk_start
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM chunks
+    )
+    SELECT doc_id, chunk_start, n_tok,
+           CAST(floor((running - n_tok) / 512.0) AS BIGINT) AS seq_id
+    FROM cum
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — sequence packing: chunks (the `text_chunk_fixed_tokens` output)
+    are assigned to fixed 512-token training sequences by a running token
+    total — seq_id = floor(tokens-before-this-chunk / 512), the contiguous
+    greedy packing every data loader uses. One global window ordered by
+    (doc_id, chunk_start): deterministic, and at 100 TB the same cumsum runs
+    per shard (partition by source/date and pack within shards — the
+    ordering key is already shard-local) so no single-reducer bottleneck;
+    the global form here keeps the oracle exact."""
+    d = load(spark, "documents", sf_dir)
+    toks = tx.tokens("text")
+    nz = d.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
+    st = nz.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(96))).alias("chunk_start"),
+    )
+    chunks = st.select(
+        "doc_id",
+        "chunk_start",
+        F.size(F.slice(F.col("t"), F.col("chunk_start"), 128)).alias("n_tok"),
+    )
+    w = Window.orderBy("doc_id", "chunk_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = chunks.withColumn("running", F.sum("n_tok").over(w))
+    return cum.select(
+        "doc_id",
+        "chunk_start",
+        "n_tok",
+        F.floor((F.col("running") - F.col("n_tok")) / 512.0)
+        .cast("long")
+        .alias("seq_id"),
+    )

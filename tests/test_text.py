@@ -66,3 +66,48 @@ def test_quality_score_range(spark, sf_dir):
         F.min("q").alias("lo"), F.max("q").alias("hi")
     ).first()
     assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+
+
+def test_chunking_covers_every_token_with_exact_overlap(spark, sf_dir):
+    """Every token position of every non-empty document is covered by some
+    chunk; consecutive chunks overlap by exactly 128-96=32 positions (less
+    only at the tail); and packing assigns every chunk to exactly one
+    sequence with no sequence exceeding 512 tokens before the chunk that
+    overflows it."""
+    from seoul_big_data_spark.q_text import text_chunk_fixed_tokens, text_pack_sequences
+
+    chunks = text_chunk_fixed_tokens(spark, sf_dir).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_start"], r["n_tok"]))
+    for doc_id, cs in by_doc.items():
+        cs.sort()
+        # stride exactly 96, first chunk at 1
+        starts = [s for s, _ in cs]
+        assert starts[0] == 1
+        assert all(b - a == 96 for a, b in zip(starts, starts[1:]))
+        # contiguous coverage: chunk i spans [start, start+n_tok-1]
+        covered_end = 0
+        for s, n in cs:
+            assert s <= covered_end + 1  # no gap
+            covered_end = max(covered_end, s + n - 1)
+        # exact slice semantics: every chunk is 128 tokens unless the doc
+        # ends first (n_tok = min(128, total - start + 1))
+        total = covered_end
+        assert all(n == min(128, total - s + 1) for s, n in cs)
+
+    packed = text_pack_sequences(spark, sf_dir).collect()
+    assert len(packed) == len(chunks)
+    seq_totals = {}
+    rows = sorted(packed, key=lambda r: (r["doc_id"], r["chunk_start"]))
+    for r in rows:
+        seq_totals.setdefault(r["seq_id"], 0)
+        seq_totals[r["seq_id"]] += r["n_tok"]
+    # every sequence except possibly the last reaches the 512 budget
+    # (a chunk may straddle the boundary, so totals can exceed 512 by at
+    # most one chunk's worth)
+    last = max(seq_totals)
+    for sid, tot in seq_totals.items():
+        assert tot <= 512 + 128
+        if sid != last:
+            assert tot >= 512 - 127
