@@ -390,3 +390,54 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
     )
+
+
+@query(
+    "embedding_gram_matrix",
+    """
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS idx
+      FROM embeddings
+    )
+    SELECT CAST(a.idx AS INTEGER) AS i, CAST(b.idx AS INTEGER) AS j,
+           round(sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)), 4) AS g
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+    GROUP BY a.idx, b.idx
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — upper-triangular Gram matrix of the embedding corpus via
+    map-side partial sums (operators/pca.py::gram_matrix): one numpy
+    ``X.T @ X`` per Arrow batch, shuffle carries O(partitions x d^2) tiny
+    rows, never the vectors. The oracle recomputes it relationally
+    (double unnest + self-join); float32 inputs promote to float64 so
+    products are exact and only summation order rounds — round(4) absorbs
+    the ~1e-12 accumulation spread. At 100 TB this is the covariance/PCA
+    statistics pass: data-size-independent shuffle, 32 KB on the driver.
+    """
+    from .operators.pca import gram_matrix
+
+    emb = load(spark, "embeddings", sf_dir)
+    g = gram_matrix(emb, "embedding")
+    return g.select("i", "j", F.round("g", 4).alias("g"))
+
+
+@query("embedding_pc1_projection")  # eigenvector sign/iteration engine-side → rows-only
+def embedding_pc1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — projection of every embedding onto the corpus top principal
+    direction (SIF-style top-component analysis for curation): Gram via
+    distributed partial sums, power iteration driver-side on the d x d
+    matrix, eigenvector broadcast back as a literal for a zero-shuffle
+    projection (operators/pca.py). Parity with numpy.linalg.eigh is
+    pinned in tests/test_pca.py."""
+    from .operators.pca import project_scalar, top_component
+
+    emb = load(spark, "embeddings", sf_dir)
+    v = top_component(spark, emb, "embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(project_scalar(emb, v), 4).alias("pc1"),
+    )

@@ -232,3 +232,127 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < threshold
     ).select("doc_id", "source")
+
+
+@query(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS_LOWER}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS INTEGER) AS n_tokens,
+           round(CAST(sum(CAST(round(ln(f.cnt * 1.0 / tot.total), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS avg_logprob
+    FROM toks t JOIN freq f ON t.tok = f.tok, tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the classic cheap perplexity
+    signal for corpus curation (low avg log-prob = rare-token-heavy /
+    noisy docs). The LM is fit on the corpus itself in one pass:
+    explode -> groupBy(token) with map-side combine, then the frequency
+    table (vocab-sized, Zipf-bounded) broadcasts back onto the exploded
+    tokens — the per-doc aggregation is the only full shuffle.
+
+    Determinism: per-token ln(p) is rounded to 6 decimals and summed as
+    DECIMAL(18,6), so the per-doc sum is exact and partition-order-free;
+    only the final division rounds. At 100 TB the vocab table stays
+    dim-sized (top-1M tokens cover the mass), so the score join remains
+    a broadcast."""
+    d = load(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    lnp = F.round(F.log(F.col("cnt") * 1.0 / F.col("total")), 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(
+                F.sum(lnp).cast("double") / F.count("*"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "text_curriculum_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS_LOWER}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq
+    ), scored AS (
+      SELECT t.doc_id,
+             round(CAST(sum(CAST(round(ln(f.cnt * 1.0 / tot.total), 6)
+                                 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+               AS score
+      FROM toks t JOIN freq f ON t.tok = f.tok, tot
+      GROUP BY t.doc_id
+    ), cuts AS (
+      SELECT round(quantile_cont(score, 0.25), 6) AS c1,
+             round(quantile_cont(score, 0.50), 6) AS c2,
+             round(quantile_cont(score, 0.75), 6) AS c3
+      FROM scored
+    )
+    SELECT s.doc_id, s.score,
+           CAST(1 + (s.score > c.c1)::INT + (s.score > c.c2)::INT
+                  + (s.score > c.c3)::INT AS INTEGER) AS bucket
+    FROM scored s, cuts c
+    """,
+)
+def text_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: quartile difficulty buckets over the unigram
+    log-prob score (bucket 1 = hardest / rarest-token docs). The
+    scale-correct shape — NOT a global NTILE sort (single reducer):
+    cutoffs come from one exact-percentile aggregate (a 3-double row,
+    broadcast back), and bucket assignment is a map-side comparison, so
+    nothing ever globally sorts. Cutoffs and scores are both rounded to
+    6 decimals before comparison, pinning the cross-engine boundary."""
+    d = load(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    lnp = F.round(F.log(F.col("cnt") * 1.0 / F.col("total")), 6).cast(
+        "decimal(18,6)"
+    )
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(lnp).cast("double") / F.count("*"), 6).alias("score")
+        )
+    )
+    cuts = scored.agg(
+        F.round(F.expr("percentile(score, 0.25)"), 6).alias("c1"),
+        F.round(F.expr("percentile(score, 0.50)"), 6).alias("c2"),
+        F.round(F.expr("percentile(score, 0.75)"), 6).alias("c3"),
+    )
+    return scored.join(F.broadcast(cuts)).select(
+        "doc_id",
+        "score",
+        (
+            F.lit(1)
+            + (F.col("score") > F.col("c1")).cast("int")
+            + (F.col("score") > F.col("c2")).cast("int")
+            + (F.col("score") > F.col("c3")).cast("int")
+        ).alias("bucket"),
+    )
