@@ -505,7 +505,12 @@ def _gate_rank(name: str) -> int:
 
 
 _REG_IDX = {n: i for i, n in enumerate(QUERIES)}
-_GATE_ORDER = sorted(QUERIES, key=lambda n: (_gate_rank(n), _REG_IDX[n]))
+# Within each band, oracle-checked queries first: a hash-match row is strictly
+# stronger official evidence than a rows-only run, so rows-only entries should
+# not occupy capped gate slots ahead of hash-checkable ones.
+_GATE_ORDER = sorted(
+    QUERIES, key=lambda n: (_gate_rank(n), n not in ORACLES, _REG_IDX[n])
+)
 for _d in (QUERIES, ORACLES):
     _snap = {n: _d[n] for n in _GATE_ORDER if n in _d}
     _d.clear()
