@@ -584,3 +584,27 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _li_topk GROUP BY l_returnflag
         """
     ).select("l_returnflag", F.col("hit.item").alias("qty"), F.col("hit.count").alias("cnt"))
+
+
+@query("agg_hll_sketch_merge")  # DataSketches HLL binary is engine-specific → rows-only
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — THE cardinality pattern at
+    100 TB: per-group HLL sketches (``hll_sketch_agg``, map-side partial)
+    are tiny fixed-size binaries that re-aggregate upward without rescanning
+    (``hll_union_agg``), so daily partitions roll into monthly/global
+    distincts for free. Output = per-priority estimates plus the merged
+    global estimate computed FROM THE SKETCHES, not from the data.
+    DataSketches binaries are engine-specific → rows-only; estimate error
+    vs exact count_distinct is pinned in tests/test_sketches.py."""
+    o = load(spark, "orders", sf_dir)
+    sk = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    per = sk.select(
+        F.col("o_orderpriority").alias("grain"),
+        F.hll_sketch_estimate("sk").alias("approx_custkeys"),
+    )
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custkeys")
+    ).select(F.lit("_ALL_").alias("grain"), "approx_custkeys")
+    return per.unionByName(merged)

@@ -761,3 +761,44 @@ def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(8).over(w).alias("octile"),
     )
+
+
+@query(
+    "json_roundtrip_load",
+    """
+    WITH sample AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_loaded,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS price_sum
+    FROM sample GROUP BY o_orderstatus
+    """,
+)
+def json_roundtrip_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-adjacent source format: JSON-lines sink + scan round trip. A
+    deterministic orders subset is written as newline-delimited JSON and
+    read back with an EXPLICIT schema — at 100 TB schema inference is a
+    second full scan of the data, so the engine always binds the reader
+    schema up front (decimals stay decimal through the round trip; the
+    aggregate is exact and engine-independent). Oracle aggregates the
+    same subset straight from parquet."""
+    import os
+    import tempfile
+
+    o = load(spark, "orders", sf_dir)
+    sample = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), "seoul_json_roundtrip")
+    sample.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice decimal(12,2)"
+    ).json(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_loaded"),
+        F.min("o_orderkey").alias("min_key"),
+        F.round(F.sum("o_totalprice").cast("double"), 2).alias("price_sum"),
+    )
