@@ -802,3 +802,35 @@ def json_roundtrip_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.round(F.sum("o_totalprice").cast("double"), 2).alias("price_sum"),
     )
+
+
+def _morton_oracle() -> str:
+    from .functions.layout import morton_sql
+
+    expr = morton_sql("(c_custkey % 256)", "(c_nationkey % 256)", bits=8)
+    return f"""
+    SELECT c_custkey, c_nationkey,
+           CAST({expr} AS BIGINT) AS zcode
+    FROM customer
+    """
+
+
+@query("layout_morton_zorder", _morton_oracle())
+def layout_morton_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering code over two join/filter dimensions —
+    the layout primitive behind multi-column data skipping (Delta/Iceberg
+    OPTIMIZE ZORDER BY). The code is a pure bitwise Catalyst expression
+    (functions/layout.py::morton_code, integer-exact so the oracle matches
+    bit for bit); writing sorted by it gives parquet min/max pruning on
+    BOTH dimensions at once — the file-skipping win is measured in
+    tests/test_layout.py (span-coverage vs single-key sort)."""
+    from .functions.layout import morton_code
+
+    c = load(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        morton_code(F.col("c_custkey") % 256, F.col("c_nationkey") % 256).alias(
+            "zcode"
+        ),
+    )
