@@ -441,3 +441,45 @@ def embedding_pc1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(project_scalar(emb, v), 4).alias("pc1"),
     )
+
+
+@query("multimodal_audio_decode")  # binary audio decode → rows-only (no SQL codec)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 — REAL audio decode over a binary payload column: each document is
+    rendered as a deterministic PCM-16 WAV (square wave whose frequency,
+    duration, and amplitude derive from doc_id), then decoded back by the
+    pure-Python RIFF codec in ``sources/multimodal.py`` — content-derived
+    sample-rate/duration/RMS/zero-crossing features. Render and decode both
+    run as Arrow-batched ``mapInPandas`` executor-side; decode exactness on
+    known waveforms is pinned in tests/test_multimodal.py."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .session import ensure_package_shipped
+    from .sources.multimodal import decode_audio_features, encode_wav
+
+    ensure_package_shipped(spark)
+    d = load(spark, "documents", sf_dir).select("doc_id")
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                period = int(doc_id % 37) + 4  # samples per half-wave
+                amp = int(doc_id % 20000) + 4000
+                n = 800 + int(doc_id % 200)
+                wave = [
+                    amp if (i // period) % 2 == 0 else -amp for i in range(n)
+                ]
+                payloads.append(bytearray(encode_wav(8000, 1, wave)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = d.mapInPandas(_render, schema="doc_id bigint, payload binary")
+    out = decode_audio_features(blobs)
+    return out.select(
+        "doc_id", "n_bytes", "format", "sample_rate", "channels", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
+    )

@@ -195,3 +195,101 @@ def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(rows, columns=_COLS)
 
     return df.mapInPandas(_decode, schema=DECODE_SCHEMA)
+
+
+# --- audio modality (RIFF/WAVE PCM) -----------------------------------------
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_bytes int, format string, sample_rate int, "
+    "channels int, n_samples int, duration_s double, rms double, "
+    "zero_cross_rate double"
+)
+
+_AUDIO_COLS = [
+    "doc_id", "n_bytes", "format", "sample_rate", "channels",
+    "n_samples", "duration_s", "rms", "zero_cross_rate",
+]
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE, PCM 16-bit little-endian — the uncompressed audio subset a
+    dependency-free decoder handles exactly (header per the public RIFF
+    spec: chunked 'fmt '/'data', interleaved samples). Compressed codecs
+    (MP3/AAC/opus) hit the NotImplementedError slot like JPEG does for
+    images. Features are content-derived: RMS amplitude and zero-crossing
+    rate of channel 0 (the classic cheap audio-quality signals)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV variant (format={audio_format}, bits={bits}) needs a real "
+            "codec; plug ffmpeg/soundfile here"
+        )
+    x = np.frombuffer(data, dtype="<i2")
+    n_samples = len(x) // channels
+    ch0 = x[::channels].astype(np.float64) / 32768.0
+    zc = (
+        float(np.mean(np.signbit(ch0[1:]) != np.signbit(ch0[:-1])))
+        if len(ch0) > 1
+        else 0.0
+    )
+    return {
+        "format": "wav",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_samples": n_samples,
+        "duration_s": n_samples / sample_rate,
+        "rms": float(np.sqrt(np.mean(ch0 * ch0))) if n_samples else 0.0,
+        "zero_cross_rate": zc,
+    }
+
+
+def encode_wav(sample_rate: int, channels: int, samples) -> bytes:
+    """Minimal PCM-16 WAV writer (test-vector generator, inverse of
+    ``_decode_wav``). ``samples`` = iterable of int16 frames, interleaved
+    when channels > 1."""
+    import numpy as np
+
+    x = np.asarray(list(samples), dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(x)) + x
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas audio-decode stage: (doc_id, payload binary) → sample
+    rate / duration / RMS / zero-crossing metadata. Same executor-side
+    Arrow-batched shape as ``decode_features``."""
+
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"doc_id": doc_id, "n_bytes": len(bytes(payload)),
+                 **_decode_wav(bytes(payload))}
+                for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows, columns=_AUDIO_COLS)
+
+    return df.mapInPandas(_decode, schema=AUDIO_SCHEMA)

@@ -96,3 +96,62 @@ def test_compressed_formats_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         # 16-bit PPM is beyond the pure-Python decoder
         _decode_payload(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+# --- audio (WAV) ------------------------------------------------------------
+
+
+def test_wav_roundtrip_known_waveform(spark):
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import _decode_wav, encode_wav
+
+    # 100 frames of a constant +1000 then -1000 alternating each frame:
+    # RMS exactly 1000/32768, zero-crossing at every step
+    wave = [1000 if i % 2 == 0 else -1000 for i in range(100)]
+    meta = _decode_wav(encode_wav(16000, 1, wave))
+    assert meta["format"] == "wav"
+    assert meta["sample_rate"] == 16000
+    assert meta["channels"] == 1
+    assert meta["n_samples"] == 100
+    assert meta["duration_s"] == 100 / 16000
+    assert abs(meta["rms"] - 1000 / 32768) < 1e-12
+    assert meta["zero_cross_rate"] == 1.0
+
+    # stereo: channel 0 silent -> rms 0, zcr 0
+    stereo = []
+    for i in range(50):
+        stereo += [0, 5000]
+    meta2 = _decode_wav(encode_wav(8000, 2, stereo))
+    assert meta2["channels"] == 2
+    assert meta2["n_samples"] == 50
+    assert meta2["rms"] == 0.0
+    assert meta2["zero_cross_rate"] == 0.0
+
+
+def test_wav_rejects_non_pcm(spark):
+    import struct as _s
+
+    import pytest as _pt
+
+    from seoul_big_data_spark.sources.multimodal import _decode_wav, encode_wav
+
+    payload = bytearray(encode_wav(8000, 1, [0, 1, -1]))
+    # flip audio_format to 3 (IEEE float) in the fmt chunk
+    payload[20:22] = _s.pack("<H", 3)
+    with _pt.raises(NotImplementedError):
+        _decode_wav(bytes(payload))
+
+
+def test_audio_decode_query_runs(spark, sf_dir):
+    from seoul_big_data_spark.queries import QUERIES
+
+    out = QUERIES["multimodal_audio_decode"](spark, sf_dir).collect()
+    assert len(out) == 500
+    for r in out[:20]:
+        assert r["format"] == "wav"
+        assert r["sample_rate"] == 8000
+        assert 800 <= r["n_samples"] <= 1000
+        # square wave: rms == amplitude/32768 exactly
+        amp = (r["doc_id"] % 20000) + 4000
+        assert abs(r["rms"] - amp / 32768) < 1e-6
