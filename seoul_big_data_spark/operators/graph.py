@@ -31,13 +31,21 @@ def pagerank(
     ``edges`` is directed; pass both directions for an undirected graph.
     rank_{t+1}(v) = (1-d)/N + d * sum over in-neighbors u of rank_t(u)/deg(u).
     """
-    n = vertices.count()  # scalar, catalog-sized
+    # localCheckpoint (eager), not cache(): caching materializes partitions
+    # but the LOGICAL plan keeps nesting — by iteration 10 Catalyst would
+    # re-analyze ten stacked joins plus the edge list's full upstream
+    # lineage (for the near-dup graph, the whole shingle→LSH pipeline) on
+    # every action, and compile time dwarfs execution (measured 90 s at
+    # sf0.1, ~10 s after truncation). Checkpointing snaps each state to a
+    # LogicalRDD so per-iteration plans stay constant-size.
+    v = vertices.select(F.col(id_col).alias("id")).localCheckpoint()
+    n = v.count()  # scalar, catalog-sized
     base = (1.0 - damping) / n
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).cache()
-    ranks = vertices.select(
-        F.col(id_col).alias("id"), F.lit(1.0 / n).alias("rank")
-    ).cache()
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    ranks = v.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(iterations):
         contrib = (
             e.join(ranks, e.src == ranks.id)
@@ -46,9 +54,8 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        new_ranks = (
-            vertices.select(F.col(id_col).alias("id"))
-            .join(contrib, "id", "left")
+        ranks = (
+            v.join(contrib, "id", "left")
             .select(
                 "id",
                 (
@@ -56,10 +63,6 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .cache()
+            .localCheckpoint()  # eager: materializes AND truncates lineage
         )
-        new_ranks.count()  # materialize before dropping the parent cache:
-        # keeps lineage one level deep instead of 2-joins-per-iteration deep
-        ranks.unpersist()
-        ranks = new_ranks
     return ranks
