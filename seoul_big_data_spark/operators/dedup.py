@@ -334,16 +334,22 @@ def connected_components(
     bounds adversarial chains. This is the iterative-algorithm shape
     (SURVEY.md §2.8 note) that pure SQL can't express without recursion.
     """
+    # localCheckpoint, not cache: truncates the LOGICAL plan so each
+    # iteration re-analyzes a constant-size plan instead of the edge list's
+    # full upstream lineage stacked once per iteration (same fix as
+    # operators/graph.py::pagerank — compile time, not execution, is what
+    # blows up in cached iterative loops).
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(
             edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
         )
         .distinct()
+        .localCheckpoint()
     )
     labels = vertices.select(
         F.col(id_col).alias("vid"), F.col(id_col).cast("long").alias("label")
-    ).cache()
+    ).localCheckpoint()
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.v == labels.vid)
@@ -358,7 +364,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             updated.alias("n")
@@ -367,7 +373,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = updated
         if changed == 0:
             break
