@@ -286,3 +286,55 @@ def dq_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_lo")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "dq_outlier_mad",
+    """
+    WITH spend AS (
+      SELECT o_custkey, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS spend
+      FROM orders GROUP BY o_custkey
+    ), med AS (
+      SELECT round(quantile_cont(spend, 0.5), 2) AS med FROM spend
+    ), dev AS (
+      SELECT s.o_custkey, s.spend, m.med,
+             round(abs(s.spend - m.med), 2) AS adev
+      FROM spend s, med m
+    ), mad AS (
+      SELECT round(quantile_cont(adev, 0.5), 2) AS mad FROM dev
+    )
+    SELECT d.o_custkey, d.spend,
+           round((d.spend - d.med) / (1.4826 * m.mad), 4) AS robust_z
+    FROM dev d, mad m
+    WHERE abs((d.spend - d.med) / (1.4826 * m.mad)) > 2.5
+    """,
+)
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation over the
+    per-customer total spend — the DQ screen that survives heavy-tailed
+    aggregates where mean/stddev z-scores drown (the outliers inflate the
+    stddev that is supposed to catch them). robust_z = (x - median) /
+    (1.4826 * MAD), flag |z| > 2.5.
+
+    Scale shape: one grouped sum (map-side partials), two exact-percentile
+    scalar aggregates broadcast back as single-row joins — no global sort,
+    no window. Medians/MADs and spends are rounded to 2 decimals on both
+    engines before the division so the cross-engine boundary at the 2.5
+    cut is pinned (the percentile interpolation convention is already
+    value-identical, see agg_percentile_exact)."""
+    spend = (
+        load(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice").cast("double"), 2).alias("spend"))
+    )
+    med = spend.agg(F.round(F.expr("percentile(spend, 0.5)"), 2).alias("med"))
+    dev = spend.join(F.broadcast(med)).withColumn(
+        "adev", F.round(F.abs(F.col("spend") - F.col("med")), 2)
+    )
+    mad = dev.agg(F.round(F.expr("percentile(adev, 0.5)"), 2).alias("mad"))
+    z = (F.col("spend") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad))
+        .filter(F.abs(z) > 2.5)
+        .select("o_custkey", "spend", F.round(z, 4).alias("robust_z"))
+    )
