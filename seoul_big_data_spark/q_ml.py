@@ -483,3 +483,50 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
     )
+
+
+@query("multimodal_frame_sample")  # binary video decode → rows-only (no SQL codec)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 — video-column plumbing: each document becomes a deterministic
+    multi-frame container (concatenated P6 frames, count/size derived from
+    doc_id), and the frame-sampling stage extracts every 2nd frame and
+    decodes ONLY those (sources/multimodal.py::sample_frames) — the decode-
+    budget-first ordering that matters when frames are the 100 TB payload.
+    Round-trip exactness is pinned in tests/test_multimodal.py."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .session import ensure_package_shipped
+    from .sources.multimodal import encode_ppm
+
+    ensure_package_shipped(spark)
+    d = load(spark, "documents", sf_dir).select("doc_id")
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n_frames = int(doc_id % 5) + 2
+                w, h = int(doc_id % 4) + 2, int(doc_id % 3) + 2
+                clip = b""
+                for f in range(n_frames):
+                    clip += encode_ppm(
+                        w, h,
+                        lambda x, y, f=f: (
+                            (f * 40) % 256, (x * 60) % 256, (y * 80) % 256
+                        ),
+                    )
+                payloads.append(bytearray(clip))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = d.mapInPandas(_render, schema="doc_id bigint, payload binary")
+    from .sources.multimodal import sample_frames
+
+    out = sample_frames(blobs, every_k=2)
+    return out.select(
+        "doc_id", "frame_idx", "n_frames", "format", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

@@ -293,3 +293,96 @@ def decode_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFr
             yield pd.DataFrame(rows, columns=_AUDIO_COLS)
 
     return df.mapInPandas(_decode, schema=AUDIO_SCHEMA)
+
+
+# --- video modality (multi-frame container + frame sampling) ----------------
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_frames int, format string, "
+    "width int, height int, mean_r double, mean_g double, mean_b double"
+)
+
+
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 'video' container into its frame payloads.
+    P6 frames are self-delimiting (header gives exact pixel-array length),
+    so the container needs no index — the format a pipeline gets when
+    frames are dumped back-to-back."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        if payload[pos:pos + 2] != b"P6":
+            raise ValueError(f"bad frame magic at offset {pos}")
+        # reuse the header tokenizer by decoding just this frame's header
+        scan, fields = pos + 2, []
+        while len(fields) < 3:
+            while scan < len(payload) and payload[scan:scan + 1].isspace():
+                scan += 1
+            if payload[scan:scan + 1] == b"#":
+                while scan < len(payload) and payload[scan] != 0x0A:
+                    scan += 1
+                continue
+            start = scan
+            while scan < len(payload) and not payload[scan:scan + 1].isspace():
+                scan += 1
+            fields.append(int(payload[start:scan]))
+        w, h, _ = fields
+        end = scan + 1 + w * h * 3
+        if end > len(payload):
+            raise ValueError("truncated frame")
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+def sample_frames(
+    df: DataFrame, every_k: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas frame-sampling stage: (doc_id, payload) → one row per
+    SAMPLED frame (every k-th, always including frame 0) with per-frame
+    content statistics. The container is split and decoded executor-side;
+    unsampled frames are never decoded — at 100 TB the decode budget is
+    the bottleneck and sampling must happen before it, not after."""
+
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                frames = split_ppm_stream(bytes(payload))
+                for i in range(0, len(frames), every_k):
+                    meta = _decode_ppm(frames[i])
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "n_frames": len(frames),
+                            "format": meta["format"],
+                            "width": meta["width"],
+                            "height": meta["height"],
+                            "mean_r": meta["mean_r"],
+                            "mean_g": meta["mean_g"],
+                            "mean_b": meta["mean_b"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "format", "width",
+                    "height", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def encode_ppm(width: int, height: int, pixel_fn) -> bytes:
+    """Minimal P6 writer (test-vector generator, inverse of _decode_ppm)."""
+    body = bytearray()
+    for y in range(height):
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            body += bytes((r, g, b))
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(body)

@@ -155,3 +155,45 @@ def test_audio_decode_query_runs(spark, sf_dir):
         # square wave: rms == amplitude/32768 exactly
         amp = (r["doc_id"] % 20000) + 4000
         assert abs(r["rms"] - amp / 32768) < 1e-6
+
+
+# --- video (concatenated PPM frames) ----------------------------------------
+
+
+def test_ppm_stream_split_and_sample_exact(spark):
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_ppm,
+        encode_ppm,
+        split_ppm_stream,
+    )
+
+    # 5 frames, 2x2, frame f has constant color (f*50, 10, 20)
+    clip = b"".join(
+        encode_ppm(2, 2, lambda x, y, f=f: (f * 50, 10, 20)) for f in range(5)
+    )
+    frames = split_ppm_stream(clip)
+    assert len(frames) == 5
+    for f, payload in enumerate(frames):
+        meta = _decode_ppm(payload)
+        assert (meta["width"], meta["height"]) == (2, 2)
+        assert meta["mean_r"] == f * 50
+        assert meta["mean_g"] == 10
+        assert meta["mean_b"] == 20
+
+
+def test_frame_sample_query_runs(spark, sf_dir):
+    from seoul_big_data_spark.queries import QUERIES
+
+    rows = QUERIES["multimodal_frame_sample"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 500
+    for doc_id, frames in list(by_doc.items())[:30]:
+        n_frames = (doc_id % 5) + 2
+        want_idx = list(range(0, n_frames, 2))
+        assert sorted(r["frame_idx"] for r in frames) == want_idx
+        for r in frames:
+            assert r["n_frames"] == n_frames
+            # frame f is (f*40 % 256, ...) on the red channel
+            assert r["mean_r"] == (r["frame_idx"] * 40) % 256
