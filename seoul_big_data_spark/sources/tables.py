@@ -32,21 +32,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one test table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects by default; it is read as raw nanos
-    (``nanosAsLong``) and converted to a microsecond timestamp — the engine's
-    canonical event-time type (sub-microsecond precision is below every
-    window/session granularity used here).
+    ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS) (read as
+    raw nanos via ``nanosAsLong`` and converted) or TIMESTAMP(MICROS)
+    (read natively as TIMESTAMP_NTZ); both normalize to the session-zone
+    microsecond timestamp — the engine's canonical event-time type
+    (sub-microsecond precision is below every window/session granularity
+    used here, and the session zone is pinned UTC so NTZ→LTZ is
+    value-identity).
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        else:
+            ts = F.col("ts").cast("timestamp")
+        return df.withColumn("ts", ts)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
