@@ -356,6 +356,10 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
+        # The convergence flag rides the update itself: comparing new vs old
+        # label inside the same projection folds the convergence check into
+        # the checkpoint materialization — one job per iteration, not a
+        # second join-and-count over the previous state.
         updated = (
             labels.join(neighbor_min, labels.vid == neighbor_min.u, "left")
             .select(
@@ -363,17 +367,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "vid")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
         if changed == 0:
             break
     return labels.select(F.col("vid").alias(id_col), F.col("label").alias("component"))

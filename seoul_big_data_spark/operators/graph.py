@@ -44,12 +44,17 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # Degree is loop-invariant: attach it to the edge list ONCE so each
+    # iteration is one join + one aggregate instead of two joins. The
+    # division stays inside the loop (rank/deg, not rank * precomputed
+    # 1/deg) so the floating-point stream is identical to the textbook
+    # form the oracle unrolls.
+    ew = e.join(outdeg, "src").localCheckpoint()
     ranks = v.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(iterations):
         contrib = (
-            e.join(ranks, e.src == ranks.id)
-            .join(outdeg, "src")
+            ew.join(ranks, ew.src == ranks.id)
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
