@@ -80,6 +80,12 @@ EXTENDED = [
     "graph_pagerank_neardup",
     "embedding_pq_codes",
     "similarity_pq_adc",
+    "text_bm25_top_terms",
+    "join_fuzzy_blocked",
+    "events_incremental_rollup",
+    "events_asof_nearest",
+    "events_rolling_median_24h",
+    "sample_train_val_test_split",
 ]
 
 

@@ -122,3 +122,115 @@ def asof_join(
         ],
     ).filter(F.col("_side") == 1)
     return filled.select(*left.columns, *[f"asof_{c}" for c in right_cols])
+
+
+def blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_left: Column,
+    block_right: Column,
+    verify: Column,
+) -> DataFrame:
+    """Approximate-string (record-linkage) join: equi-join on a cheap
+    blocking key, then the expensive verifier (edit distance, similarity)
+    runs only inside each block — never as a cross product.
+
+    This is the canonical entity-resolution shape: the blocking key turns
+    the quadratic fuzzy join into a hash equi-join whose cost is
+    Σ|block|² bounded by the largest block, and AQE's skew-join splitting
+    handles a hot block the same way it handles any skewed key. Pick the
+    key so true matches agree on it (phonetic code, sorted token prefix,
+    length band); recall is bounded by that agreement, which is the
+    documented trade of every blocking scheme.
+    """
+    lt = left.withColumn("_blk", block_left)
+    rt = right.withColumn("_blk", block_right)
+    return lt.join(rt, "_blk").filter(verify).drop("_blk")
+
+
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of join with direction and tolerance (the full asof surface:
+    backward = latest right at-or-before, forward = earliest right
+    at-or-after, nearest = whichever is closer, ties backward; a tolerance
+    nulls out matches farther than the bound).
+
+    Same union-and-window shape as ``asof_join`` — one shuffle on ``key``,
+    linear scan per key, no cross product — so every direction survives a
+    100x scale-up identically. The right payload travels as ONE struct so
+    the filled columns always come from the same right row (per-column
+    fills could mix rows if payload columns were independently null). The
+    matched timestamp rides in the struct, which is what makes tolerance
+    and nearest-selection pure column arithmetic after the window pass.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"bad direction: {direction}")
+    payload = F.struct(
+        F.col("_r_ts").alias("_ts"),
+        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+    )
+    lt = (
+        left.withColumn("_ts", F.col(left_ts).cast("timestamp"))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_k", F.col(key))
+    )
+    rsel = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).cast("timestamp").alias("_ts"),
+        F.col(right_ts).cast("timestamp").alias("_r_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    unioned = rsel.unionByName(lt, allowMissingColumns=True).withColumn(
+        "_p", F.when(F.col("_side") == 0, payload)
+    )
+    w_back = Window.partitionBy("_k").orderBy("_ts", "_side").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    cols = []
+    if direction in ("backward", "nearest"):
+        cols.append(F.last("_p", ignorenulls=True).over(w_back).alias("_pb"))
+    if direction in ("forward", "nearest"):
+        cols.append(F.first("_p", ignorenulls=True).over(w_fwd).alias("_pf"))
+    filled = unioned.select("*", *cols).filter(F.col("_side") == 1)
+    if direction == "backward":
+        chosen = F.col("_pb")
+    elif direction == "forward":
+        chosen = F.col("_pf")
+    else:
+        back_d = F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_pb._ts"))
+        fwd_d = F.unix_micros(F.col("_pf._ts")) - F.unix_micros(F.col("_ts"))
+        chosen = (
+            F.when(F.col("_pb").isNull(), F.col("_pf"))
+            .when(F.col("_pf").isNull(), F.col("_pb"))
+            .when(back_d <= fwd_d, F.col("_pb"))
+            .otherwise(F.col("_pf"))
+        )
+    out = filled.withColumn("_sel", chosen)
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds * 1_000_000)
+        within = (
+            F.abs(
+                F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_sel._ts"))
+            )
+            <= F.lit(tol_us)
+        )
+        out = out.withColumn("_sel", F.when(within, F.col("_sel")))
+    return out.select(
+        *left.columns,
+        F.col("_sel._ts").alias("asof_ts"),
+        *[F.col(f"_sel.{c}").alias(f"asof_{c}") for c in right_cols],
+    )

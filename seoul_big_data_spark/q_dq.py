@@ -338,3 +338,44 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2.5)
         .select("o_custkey", "spend", F.round(z, 4).alias("robust_z"))
     )
+
+
+@query(
+    "sample_train_val_test_split",
+    """
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM assigned GROUP BY split, source
+    """,
+)
+def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split keyed on md5(doc_id):
+    the row's own key decides its split, so assignment is identical under
+    any partitioning, engine, retry, or incremental backfill — documents
+    added later NEVER migrate existing rows between splits (a rand(seed)
+    split reshuffles on every layout change, silently leaking val into
+    train). Byte thresholds 0xcc/0xe6 give 204/26/26 of 256. Pure map-side
+    assignment; the only shuffle is the reporting aggregate."""
+    d = load(spark, "documents", sf_dir)
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "source", split.alias("split"))
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -603,3 +603,181 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "events_incremental_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the hourly rollup is materialized
+    from TWO increments — the base load and a late-arriving batch (the last
+    three days of events) — via mergeable partial aggregates
+    (operators/rollup.py). The oracle recomputes the same rollup from
+    scratch over all events: merge(partial(base), partial(late)) must land
+    on identical bytes, which the exact-decimal sum guarantees regardless
+    of increment count or association order."""
+    from .operators.rollup import merge_rollups, partial_rollup
+
+    e = load(spark, "events", sf_dir).select(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type", "value"
+    )
+    cutoff = e.groupBy().agg(
+        F.date_sub(F.max("hour_start"), 3).alias("c")
+    ).collect()[0]["c"]
+    base = e.filter(F.col("hour_start").cast("date") < F.lit(cutoff))
+    late = e.filter(F.col("hour_start").cast("date") >= F.lit(cutoff))
+    keys = ["hour_start", "event_type"]
+    merged = merge_rollups(
+        partial_rollup(base, keys, "value"), partial_rollup(late, keys, "value")
+    )
+    return merged.select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@query(
+    "events_asof_nearest",
+    """
+    WITH u AS (
+      SELECT user_id, ts, 1 AS side, event_id,
+             CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, 0 AS side, CAST(NULL AS BIGINT), event_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ), f AS (
+      SELECT user_id, ts, side, event_id,
+             last_value(p_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS UNBOUNDED PRECEDING) AS b_id,
+             last_value(p_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS UNBOUNDED PRECEDING) AS b_ts,
+             first_value(p_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side DESC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_id,
+             first_value(p_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side DESC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_ts
+      FROM u
+    ), sel AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN b_ts IS NULL THEN f_id
+                  WHEN f_ts IS NULL THEN b_id
+                  WHEN epoch_us(ts) - epoch_us(b_ts)
+                       <= epoch_us(f_ts) - epoch_us(ts) THEN b_id
+                  ELSE f_id END AS n_id,
+             CASE WHEN b_ts IS NULL THEN f_ts
+                  WHEN f_ts IS NULL THEN b_ts
+                  WHEN epoch_us(ts) - epoch_us(b_ts)
+                       <= epoch_us(f_ts) - epoch_us(ts) THEN b_ts
+                  ELSE f_ts END AS n_ts
+      FROM f WHERE side = 1
+    )
+    SELECT event_id, user_id,
+           CASE WHEN abs(epoch_us(ts) - epoch_us(n_ts)) <= 3600000000
+                THEN n_id END AS asof_event_id,
+           CASE WHEN abs(epoch_us(ts) - epoch_us(n_ts)) <= 3600000000
+                THEN CAST(epoch_us(ts) - epoch_us(n_ts) AS BIGINT)
+           END AS diff_us
+    FROM sel
+    """,
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST with a 1-hour tolerance: for each error event, the
+    closest purchase of the same user in either direction (ties backward),
+    nulled when farther than the tolerance
+    (operators/joins.py::asof_join_directional). Same one-shuffle
+    union-and-window scan as the backward form — direction and tolerance
+    are pure column arithmetic on top."""
+    from .operators.joins import asof_join_directional
+
+    e = load(spark, "events", sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts"
+    )
+    out = asof_join_directional(
+        errors,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["p_event_id"],
+        direction="nearest",
+        tolerance_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_p_event_id").alias("asof_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("diff_us"),
+    )
+
+
+@query(
+    "events_rolling_median_24h",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, value, epoch_us(ts) AS tus FROM events
+    ), c AS (
+      SELECT event_id, user_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY tus
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+             ) AS arr
+      FROM t
+    )
+    SELECT event_id, user_id,
+           round(CASE WHEN len(arr) % 2 = 1
+                      THEN list_sort(arr)[(len(arr) + 1) // 2]
+                      ELSE (list_sort(arr)[len(arr) // 2]
+                            + list_sort(arr)[len(arr) // 2 + 1]) / 2.0
+                 END, 6) AS med_24h
+    FROM c
+    """,
+)
+def events_rolling_median_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-24h rolling median per user: RANGE frame over the
+    event-time axis collects the window's values, the median is pure array
+    arithmetic (sort + midpoint, even windows interpolated). One shuffle on
+    user_id; state per row is the trailing window — O(rate x horizon), the
+    same bound the streaming watermark layer guarantees. Exact where
+    percentile_approx is not: both engines compute the identical
+    sorted-midpoint convention, pinned by the hash match."""
+    e = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return e.select(
+        "event_id", "user_id", F.round(med, 6).alias("med_24h")
+    )

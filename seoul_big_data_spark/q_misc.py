@@ -834,3 +834,46 @@ def layout_morton_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zcode"
         ),
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             list_extract(string_split(p_name, ' '), -1) AS blk
+      FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage self-join over part names: block on the final token
+    (the head noun), verify with levenshtein <= 2 inside each block —
+    Σ|block|² work instead of the |part|² cross product
+    (operators/joins.py::blocked_fuzzy_join)."""
+    from .operators.joins import blocked_fuzzy_join
+
+    p = load(spark, "part", sf_dir).select("p_partkey", "p_name")
+    blk = F.element_at(F.split(F.col("p_name"), " "), -1)
+    a = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a")
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    out = blocked_fuzzy_join(
+        a,
+        b,
+        F.element_at(F.split(F.col("name_a"), " "), -1),
+        F.element_at(F.split(F.col("name_b"), " "), -1),
+        (F.col("id_a") < F.col("id_b")) & (dist <= 2),
+    )
+    return out.select(
+        "id_a", "id_b", "name_a", "name_b", dist.cast("int").alias("dist")
+    )

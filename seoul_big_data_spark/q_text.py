@@ -780,3 +780,78 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("seq_id"),
     )
+
+
+@query(
+    "text_bm25_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST((SELECT count(*) FROM toks) AS DOUBLE)
+               / count(*) AS avgdl
+      FROM documents
+    )
+    SELECT doc_id, token, round(score, 6) AS bm25, rk FROM (
+      SELECT t.doc_id, t.token,
+             ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / n.avgdl)) AS score,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                          * (t.tf * 2.2)
+                          / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / n.avgdl))
+                        DESC, t.token
+             ) AS rk
+      FROM tf t
+      JOIN df d ON t.token = d.token
+      JOIN dl l ON t.doc_id = l.doc_id
+      CROSS JOIN n
+    ) WHERE rk <= 3
+    """,
+)
+def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — BM25 (k1=1.2, b=0.75, Lucene's +1 idf) top-3 terms per document.
+
+    Same two-aggregation shape as ``text_tfidf_top_terms`` plus the
+    per-document length join: term frequencies shuffle once on
+    (doc_id, token), document lengths once on doc_id; the document-frequency
+    table is token-vocabulary-sized and broadcast. ``n_docs``/``avgdl`` are
+    scalars (one aggregate, driver-sized). The BM25 expression is written
+    with the same operation order on both engines so the 6-decimal rounding
+    is stable cross-engine."""
+    d = load(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    stats = d.groupBy().agg(F.count("*").alias("n")).collect()[0]
+    n_docs = float(stats["n"])
+    total = toks.groupBy().agg(F.count("*").alias("t")).collect()[0]["t"]
+    avgdl = float(total) / n_docs
+    score = (
+        F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avgdl)))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("token"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", F.round(score, 6).alias("bm25"), "rk")
+    )

@@ -1,0 +1,90 @@
+"""asof_join_directional semantics on hand-built frames: direction,
+tolerance, coincident timestamps, no-match nulls, and struct row-consistency
+(filled payload columns always come from the same right row)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from seoul_big_data_spark.operators.joins import asof_join_directional
+
+
+def _ts(minute):
+    return dt.datetime(2026, 1, 1, 12, minute, 0)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts(10)), (2, "k", _ts(30)), (3, "k", _ts(50)), (4, "solo", _ts(10))],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(10), 100, "a"), ("k", _ts(29), 290, "b"), ("k", _ts(31), 310, None)],
+        "k string, ts timestamp, val int, tag string",
+    )
+    return left, right
+
+
+def _by_lid(df):
+    return {r["lid"]: r for r in df.collect()}
+
+
+def test_backward(spark):
+    left, right = _frames(spark)
+    out = _by_lid(
+        asof_join_directional(
+            left, right, "k", "ts", "ts", ["val", "tag"], direction="backward"
+        )
+    )
+    assert out[1]["asof_val"] == 100  # coincident ts matches
+    assert out[2]["asof_val"] == 290
+    assert out[3]["asof_val"] == 310
+    # row-consistency: lid=3's payload row is (310, None) — tag must be the
+    # SAME row's null, not an earlier row's non-null 'b'
+    assert out[3]["asof_tag"] is None
+    assert out[4]["asof_val"] is None  # no right rows for this key
+
+
+def test_forward(spark):
+    left, right = _frames(spark)
+    out = _by_lid(
+        asof_join_directional(
+            left, right, "k", "ts", "ts", ["val"], direction="forward"
+        )
+    )
+    assert out[1]["asof_val"] == 100  # coincident ts matches forward too
+    assert out[2]["asof_val"] == 310  # earliest at-or-after 12:30
+    assert out[3]["asof_val"] is None  # nothing after 12:50
+    assert out[4]["asof_val"] is None
+
+
+def test_nearest_ties_backward(spark):
+    left, right = _frames(spark)
+    out = _by_lid(
+        asof_join_directional(
+            left, right, "k", "ts", "ts", ["val"], direction="nearest"
+        )
+    )
+    # 12:30 is 1 min after 12:29 and 1 min before 12:31 — tie goes backward
+    assert out[2]["asof_val"] == 290
+    assert out[1]["asof_val"] == 100
+    assert out[3]["asof_val"] == 310
+
+
+def test_tolerance_nulls_far_matches(spark):
+    left, right = _frames(spark)
+    out = _by_lid(
+        asof_join_directional(
+            left,
+            right,
+            "k",
+            "ts",
+            "ts",
+            ["val"],
+            direction="backward",
+            tolerance_seconds=120,
+        )
+    )
+    assert out[2]["asof_val"] == 290  # 1 min back — inside tolerance
+    assert out[3]["asof_val"] is None  # 19 min back — outside
+    assert out[3]["asof_ts"] is None

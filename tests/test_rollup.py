@@ -1,0 +1,49 @@
+"""Incremental rollup maintenance: merge(partial(A), partial(B)) must be
+byte-identical to partial(A ∪ B), associatively, for any split of the fact
+rows — the property that makes late-data maintenance equal to recompute."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seoul_big_data_spark.operators.rollup import merge_rollups, partial_rollup
+from seoul_big_data_spark.sources.tables import load
+
+KEYS = ["event_type"]
+
+
+def _rows(df):
+    return sorted(
+        (r["event_type"], r["n"], str(r["sum_value"]), r["min_value"], r["max_value"])
+        for r in df.collect()
+    )
+
+
+def test_merge_equals_full_recompute(spark, sf_dir):
+    e = load(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    full = partial_rollup(e, KEYS, "value")
+    a = e.filter(F.col("event_id") % 3 == 0)
+    b = e.filter(F.col("event_id") % 3 == 1)
+    c = e.filter(F.col("event_id") % 3 == 2)
+    pa, pb, pc = (partial_rollup(x, KEYS, "value") for x in (a, b, c))
+    merged = merge_rollups(pa, pb, pc)
+    assert _rows(merged) == _rows(full)
+
+
+def test_merge_associative_and_idempotent_shape(spark, sf_dir):
+    e = load(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    a = e.filter(F.col("event_id") % 2 == 0)
+    b = e.filter(F.col("event_id") % 2 == 1)
+    pa, pb = partial_rollup(a, KEYS, "value"), partial_rollup(b, KEYS, "value")
+    left = merge_rollups(merge_rollups(pa, pb), partial_rollup(e.limit(0), KEYS, "value"))
+    right = merge_rollups(pa, merge_rollups(pb))
+    assert _rows(left) == _rows(right)
+    # merging a single partial is the identity
+    assert _rows(merge_rollups(pa)) == _rows(pa)
+
+
+def test_empty_increment_is_identity(spark, sf_dir):
+    e = load(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    p = partial_rollup(e, KEYS, "value")
+    empty = partial_rollup(e.filter(F.lit(False)), KEYS, "value")
+    assert _rows(merge_rollups(p, empty)) == _rows(p)
