@@ -86,6 +86,11 @@ EXTENDED = [
     "events_asof_nearest",
     "events_rolling_median_24h",
     "sample_train_val_test_split",
+    "stats_winsorize_acctbal",
+    "stats_chi2_priority_status",
+    "stats_source_entropy_by_lang",
+    "agg_equidepth_deciles",
+    "events_attribution_first_touch",
 ]
 
 

@@ -781,3 +781,65 @@ def events_rolling_median_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", F.round(med, 6).alias("med_24h")
     )
+
+
+@query(
+    "events_attribution_first_touch",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tus
+      FROM events
+    ), g AS (
+      SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ), s AS (
+      SELECT *, sum(new_sess) OVER (
+        PARTITION BY user_id ORDER BY tus, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ), f AS (
+      SELECT *, first_value(event_type) OVER (
+        PARTITION BY user_id, session_id ORDER BY tus, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch
+      FROM s
+    )
+    SELECT first_touch, CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS attributed_value
+    FROM f WHERE event_type = 'purchase'
+    GROUP BY first_touch
+    """,
+)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase is credited to the event type
+    that OPENED its session (30-min inactivity gap). Sessionize with the
+    lag/cumsum windows, take first_value per session, aggregate purchases by
+    that first touch — all three windows share one shuffle on user_id (same
+    partitioning), then one bucket-sized aggregate. The standard marketing
+    attribution kernel, exact and deterministic under timestamp ties
+    ((ts, event_id) total order)."""
+    e = load(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    s = e.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wf = Window.partitionBy("user_id", "session_id").orderBy(
+        "tus", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    f = s.withColumn("first_touch", F.first("event_type").over(wf))
+    return (
+        f.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )

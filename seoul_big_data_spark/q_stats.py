@@ -411,3 +411,168 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.75)"), 2).alias("p75"),
         F.round(F.expr("percentile(l_quantity, 0.9)"), 2).alias("p90"),
     )
+
+
+@query(
+    "stats_winsorize_acctbal",
+    """
+    WITH b AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.05) AS lo,
+             quantile_cont(c_acctbal, 0.95) AS hi
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           round(CASE WHEN c.c_acctbal < b.lo THEN b.lo
+                      WHEN c.c_acctbal > b.hi THEN b.hi
+                      ELSE c.c_acctbal END, 2) AS bal_winsor,
+           CAST(c.c_acctbal < b.lo OR c.c_acctbal > b.hi AS BOOLEAN) AS clipped
+    FROM customer c JOIN b ON c.c_mktsegment = b.c_mktsegment
+    """,
+)
+def stats_winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clamping) at exact per-group 5th/95th
+    percentiles: one percentile aggregate per segment (group-count-sized,
+    broadcast back), then a pure map-side clamp over the fact — the robust
+    preprocessing step for spend features. Exact `percentile` matches
+    DuckDB's quantile_cont interpolation (pinned by agg_percentile_exact)."""
+    c = load(spark, "customer", sf_dir)
+    b = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("lo"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("hi"),
+    )
+    j = c.join(F.broadcast(b), "c_mktsegment")
+    clamped = (
+        F.when(F.col("c_acctbal") < F.col("lo"), F.col("lo"))
+        .when(F.col("c_acctbal") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("c_acctbal"))
+    )
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(clamped, 2).alias("bal_winsor"),
+        (
+            (F.col("c_acctbal") < F.col("lo"))
+            | (F.col("c_acctbal") > F.col("hi"))
+        ).alias("clipped"),
+    )
+
+
+@query(
+    "stats_chi2_priority_status",
+    """
+    WITH obs AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ), rowm AS (
+      SELECT pri, sum(o) AS rt FROM obs GROUP BY pri
+    ), colm AS (
+      SELECT st, sum(o) AS ct FROM obs GROUP BY st
+    ), n AS (
+      SELECT sum(o) AS n FROM obs
+    )
+    SELECT round(sum(
+             (obs.o - rowm.rt * colm.ct * 1.0 / n.n)
+             * (obs.o - rowm.rt * colm.ct * 1.0 / n.n)
+             / (rowm.rt * colm.ct * 1.0 / n.n)
+           ), 6) AS chi2,
+           CAST((count(DISTINCT obs.pri) - 1)
+                * (count(DISTINCT obs.st) - 1) AS BIGINT) AS dof
+    FROM obs JOIN rowm ON obs.pri = rowm.pri
+             JOIN colm ON obs.st = colm.st
+             CROSS JOIN n
+    """,
+)
+def stats_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence over the priority x status
+    contingency table: observed cells from one aggregate, marginals from two
+    more (all cell-count-sized, broadcast), the statistic from a final
+    single-row aggregate — categorical drift/association detection with
+    zero fact-table re-scans."""
+    o = load(spark, "orders", sf_dir)
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count("*").alias("o"))
+    rowm = obs.groupBy("pri").agg(F.sum("o").alias("rt"))
+    colm = obs.groupBy("st").agg(F.sum("o").alias("ct"))
+    n = obs.groupBy().agg(F.sum("o").alias("n"))
+    exp = F.col("rt") * F.col("ct") * 1.0 / F.col("n")
+    return (
+        obs.join(F.broadcast(rowm), "pri")
+        .join(F.broadcast(colm), "st")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(
+                F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 6
+            ).alias("chi2"),
+            (
+                (F.count_distinct("pri") - 1) * (F.count_distinct("st") - 1)
+            ).alias("dof"),
+        )
+    )
+
+
+@query(
+    "stats_source_entropy_by_lang",
+    """
+    WITH c AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+    ), t AS (
+      SELECT lang, sum(n) AS tot FROM c GROUP BY lang
+    )
+    SELECT c.lang,
+           round(-sum((c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot)), 6)
+             AS source_entropy,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM c JOIN t ON c.lang = t.lang
+    GROUP BY c.lang
+    """,
+)
+def stats_source_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-diversity metric for corpus curation: Shannon entropy of the
+    source distribution within each language — the number every data-mixture
+    rebalancing loop watches. Two bucket-sized aggregates; nothing touches
+    the documents twice."""
+    d = load(spark, "documents", sf_dir)
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    t = c.groupBy("lang").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "lang")
+        .groupBy("lang")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("source_entropy"),
+            F.count("*").alias("n_sources"),
+        )
+    )
+
+
+@query(
+    "agg_equidepth_deciles",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+    FROM t GROUP BY decile
+    """,
+)
+def agg_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram: ntile deciles with a total
+    order (value, key) so bucket membership is deterministic under ties.
+    The global window is the oracle-exact form; at 100 TB the same
+    boundaries come from approx_percentile(p=0..1) + a map-side bucket
+    lookup — the window here doubles as that path's verification twin."""
+    o = load(spark, "orders", sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return t.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

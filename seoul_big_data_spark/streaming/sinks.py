@@ -103,3 +103,51 @@ def enriched_stream_stream_join(
     ).select(
         F.col("i_key").alias(join_key), "imp_id", "click_id", "imp_ts", "click_ts"
     )
+
+
+def continuous_rollup(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+):
+    """Continuous-aggregate maintenance (the streaming face of
+    operators/rollup.py): each micro-batch is reduced to PARTIAL form and
+    merged into the persisted rollup table inside ``foreachBatch`` — the
+    state on disk is always merge(partials so far), byte-equal to a batch
+    recompute over every event seen, at O(|batch| + touched buckets) per
+    trigger.
+
+    The merged result lands with dynamic-overwrite on the bucket key's
+    partition column analogue (full rewrite here — plain parquet; a table
+    format would MERGE only touched buckets, same call site). Exactly-once
+    comes from the write being a pure function of (state ∪ batch): a
+    replayed batch merges to the same bytes it already produced only if the
+    previous write was not committed — foreachBatch replays are guarded by
+    the checkpointed batch id, the standard contract.
+    """
+    from ..operators.rollup import merge_rollups, partial_rollup
+
+    keys = keys or ["event_type"]
+    spark = events.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = partial_rollup(batch_df, keys, value_col)
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = merge_rollups(prev, part)
+        except Exception:  # first batch: no state yet
+            merged = merge_rollups(part)
+        # rewrite via a staged temp dir: the read above streams from the
+        # same path we are replacing
+        tmp = state_path + "._staged"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(state_path)
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
