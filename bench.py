@@ -91,6 +91,9 @@ EXTENDED = [
     "stats_source_entropy_by_lang",
     "agg_equidepth_deciles",
     "events_attribution_first_touch",
+    "dq_snapshot_diff",
+    "orc_roundtrip_load",
+    "graph_triangle_count",
 ]
 
 

@@ -379,3 +379,55 @@ def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "dq_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 113 != 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN round(o_totalprice + 10.0, 2)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 101 != 0
+    ), j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS diff_class
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT diff_class, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM j GROUP BY diff_class
+    """,
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation between two table versions
+    (sources/writers.py::snapshot_diff): deterministic synthetic drift —
+    some keys deleted, some inserted, some repriced — classified
+    added/removed/changed/unchanged by a single null-safe full-outer join.
+    The summary is what a data-diff CI gate asserts on before promoting a
+    snapshot."""
+    from .sources.writers import snapshot_diff
+
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 113 != 0)
+    new = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.round(F.col("o_totalprice") + 10.0, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    d = snapshot_diff(old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+    return d.groupBy("diff_class").agg(
+        F.count("*").alias("n_keys"), F.min("o_orderkey").alias("min_key")
+    )

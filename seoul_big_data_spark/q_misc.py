@@ -877,3 +877,49 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", "name_a", "name_b", dist.cast("int").alias("dist")
     )
+
+
+@query(
+    "orc_roundtrip_load",
+    """
+    WITH sample AS (
+      SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey % 11 = 0
+    )
+    SELECT l_returnflag,
+           count(*) AS n_loaded,
+           CAST(min(l_orderkey) AS BIGINT) AS min_key,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS price_sum
+    FROM sample GROUP BY l_returnflag
+    """,
+)
+def orc_roundtrip_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-adjacent source format: ORC sink + scan round trip (the third
+    columnar interchange format after parquet and CSV/JSON). A deterministic
+    lineitem subset is written as ORC and read back; predicate/column
+    pruning work the same as parquet (shown by plan_audit's ReadSchema
+    checks there). Decimal money aggregates keep the result exact and
+    engine-independent; the oracle aggregates the same subset straight from
+    parquet — the round trip must be lossless."""
+    import os
+    import tempfile
+
+    li = load(spark, "lineitem", sf_dir)
+    sample = li.filter(F.col("l_orderkey") % 11 == 0).select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), "seoul_orc_roundtrip")
+    sample.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_loaded"),
+        F.min("l_orderkey").alias("min_key"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("qty_sum"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("price_sum"),
+    )

@@ -855,3 +855,61 @@ def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", F.round(score, 6).alias("bm25"), "rk")
     )
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges
+    FROM edges x
+    JOIN edges y ON x.id_b = y.id_a
+    JOIN edges z ON x.id_a = z.id_a AND y.id_b = z.id_b
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-dup similarity graph — the clustering
+    cohesion metric (a triangle-dense component is a true duplicate clique;
+    a star is one template touching many docs). Edges are already oriented
+    (id_a < id_b), so each triangle is counted exactly once by the standard
+    two-join wedge-closure: edges ⋈ edges on the middle vertex, closed
+    against edges on the outer pair. Both joins are hash equi-joins on
+    vertex keys — at 100 TB this is the degree-ordered triangle algorithm,
+    no enumeration ever leaves the join."""
+    d = load(spark, "documents", sf_dir)
+    e = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3).select(
+        "id_a", "id_b"
+    ).localCheckpoint()
+    x = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    y = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    z = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = x.join(y, "b").join(z, ["a", "c"])
+    n_edges = e.count()
+    return tri.groupBy().agg(
+        F.count("*").alias("n_triangles"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+    )

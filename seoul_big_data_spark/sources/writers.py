@@ -206,3 +206,45 @@ def scd2_apply(
     return hist.unionByName(closed).unionByName(deleted_keep).unionByName(
         unchanged
     ).unionByName(opened)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Table-version diff (the data-diff / reconciliation kernel): classify
+    every key as added / removed / changed / unchanged between two
+    snapshots, with null-safe per-column comparison.
+
+    One full-outer join on the key — bucket both snapshots on it at 100 TB
+    and the diff is exchange-free; the per-column comparisons are codegen'd
+    expressions, so cost is one co-located scan of both versions. Returns
+    (key, diff_class, n_cols_changed)."""
+    o = old.select(
+        F.col(key).alias("_o_key"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key).alias("_n_key"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, o["_o_key"] == n["_n_key"], "full_outer")
+    changed_cols = sum(
+        (~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))).cast("int")
+        for c in compare_cols
+    )
+    cls = (
+        F.when(F.col("_o_key").isNull(), "added")
+        .when(F.col("_n_key").isNull(), "removed")
+        .when(changed_cols > 0, "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.coalesce(F.col("_o_key"), F.col("_n_key")).alias(key),
+        cls.alias("diff_class"),
+        F.when(
+            F.col("_o_key").isNotNull() & F.col("_n_key").isNotNull(),
+            changed_cols,
+        )
+        .otherwise(F.lit(0))
+        .alias("n_cols_changed"),
+    )

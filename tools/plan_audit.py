@@ -81,9 +81,25 @@ CHECKS = {
     "events_session_busy_overlap": ["BroadcastHashJoin", "Window"],
     # int8 quantization rides the scan: project + generate only, no shuffle
     "embedding_quantize_int8": ["Project"],
+    # third/fourth-batch additions
+    "text_bm25_top_terms": ["BroadcastHashJoin", "Window"],
+    "events_incremental_rollup": ["HashAggregate"],
+    "events_asof_nearest": ["Window"],
+    "events_rolling_median_24h": ["Window"],
+    "stats_winsorize_acctbal": ["BroadcastHashJoin"],
+    "stats_source_entropy_by_lang": ["BroadcastHashJoin", "HashAggregate"],
+    "agg_equidepth_deciles": ["Window", "HashAggregate"],
+    "events_attribution_first_touch": ["Window", "HashAggregate"],
+    "sample_train_val_test_split": ["HashAggregate"],
 }
 
 NEGATIVE_CHECKS = {
+    # blocked fuzzy join: the verifier must run inside hash-partitioned
+    # blocks, never as a nested-loop/cartesian theta join
+    "join_fuzzy_blocked": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    # directional as-of is union-and-window: any join node means the
+    # implementation regressed to a non-equi join
+    "events_asof_nearest": ["SortMergeJoin", "BroadcastNestedLoopJoin"],
     "events_range_join_banded": ["BroadcastNestedLoopJoin"],
     "dedup_span_exact": ["BroadcastNestedLoopJoin"],
     # single-pass q21: a LeftSemi would mean the EXISTS decorrelation
