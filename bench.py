@@ -94,6 +94,8 @@ EXTENDED = [
     "dq_snapshot_diff",
     "orc_roundtrip_load",
     "graph_triangle_count",
+    "events_session_window_builtin",
+    "events_cumulative_distinct_users",
 ]
 
 

@@ -843,3 +843,103 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "events_session_window_builtin",
+    """
+    WITH t AS (
+      SELECT user_id, value, epoch_us(ts) AS tus FROM events
+    ), g AS (
+      SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ), s AS (
+      SELECT *, sum(new_sess) OVER (
+        PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING
+      ) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           strftime(make_timestamp(min(tus)), '%Y-%m-%d %H:%M:%S')
+             AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (30-min inactivity gap) — the
+    engine primitive behind streaming sessionization, exercised in batch and
+    checked against the lag/cumsum reconstruction the oracle runs: both must
+    carve identical sessions. session_window aggregates by (key, merged
+    window) in one pass — no window-function shuffle chain — and the same
+    expression works under readStream + watermark unchanged
+    (streaming/structured.py)."""
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "events_cumulative_distinct_users",
+    """
+    WITH t AS (
+      SELECT event_type, user_id, epoch_us(ts) AS tus, event_id,
+             row_number() OVER (PARTITION BY event_type, user_id
+                                ORDER BY epoch_us(ts), event_id) AS occ
+      FROM events
+    ), f AS (
+      SELECT event_type, tus, event_id,
+             CASE WHEN occ = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM t
+    )
+    SELECT event_type, event_id,
+           CAST(sum(first_seen) OVER (
+             PARTITION BY event_type ORDER BY tus, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_users_so_far
+    FROM f
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative COUNT(DISTINCT) over an ordered window — not natively
+    expressible as a window aggregate in either engine; the standard
+    rewrite marks each (key, user)'s first occurrence with row_number, then
+    a running sum of first-occurrence flags gives the exact distinct count
+    at every row. Two windows over the SAME (event_type) shuffle; no
+    distinct state ever materializes beyond the flag bit — the
+    constant-memory trick that replaces a per-row distinct set at 100 TB."""
+    e = load(spark, "events", sf_dir).select(
+        "event_type", "user_id", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    w_occ = Window.partitionBy("event_type", "user_id").orderBy("tus", "event_id")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = e.withColumn("occ", F.row_number().over(w_occ))
+    f = t.withColumn(
+        "first_seen", F.when(F.col("occ") == 1, 1).otherwise(0)
+    )
+    return f.select(
+        "event_type",
+        "event_id",
+        F.sum("first_seen").over(w_cum).alias("distinct_users_so_far"),
+    )

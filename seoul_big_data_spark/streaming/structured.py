@@ -72,3 +72,29 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def session_rollup_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session aggregation on a stream: Spark's native
+    ``session_window`` merges overlapping gap-windows as events arrive and
+    the watermark closes sessions whose gap has definitively expired —
+    state per key is the set of OPEN sessions only, the bound that makes
+    unbounded-stream sessionization feasible. Identical expression to the
+    batch twin (`events_session_window_builtin`); parity is pinned in
+    tests/test_streaming_session.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
