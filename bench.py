@@ -96,6 +96,7 @@ EXTENDED = [
     "graph_triangle_count",
     "events_session_window_builtin",
     "events_cumulative_distinct_users",
+    "text_udtf_run_length",
 ]
 
 

@@ -913,3 +913,49 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_triangles"),
         F.lit(n_edges).cast("long").alias("n_edges"),
     )
+
+
+@query(
+    "text_udtf_run_length",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token,
+             generate_subscripts({_DUCK_TOKENS}, 1) AS idx
+      FROM documents WHERE doc_id % 20 = 0
+    ), marked AS (
+      SELECT doc_id, token, idx,
+             CASE WHEN lag(token) OVER w IS DISTINCT FROM token
+                  THEN 1 ELSE 0 END AS new_run
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+    ), runs AS (
+      SELECT doc_id, token, idx,
+             sum(new_run) OVER (PARTITION BY doc_id ORDER BY idx
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    )
+    SELECT doc_id, token,
+           CAST(min(idx) AS INTEGER) AS run_start,
+           CAST(count(*) AS INTEGER) AS run_len
+    FROM runs GROUP BY doc_id, token, run_id
+    """,
+)
+def text_udtf_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 UDTF surface — token run-length encoding as a lateral-joined
+    Python table function (operators/udtf_ops.py::TokenRunLength), checked
+    exactly against the declarative lag/cumsum run grouping the oracle
+    runs. One UDTF invocation per document row; the 1-in-20 document
+    subset keeps the deliberately-slow-path demonstration off the hot
+    loop."""
+    from .operators.udtf_ops import register_udtfs
+    from .session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    register_udtfs(spark)
+    d = load(spark, "documents", sf_dir).filter(F.col("doc_id") % 20 == 0)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.token, f.run_start, f.run_len
+        FROM _udtf_docs d, LATERAL token_run_length(d.text) f
+        """
+    )
