@@ -842,7 +842,7 @@ def layout_morton_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
       SELECT p_partkey, p_name,
              list_extract(string_split(p_name, ' '), -1) AS blk
-      FROM part
+      FROM part WHERE p_partkey % 5 = 0
     )
     SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
            a.p_name AS name_a, b.p_name AS name_b,
@@ -852,13 +852,22 @@ def layout_morton_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record-linkage self-join over part names: block on the final token
-    (the head noun), verify with levenshtein <= 2 inside each block —
-    Σ|block|² work instead of the |part|² cross product
-    (operators/joins.py::blocked_fuzzy_join)."""
+    """Record-linkage self-join over part names (deterministic 1-in-5
+    subset): block on the final token (the head noun), verify with
+    levenshtein <= 2 inside each block — Σ|block|² work instead of the
+    |part|² cross product (operators/joins.py::blocked_fuzzy_join). The
+    subset keeps the demonstration's block sizes honest: with only ~10
+    head nouns in the synthetic vocabulary, blocks grow O(N) and pair work
+    O(N²/nouns) — exactly the degenerate-blocking-key hazard the operator
+    docstring warns about; a production key (phonetic code, sorted-token
+    prefix) keeps blocks near-constant."""
     from .operators.joins import blocked_fuzzy_join
 
-    p = load(spark, "part", sf_dir).select("p_partkey", "p_name")
+    p = (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") % 5 == 0)
+        .select("p_partkey", "p_name")
+    )
     blk = F.element_at(F.split(F.col("p_name"), " "), -1)
     a = p.select(
         F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a")
