@@ -352,8 +352,12 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                             FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
                AS shingles
       FROM toks
-    ), ex AS (
+    ), ex0 AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), ex AS (
+      SELECT * FROM ex0 WHERE shingle NOT IN (
+        SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 25
+      )
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
     ), inter AS (
@@ -379,7 +383,10 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 — near-duplicate clustering: connected components over the exact
     3-shingle Jaccard (>= 0.3) similarity graph via iterative min-label
-    propagation (operators/dedup.py::connected_components). The iterative
+    propagation (operators/dedup.py::connected_components). Edges use the
+    skew-safe capped form (max_shingle_df=25 — the 100 TB shape; the
+    uncapped exact twin remains `dedup_ngram_jaccard`), and the oracle
+    applies the identical stop-shingle filter. The iterative
     DataFrame loop is checked against DuckDB's recursive-CTE transitive
     closure — the iterative-algorithm parity case (SURVEY.md §2.8 note).
 
@@ -388,7 +395,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     final CTE.
     """
     d = load(spark, "documents", sf_dir)
-    edges = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3)
+    edges = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3, max_shingle_df=25)
     return dedup.connected_components(
         d.select("doc_id"), edges, id_col="doc_id"
     ).select("doc_id", F.col("component").cast("long").alias("component"))
@@ -554,8 +561,12 @@ def text_chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                             FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
                AS shingles
       FROM toks
-    ), ex AS (
+    ), ex0 AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), ex AS (
+      SELECT * FROM ex0 WHERE shingle NOT IN (
+        SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 25
+      )
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
     ), inter AS (
@@ -613,7 +624,7 @@ def dedup_survivor_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the clustering; ties broken by doc_id so the survivor is
     deterministic."""
     d = load(spark, "documents", sf_dir)
-    edges = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3)
+    edges = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3, max_shingle_df=25)
     comp = dedup.connected_components(d.select("doc_id"), edges, id_col="doc_id")
     scored = d.select("doc_id", tx.quality_score("text").alias("quality"))
     joined = comp.join(scored, "doc_id").select(
@@ -645,8 +656,12 @@ def _pagerank_oracle_sql(iterations: int = 10, damping: float = 0.85) -> str:
                             FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
                AS shingles
       FROM toks
-    ), ex AS (
+    ), ex0 AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), ex AS (
+      SELECT * FROM ex0 WHERE shingle NOT IN (
+        SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 25
+      )
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
     ), inter AS (
@@ -704,7 +719,7 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order across engines differs at ~1e-15 per iteration, far
     inside the rounding."""
     d = load(spark, "documents", sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3)
+    pairs = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3, max_shingle_df=25)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -871,8 +886,12 @@ def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                             FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
                AS shingles
       FROM toks
-    ), ex AS (
+    ), ex0 AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), ex AS (
+      SELECT * FROM ex0 WHERE shingle NOT IN (
+        SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 25
+      )
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
     ), inter AS (
@@ -901,7 +920,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex keys — at 100 TB this is the degree-ordered triangle algorithm,
     no enumeration ever leaves the join."""
     d = load(spark, "documents", sf_dir)
-    e = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3).select(
+    e = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3, max_shingle_df=25).select(
         "id_a", "id_b"
     ).localCheckpoint()
     x = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
