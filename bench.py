@@ -97,6 +97,7 @@ EXTENDED = [
     "events_session_window_builtin",
     "events_cumulative_distinct_users",
     "text_udtf_run_length",
+    "similarity_ivf_pq_ann",
 ]
 
 

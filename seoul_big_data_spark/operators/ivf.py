@@ -223,3 +223,76 @@ def semantic_dedup_pairs(
         .filter(F.col("cos_raw") >= threshold)
         .select("cell", "id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed production ANN index — IVF coarse partitioning + PQ
+    compression, entirely as DataFrame ops (the Faiss IVF-PQ layout,
+    engine-side):
+
+    - corpus pass 1 (build): assign each vector its IVF cell AND its m-byte
+      PQ code; at scale this is written once, partitioned by cell — the
+      original float vectors never need to be read again.
+    - query (search): probe ``nprobe`` nearest cells (broadcast, exploded on
+      the query side), score candidates ASYMMETRICALLY — full-precision
+      query against the PQ reconstruction — per-query top-k window.
+
+    A probe therefore reads nprobe/k of the corpus at m bytes per vector
+    instead of 4·dim: with 8 cells, 3 probes and 32x PQ compression the
+    scan is ~85x smaller than brute force. Recall bounds vs exact are
+    pinned in tests/test_ivf_pq.py; nprobe=len(centroids) with identity
+    codebooks degrades to exact brute force.
+    """
+    from .pq import pq_decode, pq_encode
+
+    from ..functions.vector import cosine
+
+    c = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        centroids,
+        vec_col="c_vec",
+    )
+    c = pq_decode(
+        pq_encode(c, codebooks, vec_col="c_vec", out_col="pq_codes"),
+        codebooks,
+        codes_col="pq_codes",
+        out_col="pq_vec",
+    ).select("neighbor_id", "cell", "pq_vec")
+    ranked_cells = F.transform(
+        F.array_sort(
+            F.array(
+                *[
+                    F.named_struct(
+                        F.lit("nd"),
+                        -dot(F.col(vec_col), _lit_vec(cen)),
+                        F.lit("i"),
+                        F.lit(i),
+                    )
+                    for i, cen in enumerate(centroids)
+                ]
+            )
+        ),
+        lambda s: s["i"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.slice(ranked_cells, 1, nprobe)).alias("cell"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (c.cell == q.cell) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", cosine("q_vec", "pq_vec").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

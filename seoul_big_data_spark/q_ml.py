@@ -530,3 +530,22 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+@query("similarity_ivf_pq_ann")  # learned index → rows-only
+def similarity_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — the composed IVF-PQ index (operators/ivf.py::ivf_pq_topk):
+    k-means cells bound WHICH vectors a probe touches, PQ codes bound the
+    BYTES each touched vector costs — together the Faiss-style production
+    layout, expressed as two joins and a window. Recall vs exact brute
+    force asserted in tests/test_ivf_pq.py."""
+    from .operators.ivf import ivf_pq_topk
+
+    emb = load(spark, "embeddings", sf_dir)
+    centroids = kmeans_fit(emb, k=8, iters=3)
+    books = _pq_codebooks(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = ivf_pq_topk(emb, queries, centroids, books, k=10, nprobe=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rk"
+    )

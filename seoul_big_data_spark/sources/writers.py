@@ -248,3 +248,83 @@ def snapshot_diff(
         .otherwise(F.lit(0))
         .alias("n_cols_changed"),
     )
+
+
+def snapshot_to_cdc(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    seq: int = 1,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the change feed BETWEEN two snapshots — the inverse of
+    ``cdc_apply``: applying the result to ``old`` reproduces ``new``
+    exactly (round-trip pinned in tests/test_merge_scd.py).
+
+    Classification is the same one null-safe full-outer join as
+    ``snapshot_diff``; unchanged keys emit nothing, so the feed is
+    delta-sized. This is how a snapshot-based source backfills a CDC
+    pipeline (or how two lake versions reconcile into an incremental
+    feed) without any engine-side change tracking."""
+    cols = old.columns
+    payload = [c for c in cols if c != key]
+    o = old.select(
+        F.col(key).alias("_o_key"),
+        *[F.col(c).alias(f"_o_{c}") for c in payload],
+    )
+    n = new.select(
+        F.col(key).alias("_n_key"),
+        *[F.col(c).alias(f"_n_{c}") for c in payload],
+    )
+    j = o.join(n, o["_o_key"] == n["_n_key"], "full_outer")
+    same = F.lit(True)
+    for c in payload:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    op = (
+        F.when(F.col("_o_key").isNull(), "I")
+        .when(F.col("_n_key").isNull(), "D")
+        .when(~same, "U")
+    )
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            F.coalesce(F.col("_n_key"), F.col("_o_key")).alias(key),
+            F.col(op_col),
+            F.lit(seq).alias(seq_col),
+            *[
+                F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+                for c in payload
+            ],
+        )
+    )
+
+
+def compact_small_files(
+    spark, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction (the lakehouse OPTIMIZE kernel): size the
+    output file count from the actual on-disk bytes so each rewritten file
+    lands near ``target_bytes``, then atomically swap via a staged rewrite.
+    Returns the new file count.
+
+    Small files are the classic death-by-metadata failure at 100 TB (driver
+    listing, scan task explosion, row-group fragmentation); a periodic
+    compaction pass bounds file count by data volume. The rewrite is one
+    coalesce — no shuffle — so it only merges, never redistributes."""
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))
+    if n_out >= len(files):
+        return len(files)
+    df = spark.read.parquet(path)
+    staged = path.rstrip("/") + "._compact"
+    df.coalesce(n_out).write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    os.rename(staged, path)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

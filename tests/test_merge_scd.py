@@ -193,3 +193,51 @@ def test_cdc_apply_equal_seq_tiebreak_deterministic(spark):
     # documented tie-break: op descending → 'U' beats 'D' on equal seq
     out = cdc_apply(target, changes, "k").collect()
     assert len(out) == 1 and out[0]["v"] == "u"
+
+
+def test_snapshot_to_cdc_roundtrip(spark, sf_dir):
+    """cdc_apply(old, snapshot_to_cdc(old, new)) must reproduce new exactly
+    — inserts, updates, deletes, and untouched keys."""
+    from pyspark.sql import functions as F
+
+    from seoul_big_data_spark.sources.tables import load
+    from seoul_big_data_spark.sources.writers import cdc_apply, snapshot_to_cdc
+
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 113 != 0)
+    new = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.round(F.col("o_totalprice") + 10.0, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    feed = snapshot_to_cdc(old, new, "o_orderkey")
+    ops = {r["op"] for r in feed.select("op").distinct().collect()}
+    assert ops == {"I", "U", "D"}
+    applied = cdc_apply(old, feed, "o_orderkey")
+    got = sorted(map(tuple, applied.collect()))
+    expect = sorted(map(tuple, new.collect()))
+    assert got == expect
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from seoul_big_data_spark.sources.tables import load
+    from seoul_big_data_spark.sources.writers import compact_small_files
+
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "frag")
+    o.repartition(32).write.parquet(path)
+    import glob
+
+    before_files = len(glob.glob(path + "/*.parquet"))
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    after_files = compact_small_files(spark, path, target_bytes=1 << 30)
+    assert after_files < before_files
+    assert after_files == 1
+    after_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after_rows == before_rows
