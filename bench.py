@@ -98,6 +98,8 @@ EXTENDED = [
     "events_cumulative_distinct_users",
     "text_udtf_run_length",
     "similarity_ivf_pq_ann",
+    "events_funnel_time_bounded",
+    "stats_corr_matrix_lineitem",
 ]
 
 

@@ -943,3 +943,56 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         "event_id",
         F.sum("first_seen").over(w_cum).alias("distinct_users_so_far"),
     )
+
+
+@query(
+    "events_funnel_time_bounded",
+    """
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+      GROUP BY e.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_signup,
+           CAST(count(p.p_us) AS BIGINT) AS n_converted,
+           CAST(sum(CASE WHEN p.p_us - s.s_us <= 604800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_7d,
+           round(sum(CASE WHEN p.p_us - s.s_us <= 604800000000
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS conv_rate_7d
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: signup → first subsequent purchase, counted
+    as converted only within a 7-day window — the time-bounded form every
+    growth metric uses (the unbounded funnel is `events_funnel_conversion`).
+    Two per-user aggregates on the same user_id shuffle + one join; the
+    window bound is column arithmetic, not a range join."""
+    e = load(spark, "events", sf_dir)
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.unix_micros("ts") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("p_us"))
+    )
+    j = s.join(p, "user_id", "left")
+    in7 = F.when(
+        F.col("p_us") - F.col("s_us") <= 604_800_000_000, 1
+    ).otherwise(0)
+    return j.agg(
+        F.count("*").alias("n_signup"),
+        F.count("p_us").alias("n_converted"),
+        F.sum(in7).alias("n_converted_7d"),
+        F.round(F.sum(in7) * 1.0 / F.count("*"), 6).alias("conv_rate_7d"),
+    )

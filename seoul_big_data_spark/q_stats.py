@@ -576,3 +576,31 @@ def agg_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "stats_corr_matrix_lineitem",
+    """
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS q_price,
+           round(corr(l_quantity, l_discount), 6)      AS q_disc,
+           round(corr(l_quantity, l_tax), 6)           AS q_tax,
+           round(corr(l_extendedprice, l_discount), 6) AS price_disc,
+           round(corr(l_extendedprice, l_tax), 6)      AS price_tax,
+           round(corr(l_discount, l_tax), 6)           AS disc_tax
+    FROM lineitem
+    """,
+)
+def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix over the four lineitem measures — all six
+    pairs in ONE aggregate over one scan (each corr keeps constant state:
+    co-moments), the profiling pass a feature-selection pipeline runs
+    before training."""
+    li = load(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("q_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("q_disc"),
+        F.round(F.corr("l_quantity", "l_tax"), 6).alias("q_tax"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax"),
+    )
