@@ -431,3 +431,66 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("diff_class").agg(
         F.count("*").alias("n_keys"), F.min("o_orderkey").alias("min_key")
     )
+
+
+@query(
+    "dq_quarantine_bad_json",
+    """
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 41 = 0
+                  THEN substring(props, 1, length(props) - 1)
+                  ELSE props END AS props
+      FROM events
+    ), parsed AS (
+      SELECT event_id,
+             CASE WHEN json_valid(props)
+                  THEN CAST(props->>'$.k' AS BIGINT) END AS k,
+             NOT json_valid(props) AS bad
+      FROM raw
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(sum(CASE WHEN NOT bad THEN k ELSE 0 END) AS BIGINT)
+             AS k_sum_clean,
+           CAST(min(CASE WHEN bad THEN event_id END) AS BIGINT)
+             AS first_bad_id
+    FROM parsed
+    """,
+)
+def dq_quarantine_bad_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter ingestion pattern: semi-structured payloads that fail to
+    parse are QUARANTINED (counted + identifiable), never silently nulled
+    into the clean stream — deterministic corruption (1-in-41 rows lose
+    their closing brace) exercises both routes. `from_json` in PERMISSIVE mode
+    captures the raw text of unparseable input in the `_corrupt_record`
+    column (a null struct field alone is NOT evidence of corruption — a
+    parseable document with a missing key looks identical), and that
+    column becomes the routing predicate; at
+    100 TB the same predicate writes two sinks (clean / quarantine) from
+    one scan. The oracle mirrors with json_valid."""
+    e = load(spark, "events", sf_dir).select("event_id", "props")
+    raw = e.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 41 == 0,
+            F.col("props").substr(F.lit(1), F.length("props") - 1),
+        ).otherwise(F.col("props")),
+    )
+    parsed = raw.select(
+        "event_id",
+        F.from_json(
+            "props",
+            "k bigint, _corrupt_record string",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    ).withColumn("bad", F.col("j._corrupt_record").isNotNull())
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("bad").cast("int")).alias("n_quarantined"),
+        F.sum(
+            F.when(~F.col("bad"), F.col("j.k")).otherwise(0)
+        ).alias("k_sum_clean"),
+        F.min(F.when(F.col("bad"), F.col("event_id"))).alias("first_bad_id"),
+    )
