@@ -206,20 +206,35 @@ def semantic_dedup_pairs(
     measured in tests/test_ivf.py). Keep-lowest-id convention matches
     dedup_exact. Columns: cell, id_a (keep), id_b (drop), cos.
     """
+    from ..functions.vector import dot, norm
+
+    # Norms are per-ROW (N evaluations, hoisted before the pair join);
+    # inside the Σ|cell|² pair space only the single dot aggregate runs —
+    # a pair-cosine would evaluate three interpreted higher-order
+    # aggregates per pair (dot + both norms), tripling the dominant cost.
     cells = assign_cells(df, centroids, vec_col=vec_col).select(
-        "cell", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        "cell",
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(vec_col).alias("_n"),
     )
     a = cells.select(
-        "cell", F.col("_id").alias("id_a"), F.col("_v").alias("va")
+        "cell",
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
     )
     b = cells.select(
         F.col("cell").alias("cell_b"),
         F.col("_id").alias("id_b"),
         F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
     )
+    nn = F.col("na") * F.col("nb")
+    cos_raw = F.when(nn > 0, dot("va", "vb") / nn).otherwise(F.lit(0.0))
     return (
         a.join(b, (a.cell == b.cell_b) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos_raw", cosine("va", "vb"))
+        .withColumn("cos_raw", cos_raw)
         .filter(F.col("cos_raw") >= threshold)
         .select("cell", "id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
     )
