@@ -88,3 +88,72 @@ def test_tolerance_nulls_far_matches(spark):
     assert out[2]["asof_val"] == 290  # 1 min back — inside tolerance
     assert out[3]["asof_val"] is None  # 19 min back — outside
     assert out[3]["asof_ts"] is None
+
+
+def test_matches_pandas_merge_asof_randomized(spark):
+    """Cross-check every direction (+tolerance) against pandas.merge_asof —
+    an independent reference implementation — on seeded random frames with
+    duplicate timestamps and unmatched keys."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 200
+    left_pd = pd.DataFrame(
+        {
+            "lid": np.arange(n_l),
+            "k": rng.choice(["a", "b", "c", "zz"], n_l),
+            "ts": pd.to_datetime(
+                rng.integers(0, 100_000, n_l), unit="s", origin="2026-01-01"
+            ),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n_r),
+            "ts": pd.to_datetime(
+                rng.integers(0, 100_000, n_r), unit="s", origin="2026-01-01"
+            ),
+            "val": rng.integers(0, 10_000, n_r),
+        }
+    )
+    # merge_asof requires unique right (k, ts) rows for a deterministic
+    # answer in our union-and-window semantics (backward keeps the LAST
+    # right row at a tied timestamp; pandas keeps the last too) — dedupe
+    # ties to keep both references aligned on the same input.
+    right_pd = right_pd.drop_duplicates(["k", "ts"], keep="last")
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    for direction, tol in [
+        ("backward", None),
+        ("forward", None),
+        ("nearest", None),
+        ("backward", 5_000),
+        ("nearest", 2_000),
+    ]:
+        got_df = asof_join_directional(
+            left,
+            right,
+            "k",
+            "ts",
+            "ts",
+            ["val"],
+            direction=direction,
+            tolerance_seconds=tol,
+        )
+        got = {
+            r["lid"]: r["asof_val"] for r in got_df.collect()
+        }
+        expect_pd = pd.merge_asof(
+            left_pd.sort_values("ts", kind="stable"),
+            right_pd.sort_values("ts", kind="stable"),
+            on="ts",
+            by="k",
+            direction=direction,
+            tolerance=pd.Timedelta(seconds=tol) if tol else None,
+        )
+        expect = {
+            int(r.lid): (None if pd.isna(r.val) else int(r.val))
+            for r in expect_pd.itertuples()
+        }
+        assert got == expect, direction
