@@ -100,6 +100,12 @@ EXTENDED = [
     "similarity_ivf_pq_ann",
     "events_funnel_time_bounded",
     "stats_corr_matrix_lineitem",
+    "events_type_transition_matrix",
+    "stats_rfm_segmentation",
+    "stats_abc_pareto_parts",
+    "dq_benford_first_digit",
+    "text_zipf_slope",
+    "dq_quarantine_bad_json",
 ]
 
 

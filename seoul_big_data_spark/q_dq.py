@@ -494,3 +494,46 @@ def dq_quarantine_bad_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k_sum_clean"),
         F.min(F.when(F.col("bad"), F.col("event_id"))).alias("first_bad_id"),
     )
+
+
+@query(
+    "dq_benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT digit, count(*) AS n FROM d GROUP BY digit
+    ), t AS (SELECT sum(n) AS total FROM obs)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / t.total, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_p
+    FROM obs CROSS JOIN t
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the classic
+    fabricated-data detector for financial columns. First digit extracted
+    from the floored integer rendering (explicit floor — DuckDB ROUNDS
+    double→bigint casts where Spark truncates); one
+    9-row aggregate + the closed-form expected distribution. A DQ suite
+    flags columns whose observed_p diverges from benford_p (synthetic
+    uniform data diverges by construction — the screen's point is the
+    comparison, not conformity)."""
+    o = load(spark, "orders", sf_dir).filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = obs.groupBy().agg(F.sum("n").alias("total"))
+    return obs.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("observed_p"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+    )

@@ -996,3 +996,45 @@ def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(in7).alias("n_converted_7d"),
         F.round(F.sum(in7) * 1.0 / F.count("*"), 6).alias("conv_rate_7d"),
     )
+
+
+@query(
+    "events_type_transition_matrix",
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+    ), s AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY tus, event_id) AS to_type
+      FROM t
+    )
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY from_type),
+                 6) AS p
+    FROM s WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    one lead window on the user_id shuffle, one bucket-sized aggregate, row
+    probabilities normalized by a window over the 5x5 matrix itself. The
+    sequence-mining kernel behind next-event prediction and anomaly
+    scoring."""
+    e = load(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    s = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = s.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wt), 6).alias("p"),
+    )

@@ -604,3 +604,103 @@ def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
         F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax"),
     )
+
+
+@query(
+    "stats_rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(epoch_us(o_orderdate)) AS last_us,
+             count(*) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(ntile(4) OVER (ORDER BY last_us DESC, o_custkey) AS INTEGER)
+             AS r_score,
+           CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS INTEGER)
+             AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER)
+             AS m_score
+    FROM rfm
+    """,
+)
+def stats_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: one aggregate to customer grain, three
+    ntile windows (recency / frequency / monetary quartiles, total-ordered
+    by the customer key for tie determinism). Monetary sums exact decimals
+    so quartile boundaries cannot drift cross-engine. The global ntile is
+    the oracle-exact form; at 100 TB the boundaries come from
+    approx_percentile and the scores from a map-side bucket lookup."""
+    o = load(spark, "orders", sf_dir)
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("last_us"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    return rfm.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_us"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+
+
+@query(
+    "stats_abc_pareto_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ), c AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(revenue) OVER () AS total
+      FROM rev
+    )
+    SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue,
+           CASE WHEN cum <= total * 0.8 THEN 'A'
+                WHEN cum <= total * 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def stats_abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue share: cumulative
+    running share over the revenue-ranked parts (exact decimals so the
+    80/95% boundaries are engine-independent). One aggregate + one global
+    running window — at scale the same classes come from two
+    approx-quantile boundaries over the aggregated (part-grain) table,
+    which is already 4 orders smaller than the fact."""
+    li = load(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(w).alias("cum"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total"),
+    )
+    cls = (
+        F.when(F.col("cum") <= F.col("total") * 0.8, "A")
+        .when(F.col("cum") <= F.col("total") * 0.95, "B")
+        .otherwise("C")
+    )
+    return c.select(
+        "l_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        cls.alias("abc_class"),
+    )

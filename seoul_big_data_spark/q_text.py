@@ -978,3 +978,46 @@ def text_udtf_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL token_run_length(d.text) f
         """
     )
+
+
+@query(
+    "text_zipf_slope",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKENS}) AS token FROM documents
+    ), freq AS (
+      SELECT token, count(*) AS n FROM toks GROUP BY token
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM freq
+    )
+    SELECT round(regr_slope(ln(n), ln(rk)), 6) AS zipf_slope,
+           round(regr_r2(ln(n), ln(rk)), 6) AS r2,
+           CAST(count(*) AS BIGINT) AS vocab_size
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) (natural text ≈ -1; templated/synthetic corpora
+    flatten) — a one-number corpus-naturalness screen. Token counts are one
+    aggregate; the regression runs over the vocabulary-sized table with
+    closed-form regr_slope/regr_r2 on both engines; rank ties broken by
+    token for a deterministic ordering."""
+    d = load(spark, "documents", sf_dir)
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("n"))
+    ranked = freq.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("token")))
+        .alias("rk"),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("n"), F.log("rk")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rk")), 6).alias("r2"),
+        F.count("*").alias("vocab_size"),
+    )
