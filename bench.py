@@ -106,6 +106,8 @@ EXTENDED = [
     "dq_benford_first_digit",
     "text_zipf_slope",
     "dq_quarantine_bad_json",
+    "timeseries_linear_interpolate",
+    "events_anomaly_seasonal_zscore",
 ]
 
 

@@ -1038,3 +1038,66 @@ def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(wt), 6).alias("p"),
     )
+
+
+@query(
+    "events_anomaly_seasonal_zscore",
+    """
+    WITH t AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(dayofweek(ts) AS INTEGER) AS dow,
+             CAST(hour(ts) AS INTEGER) AS hod,
+             value
+      FROM events
+    ), hourly AS (
+      SELECT hr, any_value(dow) AS dow, any_value(hod) AS hod,
+             count(*) AS n, round(sum(value), 4) AS v
+      FROM t GROUP BY hr
+    ), base AS (
+      SELECT dow, hod, avg(v) AS mu,
+             stddev_samp(v) AS sigma
+      FROM hourly GROUP BY dow, hod
+    )
+    SELECT strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           round(h.v, 2) AS v,
+           round((h.v - b.mu) / b.sigma, 4) AS z,
+           CAST(abs((h.v - b.mu) / b.sigma) > 3 AS BOOLEAN) AS is_anomaly
+    FROM hourly h JOIN base b ON h.dow = b.dow AND h.hod = b.hod
+    WHERE b.sigma > 0
+    """,
+)
+def events_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: each hour's total is z-scored against its
+    OWN (day-of-week, hour-of-day) baseline — the profile that separates "3
+    AM Sunday is always quiet" from "3 AM Sunday just spiked". Two
+    bucket-sized aggregates (hourly totals, then 168 baseline cells,
+    broadcast back); the screen every metrics pipeline runs, with the hour
+    totals rounded before the baseline so both engines z-score identical
+    inputs."""
+    e = load(spark, "events", sf_dir)
+    t = e.select(
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+        "value",
+    )
+    hourly = t.groupBy("hr").agg(
+        F.any_value("dow").alias("dow"),
+        F.any_value("hod").alias("hod"),
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("v"),
+    )
+    base = hourly.groupBy("dow", "hod").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(base), ["dow", "hod"])
+        .filter(F.col("sigma") > 0)
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.round("v", 2).alias("v"),
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 3).alias("is_anomaly"),
+        )
+    )

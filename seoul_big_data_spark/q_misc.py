@@ -932,3 +932,118 @@ def orc_roundtrip_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_sum"),
     )
+
+
+@query(
+    "timeseries_linear_interpolate",
+    """
+    WITH w AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, value FROM events
+      WHERE user_id < 50 AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+                         AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+    ), hourly AS (
+      SELECT user_id, hr, round(avg(value), 6) AS v FROM w GROUP BY user_id, hr
+    ), bounds AS (
+      SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ), joined AS (
+      SELECT g.user_id, g.hr, epoch(g.hr) // 3600 AS pos, h.v
+      FROM grid g
+      LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+    ), ctx AS (
+      SELECT user_id, hr, pos, v,
+             last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER wb AS p_pos,
+             last_value(v IGNORE NULLS) OVER wb AS p_v,
+             first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER wf AS n_pos,
+             first_value(v IGNORE NULLS) OVER wf AS n_v
+      FROM joined
+      WINDOW wb AS (PARTITION BY user_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN p_v IS NULL THEN n_v
+             WHEN n_v IS NULL THEN p_v
+             ELSE p_v + (n_v - p_v) * (pos - p_pos) * 1.0 / (n_pos - p_pos)
+           END, 6) AS v_interp,
+           CAST(v IS NULL AS BOOLEAN) AS was_gap
+    FROM ctx
+    """,
+)
+def timeseries_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on the densified per-user hourly grid (the
+    LOCF query's twin): interior gaps take the line between the bracketing
+    observations, leading gaps backfill, trailing gaps carry forward. Both
+    directional context windows ride the SAME user partition as the grid
+    fill — still one shuffle; the bracketing positions travel beside the
+    values so the slope is pure column arithmetic."""
+    e = load(spark, "events", sf_dir).filter(
+        (F.col("user_id") < 50)
+        & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    )
+    hourly = (
+        e.withColumn("hr", F.date_trunc("hour", "ts"))
+        .groupBy("user_id", "hr")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hr"
+            ),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        (F.unix_timestamp(F.col("hr").cast("timestamp")) / 3600)
+        .cast("long")
+        .alias("pos"),
+        "v",
+    )
+    wb = Window.partitionBy("user_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("user_id").orderBy("pos").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    known_pos = F.when(F.col("v").isNotNull(), F.col("pos"))
+    ctx = joined.select(
+        "user_id",
+        "hr",
+        "pos",
+        "v",
+        F.last(known_pos, ignorenulls=True).over(wb).alias("p_pos"),
+        F.last("v", ignorenulls=True).over(wb).alias("p_v"),
+        F.first(known_pos, ignorenulls=True).over(wf).alias("n_pos"),
+        F.first("v", ignorenulls=True).over(wf).alias("n_v"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("p_v").isNull(), F.col("n_v"))
+        .when(F.col("n_v").isNull(), F.col("p_v"))
+        .otherwise(
+            F.col("p_v")
+            + (F.col("n_v") - F.col("p_v"))
+            * (F.col("pos") - F.col("p_pos"))
+            * 1.0
+            / (F.col("n_pos") - F.col("p_pos"))
+        )
+    )
+    return ctx.select(
+        "user_id",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        F.round(interp, 6).alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )
