@@ -108,6 +108,7 @@ EXTENDED = [
     "dq_quarantine_bad_json",
     "timeseries_linear_interpolate",
     "events_anomaly_seasonal_zscore",
+    "agg_filtered_clauses",
 ]
 
 

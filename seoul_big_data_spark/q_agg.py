@@ -608,3 +608,41 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custkeys")
     ).select(F.lit("_ALL_").alias("grain"), "approx_custkeys")
     return per.unionByName(merged)
+
+
+@query(
+    "agg_filtered_clauses",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+             AS n_bulk,
+           CAST(count(*) FILTER (WHERE l_discount >= 0.05) AS BIGINT)
+             AS n_discounted,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                FILTER (WHERE l_discount >= 0.05) AS DOUBLE)
+             AS discounted_revenue,
+           round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 6)
+             AS avg_qty_finished
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filtered_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates: four differently-conditioned measures in
+    ONE aggregate over one scan — the idiom that replaces N self-joins or N
+    separate scans with per-aggregate predicates (Spark: count_if /
+    when-guarded sum-avg; both compile to conditional accumulation inside
+    the same hash aggregate)."""
+    li = load(spark, "lineitem", sf_dir)
+    disc = F.col("l_discount") >= 0.05
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.count_if(disc).alias("n_discounted"),
+        F.sum(
+            F.when(disc, F.col("l_extendedprice").cast("decimal(12,2)"))
+        )
+        .cast("double")
+        .alias("discounted_revenue"),
+        F.round(
+            F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 6
+        ).alias("avg_qty_finished"),
+    )
