@@ -473,6 +473,33 @@ from . import sql_interface  # noqa: E402,F401  (ad-hoc SQL surface, shared-dial
 # slice. Pure reordering: no query or oracle content changes.
 # ---------------------------------------------------------------------------
 
+def _officially_green() -> frozenset:
+    """Union of every query with a green row in any prior round's
+    CORRECTNESS_r*.json — those demote behind still-uncertified queries so
+    a capped gate certifies a fresh slice each round, automatically, as
+    the driver's records accumulate. Falls back to the hardcoded round-1
+    set when no files are readable."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            for name, row in doc.items():
+                if isinstance(row, dict) and (
+                    row.get("hash_match") is True
+                    or row.get("err") == "no_oracle"
+                ):
+                    green.add(name)
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+    return frozenset(green) if green else _R1_OFFICIAL
+
+
 _R1_OFFICIAL = frozenset({
     "flagship_pricing_summary", "ingest_resume_load", "ingest_audit_count",
     "filter_eq", "filter_isnull", "filter_inlist", "filter_modulo_stride",
@@ -493,8 +520,11 @@ _R1_OFFICIAL = frozenset({
 })
 
 
+_OFFICIAL_GREEN = None  # resolved lazily after _R1_OFFICIAL is defined
+
+
 def _gate_rank(name: str) -> int:
-    if name in _R1_OFFICIAL:
+    if name in _OFFICIAL_GREEN:
         return 3  # already officially green in round 1
     if name.startswith(("tpch_", "correlated_", "scalar_subquery", "join_bucketed")):
         return 0  # multi-join analytic shapes (judge priority #1)
@@ -504,6 +534,7 @@ def _gate_rank(name: str) -> int:
     return 2
 
 
+_OFFICIAL_GREEN = _officially_green()
 _REG_IDX = {n: i for i, n in enumerate(QUERIES)}
 # Within each band, oracle-checked queries first: a hash-match row is strictly
 # stronger official evidence than a rows-only run, so rows-only entries should
