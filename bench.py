@@ -109,6 +109,8 @@ EXTENDED = [
     "timeseries_linear_interpolate",
     "events_anomaly_seasonal_zscore",
     "agg_filtered_clauses",
+    "stats_market_basket_pairs",
+    "events_peak_concurrency",
 ]
 
 

@@ -1101,3 +1101,79 @@ def events_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFram
             (F.abs(z) > 3).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "events_peak_concurrency",
+    """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS tus FROM events
+    ), g AS (
+      SELECT user_id, tus,
+             CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w
+                       > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ), s AS (
+      SELECT user_id, tus,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), sess AS (
+      SELECT user_id, sid, min(tus) AS lo, max(tus) AS hi
+      FROM s GROUP BY user_id, sid
+    ), deltas AS (
+      SELECT lo AS tus, 1 AS d FROM sess
+      UNION ALL
+      SELECT hi + 1, -1 FROM sess
+    ), merged AS (
+      SELECT tus, sum(d) AS dd FROM deltas GROUP BY tus
+    )
+    SELECT CAST(max(run) AS BIGINT) AS peak_concurrent_sessions,
+           CAST((SELECT count(*) FROM sess) AS BIGINT) AS n_sessions
+    FROM (
+      SELECT sum(dd) OVER (ORDER BY tus ROWS UNBOUNDED PRECEDING) AS run
+      FROM merged
+    )
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions — the interval-overlap maximum via the
+    sweep-line (+1 at session start, -1 after end, running sum, max): the
+    capacity-planning number. Sessions come from the shared lag/cumsum
+    shape; delta events are session-count-sized, so the final global
+    running sum is over a small merged timeline (at 100 TB, sweep per
+    shard/day and take the max of maxima — the timeline key is
+    shard-local)."""
+    e = load(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus")
+    g = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | (F.col("tus") - F.lag("tus").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("tus").alias("lo"), F.max("tus").alias("hi")
+    )
+    n_sessions = sess.count()
+    deltas = sess.select(F.col("lo").alias("tus"), F.lit(1).alias("d")).unionAll(
+        sess.select((F.col("hi") + 1).alias("tus"), F.lit(-1).alias("d"))
+    )
+    merged = deltas.groupBy("tus").agg(F.sum("d").alias("dd"))
+    run = merged.select(
+        F.sum("dd")
+        .over(Window.orderBy("tus").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run")
+    )
+    return run.agg(
+        F.max("run").alias("peak_concurrent_sessions"),
+        F.lit(n_sessions).cast("long").alias("n_sessions"),
+    )

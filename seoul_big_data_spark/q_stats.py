@@ -704,3 +704,68 @@ def stats_abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         cls.alias("abc_class"),
     )
+
+
+@query(
+    "stats_market_basket_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+    ), supp AS (
+      SELECT l_partkey, count(*) AS n FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+           round(n_both * 1.0 * n.n_orders / (sa.n * sb.n), 6) AS lift
+    FROM pairs
+    JOIN supp sa ON sa.l_partkey = part_a
+    JOIN supp sb ON sb.l_partkey = part_b
+    CROSS JOIN n
+    WHERE n_both >= 3
+    """,
+)
+def stats_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: within-order part pairs
+    (the self-join is keyed on the order — Σ|basket|² work, baskets are
+    ≤7 lines, so the pair space is linear in orders, never |parts|²),
+    support from one aggregate, lift as column arithmetic against the
+    broadcast support table. The association-rule kernel; a min-support
+    HAVING keeps the output to recurring pairs."""
+    li = load(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    supp = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * 1.0 * F.lit(n_orders) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
