@@ -111,6 +111,8 @@ EXTENDED = [
     "agg_filtered_clauses",
     "stats_market_basket_pairs",
     "events_peak_concurrency",
+    "events_top_session_paths",
+    "timeseries_trend_decompose",
 ]
 
 

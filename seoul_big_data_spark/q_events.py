@@ -1177,3 +1177,75 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run").alias("peak_concurrent_sessions"),
         F.lit(n_sessions).cast("long").alias("n_sessions"),
     )
+
+
+@query(
+    "events_top_session_paths",
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+    ), g AS (
+      SELECT *, CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w
+                          > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ), s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY tus, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+      FROM s GROUP BY user_id, sid
+    ), counted AS (
+      SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+    )
+    SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions, rk FROM (
+      SELECT path, n_sessions,
+             row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+      FROM counted
+    ) WHERE rk <= 20
+    """,
+)
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths (ordered event-type sequences): sessionize,
+    concatenate each session's ordered types, count identical paths — the
+    clickstream path-mining kernel. The path build is an ordered
+    collect_list over the session grain (rides the user_id shuffle); only
+    the path-count aggregate and the tiny top-k window follow."""
+    e = load(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    g = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | (F.col("tus") - F.lag("tus").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = s.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("tus", "event_id", "event_type")
+                    )
+                ),
+                lambda r: r["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counted.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 20)
+        .select("path", "n_sessions", "rk")
+    )

@@ -1047,3 +1047,51 @@ def timeseries_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(interp, 6).alias("v_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "timeseries_trend_decompose",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ), t AS (
+      SELECT day, v,
+             avg(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend,
+             CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                                 AND 3 FOLLOWING) AS BIGINT) AS n_win
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, round(v, 2) AS v,
+           round(trend, 2) AS trend, round(v - trend, 2) AS residual
+    FROM t WHERE n_win = 7
+    """,
+)
+def timeseries_trend_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/residual decomposition: 7-day centered moving average over the
+    daily revenue series (exact-decimal daily sums so the window inputs are
+    engine-identical), residual = observed - trend; edge days without a
+    full window are excluded rather than padded. The first step of every
+    seasonal-anomaly/forecasting pipeline; one bucket-sized aggregate + one
+    ordered window over the day grain."""
+    o = load(spark, "orders", sf_dir)
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "v",
+        F.avg("v").over(w).alias("trend"),
+        F.count("*").over(w).alias("n_win"),
+    )
+    return t.filter(F.col("n_win") == 7).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("v", 2).alias("v"),
+        F.round("trend", 2).alias("trend"),
+        F.round(F.col("v") - F.col("trend"), 2).alias("residual"),
+    )
