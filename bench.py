@@ -113,6 +113,8 @@ EXTENDED = [
     "events_peak_concurrency",
     "events_top_session_paths",
     "timeseries_trend_decompose",
+    "events_dau_wau_stickiness",
+    "events_new_vs_returning",
 ]
 
 

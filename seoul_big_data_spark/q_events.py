@@ -1249,3 +1249,101 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("path", "n_sessions", "rk")
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), dau AS (
+      SELECT day, count(*) AS dau FROM act GROUP BY day
+    ), sliding AS (
+      SELECT a.user_id, unnest(generate_series(a.day, a.day + INTERVAL 6 DAY,
+                                               INTERVAL 1 DAY)) AS day
+      FROM act a
+    ), wau AS (
+      SELECT day, count(DISTINCT user_id) AS wau FROM sliding GROUP BY day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           round(d.dau * 1.0 / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day. The WAU uses the
+    emit-forward shape: each (user, active-day) row is exploded to the 7
+    report days it should count toward, then one distinct-count per day —
+    linear in activity rows (x7), no day-range self-join, no per-day
+    re-scan; the standard scalable sliding-distinct rewrite. Days are only
+    reported where DAU exists (join), so the series matches the activity
+    span."""
+    e = load(spark, "events", sf_dir)
+    act = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    dau = act.groupBy("day").agg(F.count("*").alias("dau"))
+    sliding = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    wau = sliding.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "events_new_vs_returning",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), first AS (
+      SELECT user_id, min(day) AS first_day FROM act GROUP BY user_id
+    )
+    SELECT strftime(a.day, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    GROUP BY a.day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning split per day: each user's first-seen day (one
+    user-grain aggregate) classifies every later active day. Both
+    aggregates and the join ride the user_id key; the daily report is the
+    only cross-key shuffle. The growth-accounting kernel (first half of
+    the DAU accounting identity: DAU = new + returning)."""
+    e = load(spark, "events", sf_dir)
+    act = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = act.join(first, "user_id")
+    return j.groupBy("day").agg(
+        F.sum(
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+        ).alias("new_users"),
+        F.sum(
+            F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+        ).alias("returning_users"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        "returning_users",
+    )
