@@ -115,6 +115,8 @@ EXTENDED = [
     "timeseries_trend_decompose",
     "events_dau_wau_stickiness",
     "events_new_vs_returning",
+    "events_ab_test_ztest",
+    "events_point_in_time_tier",
 ]
 
 

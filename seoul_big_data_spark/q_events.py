@@ -1347,3 +1347,153 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         "returning_users",
     )
+
+
+@query(
+    "events_ab_test_ztest",
+    """
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ), conv AS (
+      SELECT user_id, 1 AS converted FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING count(*) >= 15
+    ), per_arm AS (
+      SELECT a.arm, count(*) AS n,
+             sum(coalesce(c.converted, 0)) AS x
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY a.arm
+    ), wide AS (
+      SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+             max(CASE WHEN arm = 'A' THEN x END) AS x_a,
+             max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+             max(CASE WHEN arm = 'B' THEN x END) AS x_b
+      FROM per_arm
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+           round(x_a * 1.0 / n_a, 6) AS p_a,
+           round(x_b * 1.0 / n_b, 6) AS p_b,
+           round((x_a * 1.0 / n_a - x_b * 1.0 / n_b)
+                 / nullif(sqrt((x_a + x_b) * 1.0 / (n_a + n_b)
+                        * (1 - (x_a + x_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 0), 6) AS z_stat
+    FROM wide
+    """,
+)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic experiment split: arms
+    assigned by md5(user_id) (the same engine-independent bucketing the
+    sampling layer uses — assignment survives backfills and reshuffles),
+    conversion = a heavy-purchaser threshold (>= 15 purchases, near the
+    per-user median so both outcomes occur), pooled-variance z statistic
+    in closed form (null when an arm is degenerate).
+    Two user-grain aggregates and a 2-row pivot; the whole experiment
+    readout is one scan + arithmetic."""
+    e = load(spark, "events", sf_dir)
+    assign = e.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("_np"))
+        .filter(F.col("_np") >= 15)
+        .select("user_id", F.lit(1).alias("converted"))
+    )
+    per_arm = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("converted", F.lit(0))).alias("x"),
+        )
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("x"))).alias("x_b"),
+    )
+    p_a = F.col("x_a") * 1.0 / F.col("n_a")
+    p_b = F.col("x_b") * 1.0 / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.nullif(
+        F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+@query(
+    "events_point_in_time_tier",
+    """
+    WITH u AS (
+      SELECT user_id, ts, 1 AS side, event_id, CAST(NULL AS BIGINT) AS tier
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, 0 AS side, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS tier
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id,
+           CAST(coalesce(last_value(tier IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, side, event_id
+             ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS tier_at_event
+    FROM u QUALIFY side = 1
+    """,
+)
+def events_point_in_time_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time lookup: each user's "tier" is a
+    versioned dimension (version k opens at their k-th purchase); every
+    error event reads the version valid AT ITS TIMESTAMP — never a later
+    one (the leakage a naive latest-value join commits). Version numbering
+    and the as-of fill ride the SAME user_id shuffle; this is the
+    union-and-window PIT shape `asof_join` generalizes, with coincident
+    purchase-then-error ordering pinned by the side key."""
+    e = load(spark, "events", sf_dir)
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("tier", F.row_number().over(wv))
+        .withColumn("side", F.lit(0))
+    )
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .select("user_id", "ts", "event_id")
+        .withColumn("tier", F.lit(None).cast("int"))
+        .withColumn("side", F.lit(1))
+    )
+    u = versions.unionByName(errors)
+    wf = Window.partitionBy("user_id").orderBy(
+        "ts", "side", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        u.withColumn(
+            "tier_at_event",
+            F.coalesce(
+                F.last("tier", ignorenulls=True).over(wf), F.lit(0)
+            ).cast("long"),
+        )
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "tier_at_event")
+    )
