@@ -117,6 +117,9 @@ EXTENDED = [
     "events_new_vs_returning",
     "events_ab_test_ztest",
     "events_point_in_time_tier",
+    "events_longest_streaks",
+    "events_wow_growth",
+    "events_interarrival_profile",
 ]
 
 

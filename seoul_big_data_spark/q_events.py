@@ -1497,3 +1497,124 @@ def events_point_in_time_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "tier_at_event")
     )
+
+
+@query(
+    "events_longest_streaks",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - INTERVAL (row_number() OVER (PARTITION BY user_id
+                                                ORDER BY day)) DAY AS grp
+      FROM act
+    ), streaks AS (
+      SELECT user_id, count(*) AS len, min(day) AS streak_start
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — gaps-and-islands
+    via the row_number-difference trick: consecutive days share
+    (day - row_number) as an island key, so streaks fall out of two
+    aggregates with no self-join and no iteration. Both the window and the
+    island aggregate ride the user_id shuffle."""
+    e = load(spark, "events", sf_dir)
+    act = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = act.withColumn(
+        "grp",
+        F.date_sub(F.col("day").cast("date"), F.row_number().over(w)),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+@query(
+    "events_wow_growth",
+    """
+    WITH weekly AS (
+      SELECT date_trunc('week', ts) AS week,
+             round(sum(value), 2) AS revenue,
+             count(*) AS n_events
+      FROM events GROUP BY date_trunc('week', ts)
+    )
+    SELECT strftime(week, '%Y-%m-%d') AS week_start,
+           revenue, CAST(n_events AS BIGINT) AS n_events,
+           round((revenue - lag(revenue) OVER (ORDER BY week))
+                 / lag(revenue) OVER (ORDER BY week), 6) AS wow_growth
+    FROM weekly
+    """,
+)
+def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth on the weekly revenue series: one bucket-sized
+    aggregate, one lag window over the handful of weeks. The reporting
+    staple; growth is null for the first week rather than fabricated."""
+    e = load(spark, "events", sf_dir)
+    weekly = e.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.round(F.sum("value"), 2).alias("revenue"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.orderBy("week")
+    growth = (F.col("revenue") - F.lag("revenue").over(w)) / F.lag(
+        "revenue"
+    ).over(w)
+    return weekly.select(
+        F.date_format("week", "yyyy-MM-dd").alias("week_start"),
+        "revenue",
+        "n_events",
+        F.round(growth, 6).alias("wow_growth"),
+    )
+
+
+@query(
+    "events_interarrival_profile",
+    """
+    WITH t AS (
+      SELECT event_type, user_id, epoch_us(ts) AS tus, event_id FROM events
+    ), d AS (
+      SELECT event_type,
+             (tus - lag(tus) OVER (PARTITION BY event_type, user_id
+                                   ORDER BY tus, event_id)) / 1000000.0
+               AS gap_s
+      FROM t
+    )
+    SELECT event_type,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(avg(gap_s), 4) AS mean_gap_s,
+           round(1.0 / avg(gap_s), 8) AS rate_per_s,
+           round(stddev_samp(gap_s) / avg(gap_s), 4) AS cv
+    FROM d WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival profile (per user): mean gap, implied Poisson
+    rate, and the coefficient of variation (cv ≈ 1 means memoryless/
+    Poisson arrivals; cv >> 1 means bursty) — the traffic-model screen
+    capacity planning starts from. One lag window on the (type, user)
+    shuffle and one 5-row aggregate."""
+    e = load(spark, "events", sf_dir).select(
+        "event_type", "user_id", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("tus", "event_id")
+    d = e.select(
+        "event_type",
+        ((F.col("tus") - F.lag("tus").over(w)) / 1_000_000.0).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return d.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+        F.round(1.0 / F.avg("gap_s"), 8).alias("rate_per_s"),
+        F.round(F.stddev_samp("gap_s") / F.avg("gap_s"), 4).alias("cv"),
+    )
