@@ -120,6 +120,7 @@ EXTENDED = [
     "events_longest_streaks",
     "events_wow_growth",
     "events_interarrival_profile",
+    "corpus_refinery_pipeline",
 ]
 
 

@@ -15,7 +15,7 @@ to 6 decimals on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as tx
@@ -355,4 +355,135 @@ def text_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("score") > F.col("c2")).cast("int")
             + (F.col("score") > F.col("c3")).cast("int")
         ).alias("bucket"),
+    )
+
+
+@query(
+    "corpus_refinery_pipeline",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, source, text,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != '')) AS n_tok,
+             length(text) AS n_chr,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / length(text) AS pr
+      FROM documents WHERE length(text) > 0
+    ), q AS (
+      SELECT doc_id, lang, source, text, n_tok,
+             CAST((CASE WHEN n_tok >= 5 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN pr < 0.2 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN n_chr * 1.0 / n_tok BETWEEN 2.0 AND 12.0
+                       THEN 0.3 ELSE 0.0 END) AS DOUBLE) AS quality
+      FROM base WHERE n_tok > 0
+    ), kept AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, source, text, n_tok,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM q WHERE quality >= 0.7
+      ) WHERE rn = 1 AND source <> 'src0'
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM kept
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), bench AS (
+      SELECT DISTINCT
+             array_to_string(
+               (list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x != ''))[i:i+2], ' ') AS shingle
+      FROM documents, LATERAL (
+        SELECT unnest(range(1,
+          greatest(len(list_filter(string_split_regex(trim(lower(text)),
+                                                      '\\s+'),
+                                   x -> x != '')) - 2, 1) + 1)) AS i)
+      WHERE source = 'src0' AND length(text) > 0
+    ), contam AS (
+      SELECT e.doc_id,
+             sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               * 1.0 / count(*) AS c
+      FROM ex e LEFT JOIN bench b ON e.shingle = b.shingle
+      GROUP BY e.doc_id
+    ), clean AS (
+      SELECT k.* FROM kept k JOIN contam c ON k.doc_id = c.doc_id
+      WHERE c.c <= 0.2
+    ), assigned AS (
+      SELECT lang, n_tok,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clean
+    )
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def corpus_refinery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data refinery as one composed plan: quality gate →
+    exact-dedup survivor → benchmark decontamination (3-shingle overlap vs
+    the held-out 'src0' corpus, drop > 0.2) → deterministic md5 train/val/
+    test split → per-(split, lang) token accounting. Every stage is an
+    operator proven separately; composed, the whole refinery is still a
+    handful of shuffles (dedup window, shingle groupBy, report aggregate) —
+    the benchmark shingle set stays broadcast-sized, and split assignment
+    is a map-side pure function of doc_id."""
+    d = load(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    q = d.filter(tx.token_count("text") > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        tx.token_count("text").alias("n_tok"),
+        tx.quality_score("text").alias("quality"),
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    kept = (
+        q.filter(F.col("quality") >= 0.7)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("source") != "src0"))
+    )
+    ex = kept.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.shingles("text", k=3))).alias("shingle"),
+    )
+    bench = (
+        d.filter(F.col("source") == "src0")
+        .select(
+            F.explode(F.array_distinct(tx.shingles("text", k=3))).alias(
+                "shingle"
+            )
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    contam = (
+        ex.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.coalesce("hit", F.lit(0))) * 1.0 / F.count("*")
+            ).alias("c")
+        )
+    )
+    clean = kept.join(contam, "doc_id").filter(F.col("c") <= 0.2)
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    return (
+        clean.select("lang", "n_tok", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
     )
