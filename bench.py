@@ -148,43 +148,72 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).count()
         extended[name] = round(time.perf_counter() - t0, 3)
 
+    prev_head, prev_ext = _load_prev_round()
+    side = {
+        "extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
+        "vs_prev": {
+            q: round(timings[q] / prev_head[q], 2)
+            for q in timings
+            if prev_head.get(q)
+        },
+        "vs_prev_extended": {
+            q: round(extended[q] / prev_ext[q], 2)
+            for q in extended
+            if prev_ext.get(q)
+        },
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_extended.json"), "w") as fh:
+        json.dump(side, fh, indent=1)
+
+    # The official record MUST be the final stdout line and stay well under
+    # the driver's stdout-tail capture (r2's single fat line with the
+    # extended map got truncated mid-line → BENCH_r02 parsed:null). Extended
+    # timings + ratios live in bench_extended.json; only the compact
+    # headline object is printed, last, on its own line.
     out = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "extended": extended,
         "sf": sf,
     }
-    prev = _load_prev_round()
-    if prev:
-        out["vs_prev"] = {
-            q: round(timings[q] / prev[q], 2)
-            for q in timings
-            if prev.get(q)
-        }
-    print(json.dumps(out))
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(out))
 
 
-def _load_prev_round() -> dict[str, float]:
-    """Per-query timings from the latest BENCH_r{N}.json the driver recorded,
-    so each run prints this-run/prev-round ratios (regressions visible
-    in-run; methodology is identical across rounds — warm timed run)."""
+def _load_prev_round() -> tuple[dict[str, float], dict[str, float]]:
+    """(headline, extended) per-query timings from the previous round, so
+    each run prints this-run/prev-round ratios (regressions visible in-run;
+    methodology is identical across rounds — warm timed run). Headline comes
+    from the latest parseable BENCH_r{N}.json; extended comes from the
+    bench_extended.json side file the previous run wrote (r3+)."""
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = sorted(
         (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
         key=lambda f: int(re.search(r"\d+", f).group()),
+        reverse=True,
     )
-    if not rounds:
-        return {}
+    head: dict[str, float] = {}
+    for name in rounds:  # skip unparseable rounds (e.g. r2's truncated line)
+        try:
+            with open(os.path.join(here, name)) as fh:
+                doc = json.load(fh)
+            # The driver wraps bench's JSON line under "parsed".
+            head = (doc.get("parsed") or doc).get("queries", {}) or {}
+        except (OSError, json.JSONDecodeError, AttributeError):
+            head = {}
+        if head:
+            break
     try:
-        with open(os.path.join(here, rounds[-1])) as fh:
-            doc = json.load(fh)
-        # The driver wraps bench's JSON line under "parsed".
-        return (doc.get("parsed") or doc).get("queries", {}) or {}
+        with open(os.path.join(here, "bench_extended.json")) as fh:
+            ext = json.load(fh).get("extended", {}) or {}
     except (OSError, json.JSONDecodeError, AttributeError):
-        return {}
+        ext = {}
+    return head, ext
 
 
 if __name__ == "__main__":

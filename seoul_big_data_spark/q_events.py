@@ -630,11 +630,12 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "events", sf_dir).select(
         F.date_trunc("hour", "ts").alias("hour_start"), "event_type", "value"
     )
-    cutoff = e.groupBy().agg(
-        F.date_sub(F.max("hour_start"), 3).alias("c")
-    ).collect()[0]["c"]
-    base = e.filter(F.col("hour_start").cast("date") < F.lit(cutoff))
-    late = e.filter(F.col("hour_start").cast("date") >= F.lit(cutoff))
+    # The late-batch cutoff rides in the plan as a broadcast 1-row aggregate
+    # (single job) — no eager .collect() scalar that would scan events twice.
+    cut = e.agg(F.date_sub(F.max("hour_start"), 3).alias("_cut"))
+    ec = e.crossJoin(F.broadcast(cut))
+    base = ec.filter(F.col("hour_start").cast("date") < F.col("_cut")).drop("_cut")
+    late = ec.filter(F.col("hour_start").cast("date") >= F.col("_cut")).drop("_cut")
     keys = ["hour_start", "event_type"]
     merged = merge_rollups(
         partial_rollup(base, keys, "value"), partial_rollup(late, keys, "value")
@@ -1163,7 +1164,9 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = s.groupBy("user_id", "sid").agg(
         F.min("tus").alias("lo"), F.max("tus").alias("hi")
     )
-    n_sessions = sess.count()
+    # Session count joins the plan as a broadcast 1-row aggregate (one job,
+    # no eager .count() that would redo the sessionization window).
+    ncnt = sess.agg(F.count("*").cast("long").alias("n_sessions"))
     deltas = sess.select(F.col("lo").alias("tus"), F.lit(1).alias("d")).unionAll(
         sess.select((F.col("hi") + 1).alias("tus"), F.lit(-1).alias("d"))
     )
@@ -1173,9 +1176,9 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy("tus").rowsBetween(Window.unboundedPreceding, 0))
         .alias("run")
     )
-    return run.agg(
-        F.max("run").alias("peak_concurrent_sessions"),
-        F.lit(n_sessions).cast("long").alias("n_sessions"),
+    return (
+        run.agg(F.max("run").alias("peak_concurrent_sessions"))
+        .crossJoin(F.broadcast(ncnt))
     )
 
 

@@ -350,11 +350,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()
-    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    # n_docs rides in the plan as a broadcast 1-row aggregate (one job, no
+    # eager .count() re-scan of documents).
+    nrow = d.agg(F.count("*").cast("double").alias("_n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("_n_docs") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.desc(tfidf), F.asc("token"))
     return (
         tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(nrow))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", F.round(tfidf, 6).alias("tfidf"), "rk")
@@ -739,7 +742,9 @@ def stats_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING keeps the output to recurring pairs."""
     li = load(spark, "lineitem", sf_dir)
     items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.select("l_orderkey").distinct().count()
+    # n_orders rides in the plan as a broadcast 1-row aggregate (one job,
+    # no eager .count() that would re-run the distinct in a separate job).
+    n_orders = items.agg(F.count_distinct("l_orderkey").alias("_n_orders"))
     supp = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
     a = items.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
@@ -759,12 +764,14 @@ def stats_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "part_a")
         .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
             "part_b",
             "n_both",
             F.round(
-                F.col("n_both") * 1.0 * F.lit(n_orders) / (F.col("na") * F.col("nb")),
+                F.col("n_both") * 1.0 * F.col("_n_orders")
+                / (F.col("na") * F.col("nb")),
                 6,
             ).alias("lift"),
         )

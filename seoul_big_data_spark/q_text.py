@@ -853,19 +853,24 @@ def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
-    stats = d.groupBy().agg(F.count("*").alias("n")).collect()[0]
-    n_docs = float(stats["n"])
-    total = toks.groupBy().agg(F.count("*").alias("t")).collect()[0]["t"]
-    avgdl = float(total) / n_docs
+    # n_docs/avgdl ride in the plan as a broadcast 1-row aggregate (total
+    # tokens = Σ dl, so no extra pass over toks) instead of eager collects —
+    # the whole query is one job, no fact re-scan for driver-side scalars.
+    nstats = (
+        d.agg(F.count("*").cast("double").alias("n_docs"))
+        .crossJoin(dl.agg(F.sum("dl").cast("double").alias("_tot")))
+        .select("n_docs", (F.col("_tot") / F.col("n_docs")).alias("avgdl"))
+    )
     score = (
-        F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
         * (F.col("tf") * 2.2)
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avgdl)))
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("token"))
     return (
         tf.join(F.broadcast(dfreq), "token")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nstats))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", F.round(score, 6).alias("bm25"), "rk")
@@ -927,10 +932,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     z = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
     tri = x.join(y, "b").join(z, ["a", "c"])
-    n_edges = e.count()
-    return tri.groupBy().agg(
-        F.count("*").alias("n_triangles"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
+    # Edge count joins the plan as a broadcast 1-row aggregate over the
+    # checkpointed edges (no separate count() action / extra job).
+    ecnt = e.agg(F.count("*").alias("n_edges"))
+    return (
+        tri.groupBy()
+        .agg(F.count("*").alias("n_triangles"))
+        .crossJoin(F.broadcast(ecnt))
     )
 
 

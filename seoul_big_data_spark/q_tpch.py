@@ -183,11 +183,16 @@ def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_subquery_vs_global_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery — evaluated once, broadcast as a literal
-    predicate (no per-row recomputation)."""
+    """Uncorrelated scalar subquery — the 1-row max aggregate rides in the
+    plan as a broadcast cross-join (one job; no eager .first() that would
+    re-scan the table in a separate job)."""
     p = load(spark, "part", sf_dir)
-    mx = p.agg(F.max("p_retailprice")).first()[0]
-    return p.filter(F.col("p_retailprice") > 0.95 * mx).select("p_partkey", "p_name")
+    mx = p.agg(F.max("p_retailprice").alias("_mx"))
+    return (
+        p.crossJoin(F.broadcast(mx))
+        .filter(F.col("p_retailprice") > 0.95 * F.col("_mx"))
+        .select("p_partkey", "p_name")
+    )
 
 
 @query(
@@ -209,8 +214,10 @@ def scalar_subquery_vs_global_max(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 shape: reused CTE (computed once, referenced twice — Catalyst
-    dedups via subquery reuse) + uncorrelated max subquery."""
+    """Q15 shape: reused CTE (revenue appears twice — as the join input and
+    under the max; the identical groupBy-agg subplans share one shuffle via
+    ReuseExchange) + uncorrelated max subquery folded into the plan as a
+    broadcast 1-row aggregate, so the whole query is a single job."""
     l = load(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -220,11 +227,12 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_revenue")
     )
-    mx = revenue.agg(F.max("total_revenue")).first()[0]
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
     s = load(spark, "supplier", sf_dir)
     return (
         s.join(F.broadcast(revenue), s.s_suppkey == revenue.supplier_no)
-        .filter(F.col("total_revenue") == mx)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -324,17 +332,22 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields a non-empty result)."""
     c = load(spark, "customer", sf_dir)
     code = F.substring("c_name", 17, 2)
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0.0)
-        .agg(
+    # The average-balance threshold rides in the plan as a broadcast 1-row
+    # aggregate (single job) instead of an eager .first() scalar re-scan.
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
             F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
             / F.count("*")
-        )
-        .first()[0]
+        ).alias("_avg_bal")
     )
-    eligible = c.filter(
-        code.isin("01", "02", "03", "04", "05") & (F.col("c_acctbal") > avg_bal)
-    ).select(code.alias("cntrycode"), "c_acctbal", "c_custkey")
+    eligible = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(
+            code.isin("01", "02", "03", "04", "05")
+            & (F.col("c_acctbal") > F.col("_avg_bal"))
+        )
+        .select(code.alias("cntrycode"), "c_acctbal", "c_custkey")
+    )
     o = (
         load(spark, "orders", sf_dir)
         .filter(F.col("o_orderpriority") == "1-URGENT")
@@ -540,21 +553,22 @@ def tpch_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: grouped value filtered against a fraction of the global
     total (scalar subquery). No partsupp table in this schema, so lineitem
     revenue stands in for stock value; the HAVING threshold is the same
-    fraction-of-global-scalar pattern. The global total is one extra
-    aggregate over the same scan (Catalyst reuses the exchange where
-    possible); the threshold is computed once on the driver and broadcast
-    as a literal — no per-row subquery."""
+    fraction-of-global-scalar pattern. The global total rides in the plan
+    as a broadcast 1-row aggregate cross-join (one job, no eager .first()
+    re-scan) — Catalyst reuses the scan where possible."""
     l = load(spark, "lineitem", sf_dir)
     s = load(spark, "supplier", sf_dir)
     n = load(spark, "nation", sf_dir)
     vol = _dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)"))
-    total = l.agg(F.sum(vol).cast("double")).first()[0]
+    total = l.agg(F.sum(vol).cast("double").alias("_total"))
     return (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "s_suppkey")
         .agg(F.sum(vol).cast("double").alias("value"))
-        .filter(F.col("value") > F.lit(total) * 0.01)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("_total") * 0.01)
+        .select("n_name", "s_suppkey", "value")
     )
 
 
