@@ -23,8 +23,15 @@ from ..functions.text import shingles, tokens
 
 def exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N1 — exact dedup keeping the lowest id per text (deterministic survivor,
-    unlike bare ``dropDuplicates`` whose survivor is partition-order dependent)."""
-    w = Window.partitionBy(text_col).orderBy(id_col)
+    unlike bare ``dropDuplicates`` whose survivor is partition-order dependent).
+
+    The window is keyed on ``xxhash64(text)`` FIRST, full text second: the
+    sort comparator then decides almost every row pair on the 8-byte hash and
+    touches the full (possibly 100 KB) document string only when hashes tie —
+    i.e. for true duplicates and the ~2^-64 collision case, where the text
+    column in the partition key keeps correctness exact (colliding distinct
+    texts still land in distinct groups)."""
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(id_col)
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
@@ -33,9 +40,10 @@ def exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
 def exact_normalized(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact dedup on whitespace/case-normalized text."""
+    """Exact dedup on whitespace/case-normalized text (hash-first window key;
+    see ``exact`` for why)."""
     norm = F.array_join(tokens(F.lower(F.col(text_col))), " ")
-    w = Window.partitionBy(norm).orderBy(id_col)
+    w = Window.partitionBy(F.xxhash64(norm), norm).orderBy(id_col)
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )

@@ -447,7 +447,9 @@ def corpus_refinery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.token_count("text").alias("n_tok"),
         tx.quality_score("text").alias("quality"),
     )
-    w = Window.partitionBy("text").orderBy("doc_id")
+    # Hash-first dedup window key (comparator decides on 8 bytes, touches
+    # the full document only on hash ties; text in the key guards collisions).
+    w = Window.partitionBy(F.xxhash64("text"), F.col("text")).orderBy("doc_id")
     kept = (
         q.filter(F.col("quality") >= 0.7)
         .withColumn("rn", F.row_number().over(w))

@@ -142,3 +142,58 @@ def test_ngram_jaccard_stop_shingle_filter(spark):
     assert (1, 2) in pairs  # genuinely similar pair survives the filter
     # boilerplate-only overlaps no longer qualify
     assert (3, 4) not in pairs and (3, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_exact_dedup_hash_key_collision_guard(spark):
+    """The dedup window is keyed (xxhash64(text), text). Simulate the
+    worst-case collision — EVERY distinct text landing on the same hash —
+    by replacing the hash component with a constant: the text column in the
+    partition key must still keep distinct texts in distinct groups, so the
+    survivor set is identical to the real operator's."""
+    from pyspark.sql import Window
+
+    rows = [
+        (10, "alpha"), (3, "alpha"), (7, "alpha"),
+        (5, "beta"), (2, "beta"),
+        (1, ""), (9, ""),          # empty-string group
+        (4, "éclair 中文"), (6, "éclair 中文"),
+        (8, "x" * 5000), (11, "x" * 5000), (12, "x" * 4999),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    real = {(r["doc_id"], r["text"]) for r in dedup.exact(df).collect()}
+    w = Window.partitionBy(F.lit(0), F.col("text")).orderBy("doc_id")
+    collided = {
+        (r["doc_id"], r["text"])
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .collect()
+    }
+    oracle = {
+        (r["doc_id"], r["text"])
+        for r in df.groupBy("text").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    assert real == collided == oracle
+
+
+def test_exact_dedup_property_random_corpora(spark):
+    """Property: for duplicate-heavy random corpora (drawn from a tiny
+    alphabet so collisions-in-content are guaranteed), exact() == the
+    groupBy-min survivor oracle, row for row."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["", "a", "b", "ab", "ba", "a b", "中", "long " * 100]
+    for trial in range(5):
+        rows = [
+            (i, rng.choice(vocab)) for i in rng.sample(range(10_000), 60)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["doc_id"], r["text"]) for r in dedup.exact(df).collect()}
+        want = {
+            (r["doc_id"], r["text"])
+            for r in df.groupBy("text")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .collect()
+        }
+        assert got == want, f"trial {trial}"
