@@ -53,26 +53,35 @@ def _decode_bmp(payload: bytes) -> dict:
             f"BMP variant (bpp={bpp}, compression={compression}) needs a real "
             "codec; plug PIL here"
         )
+    import numpy as np
+
     n_rows = abs(height)
     row_bytes = width * 3
     stride = (row_bytes + 3) & ~3
-    sums = [0, 0, 0]  # B, G, R accumulation order as stored
-    for r in range(n_rows):
-        row = payload[data_offset + r * stride:data_offset + r * stride + row_bytes]
-        if len(row) < row_bytes:
-            raise ValueError("truncated BMP pixel array")
-        for c in range(3):
-            sums[c] += sum(row[c::3])
+    # Vectorized pixel sweep: one frombuffer + strided reshape instead of a
+    # per-byte Python loop (~100x less CPU per image; identical integer sums,
+    # so the derived means are bit-exact). The final row may omit padding, so
+    # the buffer is sliced to rows-worth and right-padded before reshaping.
+    need = (n_rows - 1) * stride + row_bytes if n_rows else 0
+    buf = payload[data_offset:data_offset + need]
+    if len(buf) < need:
+        raise ValueError("truncated BMP pixel array")
+    a = (
+        np.frombuffer(buf + b"\x00" * (n_rows * stride - need), dtype=np.uint8)
+        .reshape(n_rows, stride)[:, :row_bytes]
+        .reshape(-1, 3)
+    )
+    sums = a.sum(axis=0, dtype=np.int64)  # B, G, R accumulation order as stored
     n_px = width * n_rows
     return {
         "format": "bmp",
         "width": width,
         "height": n_rows,
         "channels": 3,
-        "mean_r": sums[2] / n_px,
-        "mean_g": sums[1] / n_px,
-        "mean_b": sums[0] / n_px,
-        "feat_mean": sum(sums) / (3 * n_px),
+        "mean_r": int(sums[2]) / n_px,
+        "mean_g": int(sums[1]) / n_px,
+        "mean_b": int(sums[0]) / n_px,
+        "feat_mean": int(sums.sum()) / (3 * n_px),
     }
 
 
@@ -98,28 +107,33 @@ def _decode_ppm(payload: bytes) -> dict:
     width, height, maxval = fields
     if maxval > 255:
         raise NotImplementedError("16-bit PPM needs a real codec")
+    import numpy as np
+
     if magic == b"P6":
         pos += 1  # single whitespace byte after maxval
         px = payload[pos:pos + width * height * 3]
         if len(px) < width * height * 3:
             raise ValueError("truncated PPM pixel data")
-        samples = list(px)
+        samples = np.frombuffer(px, dtype=np.uint8)
     else:
-        samples = [int(t) for t in payload[pos:].split()]
-        if len(samples) < width * height * 3:
+        toks = payload[pos:].split()
+        if len(toks) < width * height * 3:
             raise ValueError("truncated PPM pixel data")
-        samples = samples[:width * height * 3]
+        samples = np.array(
+            [int(t) for t in toks[: width * height * 3]], dtype=np.int64
+        )
     n_px = width * height
-    sums = [sum(samples[c::3]) for c in range(3)]  # R, G, B order
+    # Vectorized channel sums (exact integer arithmetic, bit-exact means).
+    sums = samples.reshape(-1, 3).sum(axis=0, dtype=np.int64)  # R, G, B order
     return {
         "format": "ppm",
         "width": width,
         "height": height,
         "channels": 3,
-        "mean_r": sums[0] / n_px,
-        "mean_g": sums[1] / n_px,
-        "mean_b": sums[2] / n_px,
-        "feat_mean": sum(sums) / (3 * n_px),
+        "mean_r": int(sums[0]) / n_px,
+        "mean_g": int(sums[1]) / n_px,
+        "mean_b": int(sums[2]) / n_px,
+        "feat_mean": int(sums.sum()) / (3 * n_px),
     }
 
 
