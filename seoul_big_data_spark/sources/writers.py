@@ -101,6 +101,57 @@ def merge_upsert(
     return joined.select(*out_cols)
 
 
+def merge_upsert_partitioned(
+    spark,
+    path: str,
+    source: DataFrame,
+    key: str,
+    partition_col: str,
+    delete_condition: F.Column | None = None,
+) -> list:
+    """Partition-pruned MERGE over a parquet table partitioned by
+    ``partition_col`` — the Delta/Iceberg file-skipping shape on plain
+    parquet: only partitions PRESENT IN THE SOURCE are read, merged, and
+    rewritten (dynamic partition overwrite); every other partition's files
+    are never opened, never rewritten, mtimes untouched. Cost is
+    O(delta partitions), not O(table) like ``merge_upsert`` +
+    ``overwrite_table``.
+
+    Constraint (same as a partition-predicate-scoped Delta MERGE): a source
+    row for an EXISTING key must carry that key's current partition value —
+    a merge is not allowed to move rows across partitions, because the old
+    partition may not be in the pruned read set. New keys may land anywhere.
+
+    A partition whose rows are all deleted by ``delete_condition`` is
+    removed explicitly (dynamic overwrite only replaces partitions that
+    appear in the written data). Returns the affected partition values."""
+    import os
+    import shutil
+
+    parts = [
+        r[0] for r in source.select(partition_col).distinct().collect()
+    ]  # delta-sized: one small distinct, catalog-scale driver state
+    target = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+    # A partitioned read surfaces the partition column last; align the
+    # source's column order to the on-disk layout before the merge.
+    merged = merge_upsert(
+        target, source.select(*target.columns), key, delete_condition
+    )
+    # Merge output loses partition-column ordering guarantees; cache the
+    # surviving partition values BEFORE the write consumes the plan.
+    merged = merged.localCheckpoint(eager=True)
+    survived = {r[0] for r in merged.select(partition_col).distinct().collect()}
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    for p in set(parts) - survived:  # fully-deleted partitions
+        shutil.rmtree(os.path.join(path, f"{partition_col}={p}"), ignore_errors=True)
+    return parts
+
+
 def cdc_apply(
     target: DataFrame,
     changes: DataFrame,
@@ -324,7 +375,17 @@ def compact_small_files(
         return len(files)
     df = spark.read.parquet(path)
     staged = path.rstrip("/") + "._compact"
-    df.coalesce(n_out).write.mode("overwrite").parquet(staged)
-    shutil.rmtree(path)
+    old = path.rstrip("/") + "._old"
+    # Crash-safe swap: each step is an atomic rename, so no window exists
+    # where the dataset is gone — a crash between the renames leaves the
+    # data intact under ._old (recoverable), never deleted. A failed staged
+    # write cleans up after itself.
+    try:
+        df.coalesce(n_out).write.mode("overwrite").parquet(staged)
+    except BaseException:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+    os.rename(path, old)
     os.rename(staged, path)
+    shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "*.parquet")))
