@@ -96,7 +96,16 @@ def asof_join(
     No row-id self-join: all left columns travel through the union, so there
     is no nondeterministic ``monotonically_increasing_id`` to re-evaluate in
     two plan branches.
+
+    Ties: with several right rows at the SAME (key, ts), the winner is the
+    one with the largest payload struct (field-by-field comparison — for an
+    id payload, the largest id). The payload rides as ONE struct in the sort
+    key, so (a) the choice is deterministic under any partition order, and
+    (b) all filled columns come from the same right row even when payload
+    columns are independently null. Oracles mirror the convention by adding
+    the payload columns to the window ORDER BY.
     """
+    payload = F.struct(*[F.col(f"_r_{c}").alias(c) for c in right_cols])
     lt = (
         left.withColumn("_ts", F.col(left_ts).cast("timestamp"))
         .withColumn("_side", F.lit(1))
@@ -109,19 +118,20 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
     # Right rows sort before coincident left rows (side 0 < 1) so an
-    # exactly-equal timestamp matches.
-    unioned = rsel.unionByName(lt, allowMissingColumns=True)
-    w = Window.partitionBy("_k").orderBy("_ts", "_side").rowsBetween(
+    # exactly-equal timestamp matches; _p breaks right-side ts ties.
+    unioned = rsel.unionByName(lt, allowMissingColumns=True).withColumn(
+        "_p", F.when(F.col("_side") == 0, payload)
+    )
+    w = Window.partitionBy("_k").orderBy("_ts", "_side", "_p").rowsBetween(
         Window.unboundedPreceding, 0
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_p", ignorenulls=True).over(w).alias("_sel")
     ).filter(F.col("_side") == 1)
-    return filled.select(*left.columns, *[f"asof_{c}" for c in right_cols])
+    return filled.select(
+        *left.columns,
+        *[F.col(f"_sel.{c}").alias(f"asof_{c}") for c in right_cols],
+    )
 
 
 def blocked_fuzzy_join(
@@ -170,6 +180,12 @@ def asof_join_directional(
     fills could mix rows if payload columns were independently null). The
     matched timestamp rides in the struct, which is what makes tolerance
     and nearest-selection pure column arithmetic after the window pass.
+
+    Ties: several right rows at the same (key, ts) resolve to the LARGEST
+    payload struct in every direction (the struct is the final window sort
+    key — deterministic under any partition order; for an id payload this
+    means the largest id). Oracles mirror by adding payload columns to the
+    window ORDER BY.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"bad direction: {direction}")
@@ -192,12 +208,12 @@ def asof_join_directional(
     unioned = rsel.unionByName(lt, allowMissingColumns=True).withColumn(
         "_p", F.when(F.col("_side") == 0, payload)
     )
-    w_back = Window.partitionBy("_k").orderBy("_ts", "_side").rowsBetween(
+    w_back = Window.partitionBy("_k").orderBy("_ts", "_side", "_p").rowsBetween(
         Window.unboundedPreceding, 0
     )
     w_fwd = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_p").desc())
         .rowsBetween(0, Window.unboundedFollowing)
     )
     cols = []

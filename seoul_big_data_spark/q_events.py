@@ -128,7 +128,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), f AS (
       SELECT user_id, side, event_id,
              last_value(p_id IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side
+               PARTITION BY user_id ORDER BY ts, side, p_id
                ROWS UNBOUNDED PRECEDING) AS asof_event_id
       FROM u
     )
@@ -663,16 +663,16 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), f AS (
       SELECT user_id, ts, side, event_id,
              last_value(p_id IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side
+               PARTITION BY user_id ORDER BY ts, side, p_id
                ROWS UNBOUNDED PRECEDING) AS b_id,
              last_value(p_ts IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side
+               PARTITION BY user_id ORDER BY ts, side, p_id
                ROWS UNBOUNDED PRECEDING) AS b_ts,
              first_value(p_id IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side DESC
+               PARTITION BY user_id ORDER BY ts, side DESC, p_id DESC
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_id,
              first_value(p_ts IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, side DESC
+               PARTITION BY user_id ORDER BY ts, side DESC, p_id DESC
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_ts
       FROM u
     ), sel AS (
@@ -853,7 +853,7 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT user_id, value, epoch_us(ts) AS tus FROM events
     ), g AS (
       SELECT *, CASE WHEN lag(tus) OVER w IS NULL
-                       OR tus - lag(tus) OVER w > 1800000000
+                       OR tus - lag(tus) OVER w >= 1800000000
                      THEN 1 ELSE 0 END AS new_sess
       FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tus)
     ), s AS (
@@ -874,10 +874,19 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
     """Spark's NATIVE session_window operator (30-min inactivity gap) — the
     engine primitive behind streaming sessionization, exercised in batch and
     checked against the lag/cumsum reconstruction the oracle runs: both must
-    carve identical sessions. session_window aggregates by (key, merged
-    window) in one pass — no window-function shuffle chain — and the same
-    expression works under readStream + watermark unchanged
-    (streaming/structured.py)."""
+    carve identical sessions.
+
+    Boundary convention: session_window is END-EXCLUSIVE — an event's window
+    is [t, t+gap), so an event arriving EXACTLY gap after the previous one
+    does NOT overlap and starts a new session. The oracle's gap predicate is
+    therefore ``diff >= gap`` (not ``>``); the lag/cumsum queries that live
+    entirely on the lag/cumsum convention (events_sessionization et al.) use
+    ``>`` consistently on both sides, which is also self-consistent — only a
+    NATIVE-vs-reconstruction comparison must adopt the native boundary.
+
+    session_window aggregates by (key, merged window) in one pass — no
+    window-function shuffle chain — and the same expression works under
+    readStream + watermark unchanged (streaming/structured.py)."""
     e = load(spark, "events", sf_dir)
     return (
         e.groupBy(

@@ -119,35 +119,74 @@ def continuous_rollup(
     recompute over every event seen, at O(|batch| + touched buckets) per
     trigger.
 
-    The merged result lands with dynamic-overwrite on the bucket key's
-    partition column analogue (full rewrite here — plain parquet; a table
-    format would MERGE only touched buckets, same call site). Exactly-once
-    comes from the write being a pure function of (state ∪ batch): a
-    replayed batch merges to the same bytes it already produced only if the
-    previous write was not committed — foreachBatch replays are guarded by
-    the checkpointed batch id, the standard contract.
+    Exactly-once across failures: foreachBatch re-delivers the SAME batch_id
+    after a crash between the state write and the checkpoint commit, so the
+    merge must be idempotent per batch id. The committed state carries the
+    last-applied batch id (``_applied_batch`` marker — underscore-prefixed,
+    so parquet discovery ignores it) and a replayed id merges nothing.
+    Commit is an atomic-rename swap (staged dir → state dir, old state kept
+    aside until the swap lands), with crash recovery for the
+    between-renames window. State existence is decided by the marker, not a
+    bare except — a transient read failure propagates instead of silently
+    resetting the accumulated rollup to the current batch.
     """
-    from ..operators.rollup import merge_rollups, partial_rollup
-
-    keys = keys or ["event_type"]
-    spark = events.sparkSession
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        part = partial_rollup(batch_df, keys, value_col)
-        try:
-            prev = spark.read.parquet(state_path)
-            merged = merge_rollups(prev, part)
-        except Exception:  # first batch: no state yet
-            merged = merge_rollups(part)
-        # rewrite via a staged temp dir: the read above streams from the
-        # same path we are replacing
-        tmp = state_path + "._staged"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(state_path)
-
     return (
-        events.writeStream.foreachBatch(_merge)
+        events.writeStream.foreachBatch(
+            rollup_merge_fn(state_path, keys or ["event_type"], value_col)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def rollup_merge_fn(state_path: str, keys: list[str], value_col: str = "value"):
+    """The foreachBatch merge kernel behind ``continuous_rollup``, exposed so
+    the replay/crash semantics are directly testable. Protocol per batch:
+
+    1. recover: if a previous run died between the two commit renames, the
+       state sits intact under ``._old`` — rename it back.
+    2. idempotency guard: if the committed marker already covers this
+       batch_id (a foreachBatch replay), do nothing.
+    3. merge partial(batch) into the committed state (marker presence — not
+       a bare except — decides whether prior state exists; genuine read
+       errors propagate rather than wiping state).
+    4. commit: write staged dir + marker, swap via atomic renames.
+    """
+    from ..operators.rollup import merge_rollups, partial_rollup
+
+    def _applied(path: str):
+        import os
+
+        marker = os.path.join(path, "_applied_batch")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as fh:
+            return int(fh.read().strip())
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch_df.sparkSession
+        old = state_path + "._old"
+        if not os.path.exists(state_path) and os.path.exists(old):
+            os.rename(old, state_path)  # crash between the commit renames
+        applied = _applied(state_path)
+        if applied is not None and batch_id <= applied:
+            return  # replayed batch: already folded into committed state
+        part = partial_rollup(batch_df, keys, value_col)
+        if applied is not None:
+            merged = merge_rollups(spark.read.parquet(state_path), part)
+        else:
+            merged = merge_rollups(part)
+        staged = state_path + f"._b{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, old)
+        os.rename(staged, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return _merge

@@ -157,3 +157,39 @@ def test_matches_pandas_merge_asof_randomized(spark):
             for r in expect_pd.itertuples()
         }
         assert got == expect, direction
+
+
+def test_asof_tied_right_timestamps_deterministic(spark):
+    from pyspark.sql import functions as F
+    """Several right rows at the SAME (key, ts): the largest payload struct
+    must win in every direction, regardless of partition order — pinned by
+    running the same join over shuffled/repartitioned right sides."""
+    from seoul_big_data_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right_rows = [(1, 100, 7), (1, 100, 9), (1, 100, 3), (1, 50, 1)]
+    for nparts in (1, 3, 8):
+        right = spark.createDataFrame(
+            right_rows, "k long, rts long, rid long"
+        ).repartition(nparts)
+        # backward (plain asof_join): tie at ts=100 → rid 9
+        got = asof_join(
+            left.select(
+                "k", F.timestamp_seconds("lts").alias("lts")
+            ),
+            right.select("k", F.timestamp_seconds("rts").alias("rts"), "rid"),
+            key="k", left_ts="lts", right_ts="rts", right_cols=["rid"],
+        ).collect()
+        assert [r["asof_rid"] for r in got] == [9], f"nparts={nparts}"
+        for direction, expect in (("backward", 9), ("forward", 9), ("nearest", 9)):
+            got = asof_join_directional(
+                left.select("k", F.timestamp_seconds("lts").alias("lts")),
+                right.select(
+                    "k", F.timestamp_seconds("rts").alias("rts"), "rid"
+                ),
+                key="k", left_ts="lts", right_ts="rts",
+                right_cols=["rid"], direction=direction,
+            ).collect()
+            assert [r["asof_rid"] for r in got] == [expect], (
+                f"{direction} nparts={nparts}"
+            )
