@@ -121,6 +121,11 @@ EXTENDED = [
     "events_wow_growth",
     "events_interarrival_profile",
     "corpus_refinery_pipeline",
+    # round 3 additions
+    "stats_ols_price_vs_qty",
+    "stats_gini_customer_revenue",
+    "stats_mutual_info_type_hour",
+    "dedup_containment_pairs",
 ]
 
 

@@ -776,3 +776,153 @@ def stats_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "stats_ols_price_vs_qty",
+    """
+    WITH s AS (
+      SELECT l_linestatus,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def stats_ols_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (price ~ quantity) in closed form from the
+    five sufficient moments — ONE map-side-combinable aggregate pass, no
+    iteration, no driver math. Moments are exact decimal sums (engine- and
+    partition-order-independent) cast to double only for the final
+    slope/intercept/r2 arithmetic, whose expression tree is identical on
+    both engines — that is what makes a 6-decimal round stable. At 100 TB
+    this is THE scalable regression shape: sufficient statistics compose
+    across partitions/increments exactly like the rollup operators."""
+    li = load(spark, "lineitem", sf_dir)
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy"))
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    slope = cov_n / var_n
+    return s.select(
+        "l_linestatus",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(F.pow(cov_n, 2) / (var_n * (n * syy - sy * sy)), 6).alias("r2"),
+    )
+
+
+@query(
+    "stats_gini_customer_revenue",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS r
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i FROM rev
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(2.0 * sum(i * r) / (count(*) * sum(r))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def stats_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of customer revenue — the standard
+    inequality/concentration KPI (how top-heavy is the customer base) via
+    the sorted-rank identity G = 2*Sum(i*x_i)/(n*Sum(x)) - (n+1)/n. One
+    aggregate for per-customer revenue, one rank window, one final
+    aggregate. Ties in revenue are rank-order-invariant (equal x makes
+    Sum(i*x) independent of permutation within the tie), and the rank
+    window's single-partition sort is over CUSTOMER-sized data — already
+    reduced from the fact — which is the legitimate place for a global
+    window at scale."""
+    o = load(spark, "orders", sf_dir)
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("r")
+    )
+    ranked = rev.select(
+        "r", F.row_number().over(Window.orderBy("r", "o_custkey")).alias("i")
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("r")) / (F.count("*") * F.sum("r"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "stats_mutual_info_type_hour",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(hour(ts) AS INTEGER) AS h, count(*) AS c
+      FROM events GROUP BY event_type, hour(ts)
+    ), m AS (
+      SELECT event_type, h, c,
+             sum(c) OVER (PARTITION BY event_type) AS ct,
+             sum(c) OVER (PARTITION BY h) AS ch,
+             sum(c) OVER () AS n
+      FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((c * 1.0 / n) * ln(c * 1.0 * n / (ct * ch))), 6)
+             AS mi_nats
+    FROM m
+    """,
+)
+def stats_mutual_info_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; hour-of-day) — the dependence
+    screen for feature selection / drift detection. Joint distribution is
+    one groupBy over the fact; marginals are window sums OVER THE CELL
+    TABLE (|types|x24 rows — never a second fact scan); the MI sum is a
+    final aggregate over those cells. All counts are exact; only the last
+    ~120-term double sum is float, so a 6-decimal round is stable."""
+    e = load(spark, "events", sf_dir)
+    cells = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    ).agg(F.count("*").alias("c"))
+    m = cells.select(
+        "event_type",
+        "h",
+        "c",
+        F.sum("c").over(Window.partitionBy("event_type")).alias("ct"),
+        F.sum("c").over(Window.partitionBy("h")).alias("ch"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    term = (F.col("c") * 1.0 / F.col("n")) * F.log(
+        F.col("c") * 1.0 * F.col("n") / (F.col("ct") * F.col("ch"))
+    )
+    return m.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum(term), 6).alias("mi_nats"),
+    )

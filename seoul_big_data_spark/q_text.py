@@ -1029,3 +1029,88 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.log("n"), F.log("rk")), 6).alias("r2"),
         F.count("*").alias("vocab_size"),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex0 AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), ex AS (
+      SELECT * FROM ex0 WHERE shingle NOT IN (
+        SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 25
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / least(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.6
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) over 3-word
+    shingle sets. Jaccard misses subset duplication (a short doc pasted
+    inside a long one scores low Jaccard but containment ≈ 1) — this is the
+    asymmetric detector every corpus-refinery needs next to it. Same
+    skew-safe candidate generation as the Jaccard family: pairs meet only
+    on shared shingles, hot boilerplate shingles capped at df<=25 (cap
+    mirrored in the oracle), so work is bounded by Σdf² over surviving
+    shingles, never |docs|²."""
+    d = load(spark, "documents", sf_dir)
+    ex = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(tx.shingles(F.col("text"), k=3))
+            ).alias("shingle"),
+        )
+    )
+    hot = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 25)
+        .select("shingle")
+    )
+    ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    cont = F.col("n_common") * 1.0 / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(cont >= 0.6)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
