@@ -1095,3 +1095,68 @@ def timeseries_trend_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 2).alias("trend"),
         F.round(F.col("v") - F.col("trend"), 2).alias("residual"),
     )
+
+
+@query(
+    "hierarchy_flatten_ancestors",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS node,
+             CASE WHEN c_custkey >= 10 THEN c_custkey // 10 END AS parent
+      FROM customer
+    ), anc AS (
+      SELECT node, parent AS ancestor, 1 AS depth
+      FROM edges WHERE parent IS NOT NULL
+      UNION ALL
+      SELECT a.node, e.parent, a.depth + 1
+      FROM anc a JOIN edges e ON a.ancestor = e.node
+      WHERE e.parent IS NOT NULL
+    )
+    SELECT node, ancestor, depth FROM anc
+    """,
+)
+def hierarchy_flatten_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy flattening (BOM explosion / org-chart
+    ancestors / category trees): every (node, ancestor, depth) pair of the
+    decimal-digit hierarchy parent(k) = k // 10 over customer keys.
+
+    Spark has no recursive CTE; the scalable equivalent is iterative
+    doubling on the ancestor relation — each round joins the frontier one
+    level up and localCheckpoints to keep the plan flat, exactly the
+    connected-components/PageRank loop discipline (operators/graph.py).
+    Rounds = tree depth (~7 for 10^7 keys; depth is log-bounded for
+    digit-style hierarchies). Each round is one hash equi-join on the
+    ancestor key + a union — at 100 TB this is |edges| x depth join work,
+    the same cost a recursive CTE engine pays, with AQE handling frontier
+    shrink. The oracle runs DuckDB's native WITH RECURSIVE on the same
+    edge relation."""
+    c = load(spark, "customer", sf_dir)
+    edges = c.select(
+        F.col("c_custkey").alias("node"),
+        F.when(
+            F.col("c_custkey") >= 10, F.floor(F.col("c_custkey") / 10)
+        ).cast("long").alias("parent"),
+    ).filter(F.col("parent").isNotNull()).localCheckpoint()
+    up = edges.select(
+        F.col("node").alias("j_node"), F.col("parent").alias("j_parent")
+    )
+    # anc: all (node, ancestor, depth) found so far; frontier: deepest level
+    anc = edges.select(
+        "node", F.col("parent").alias("ancestor"), F.lit(1).alias("depth")
+    ).localCheckpoint()
+    frontier = anc
+    while True:
+        nxt = (
+            frontier.join(up, frontier.ancestor == up.j_node)
+            .select(
+                "node",
+                F.col("j_parent").alias("ancestor"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint()  # eager: truncates lineage every round
+        )
+        if nxt.isEmpty():
+            break
+        anc = anc.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return anc
