@@ -249,6 +249,34 @@ def ngram_jaccard_pairs(
       Correct at oracle scale; documented as LSH-candidate verification
       only at 100 TB.
     """
+    inter, sizes = _shingle_pair_counts(
+        df, text_col, id_col, k_shingle, max_shingle_df
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int,
+    max_shingle_df: int | None,
+):
+    """Shared kernel for the set-similarity family: per-pair intersection
+    counts (id_a < id_b) and per-doc distinct-shingle sizes over the
+    (optionally df-capped) shingle universe. See ``ngram_jaccard_pairs``
+    for the two physical shapes."""
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = df.repartition(par).select(
         F.col(id_col).alias("id"),
@@ -309,17 +337,39 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count("*").alias("n_common"))
         )
+    return inter, sizes
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """N2 — CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold.
+
+    The asymmetric companion to ``ngram_jaccard_pairs``: a short document
+    pasted inside a long one scores near-zero Jaccard but containment ≈ 1,
+    so this is the subset-duplication detector. Identical physical shape —
+    the capped single-pass groupBy(shingle) form when ``max_shingle_df`` is
+    set (pair work bounded by O(cap²) per shingle, the
+    tokenize→shingle→aggregate subtree planned once) — only the final
+    similarity expression differs. Returns (id_a, id_b, n_common,
+    containment)."""
+    inter, sizes = _shingle_pair_counts(
+        df, text_col, id_col, k_shingle, max_shingle_df
+    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "containment")
     )
 
 

@@ -1076,41 +1076,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored in the oracle), so work is bounded by Σdf² over surviving
     shingles, never |docs|²."""
     d = load(spark, "documents", sf_dir)
-    ex = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(tx.shingles(F.col("text"), k=3))
-            ).alias("shingle"),
-        )
+    out = dedup.ngram_containment_pairs(
+        d, k_shingle=3, threshold=0.6, max_shingle_df=25
     )
-    hot = (
-        ex.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > 25)
-        .select("shingle")
-    )
-    ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = ex.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
-    cont = F.col("n_common") * 1.0 / F.least(F.col("na"), F.col("nb"))
-    return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .filter(cont >= 0.6)
-        .select(
-            "id_a",
-            "id_b",
-            F.col("n_common").cast("long").alias("n_common"),
-            F.round(cont, 6).alias("containment"),
-        )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round("containment", 6).alias("containment"),
     )
