@@ -190,6 +190,44 @@ def _audit_hints(spark, failures: list) -> None:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+# Eager driver-side actions allowed in query modules. Everything else must
+# fold scalars into the plan as broadcast 1-row aggregates (the
+# crossJoin(F.broadcast(agg)) pattern) — an eager .collect()/.first()/
+# .count() during query construction re-scans the fact in a separate job.
+_EAGER_ALLOWLIST = {
+    # banded_range_join needs driver-side vmin/vmax to enumerate bin
+    # literals — inherent to generating the bin replication expression.
+    ("q_events.py", 'vmin, vmax = e.agg(F.min("value"), F.max("value")).first()'),
+}
+
+
+def _audit_no_eager_scalars(failures: list) -> None:
+    import glob
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "seoul_big_data_spark",
+    )
+    # require a call-receiver char before the dot so prose mentions of
+    # ".first()" in docstrings/comments don't trip the audit
+    pat = re.compile(r"[\w)\]]\.(collect|first|count|toPandas)\(\)")
+    for path in glob.glob(os.path.join(pkg, "q_*.py")) + [
+        os.path.join(pkg, "sql_interface.py")
+    ]:
+        fname = os.path.basename(path)
+        with open(path) as fh:
+            for lineno, line in enumerate(fh, 1):
+                code = line.split("#", 1)[0]
+                if not pat.search(code):
+                    continue
+                if (fname, code.strip()) in _EAGER_ALLOWLIST:
+                    print(f"[eager-audit allowlisted] {fname}:{lineno}")
+                    continue
+                failures.append((fname, f"line {lineno}: eager action {code.strip()!r}"))
+                print(f"!! EAGER ACTION: {fname}:{lineno}: {code.strip()}")
+    print("[eager-audit done]")
+
+
 def main() -> None:
     names = sys.argv[1:] or list(CHECKS)
     spark = get_spark("plan_audit")
@@ -228,6 +266,8 @@ def main() -> None:
     if not sys.argv[1:]:
         print("\n===== hint audit (broadcast threshold off) =====")
         _audit_hints(spark, failures)
+        print("\n===== eager-scalar audit (query modules) =====")
+        _audit_no_eager_scalars(failures)
     if failures:
         print("\nAUDIT FAILURES:", failures)
         sys.exit(1)
