@@ -126,6 +126,9 @@ EXTENDED = [
     "stats_gini_customer_revenue",
     "stats_mutual_info_type_hour",
     "dedup_containment_pairs",
+    "hierarchy_flatten_ancestors",
+    "dedup_incremental_vs_corpus",
+    "sample_negative_pairs",
 ]
 
 

@@ -436,3 +436,99 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("vid").alias(id_col), F.col("label").alias("component"))
+
+
+def incremental_jaccard_pairs(
+    corpus: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """N2 — INCREMENTAL dedup: exact Jaccard pairs between a NEW batch and
+    an EXISTING corpus only — never old x old. This is the production shape
+    for a continuously-ingesting corpus: yesterday's 100 TB is already
+    deduped; today's increment must be checked against it (and against
+    itself via the ordinary pair operator) without ever re-pairing the
+    corpus with itself.
+
+    Physical shape mirrors ``_shingle_pair_counts``'s capped single-pass
+    form with the side split INSIDE the per-shingle aggregate: one
+    groupBy(shingle) collects the corpus-id list and increment-id list
+    separately (conditional collect_list), the df cap bounds both, and
+    pairs come from the new x old array combination — O(cap_old * cap_new)
+    per shingle, zero old-old work. Sizes are computed over the same capped
+    universe so Jaccard stays a true set similarity on it. Returns
+    (id_new, id_old, jaccard)."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    tagged = corpus.select(
+        F.col(id_col).alias("id"), F.lit(0).alias("side"), F.col(text_col)
+    ).unionByName(
+        increment.select(
+            F.col(id_col).alias("id"), F.lit(1).alias("side"), F.col(text_col)
+        )
+    )
+    sh = tagged.repartition(par).select(
+        "id",
+        "side",
+        F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("shingle"),
+    )
+    from pyspark import StorageLevel
+
+    per_shingle = (
+        sh.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("side") == 0, F.col("id")))
+            ).alias("olds"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("side") == 1, F.col("id")))
+            ).alias("news"),
+            F.count("*").alias("df"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if max_shingle_df is not None:
+        per_shingle = per_shingle.filter(F.col("df") <= max_shingle_df)
+    sizes = (
+        per_shingle.select(
+            F.explode(F.concat(F.col("olds"), F.col("news"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    inter = (
+        per_shingle.filter((F.size("news") > 0) & (F.size("olds") > 0))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("news"),
+                        lambda n: F.transform(
+                            F.col("olds"),
+                            lambda o: F.struct(
+                                n.alias("id_new"), o.alias("id_old")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.id_new").alias("id_new"), F.col("p.id_old").alias("id_old"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sn = sizes.select(F.col("id").alias("id_new"), F.col("n_sh").alias("n_new"))
+    so = sizes.select(F.col("id").alias("id_old"), F.col("n_sh").alias("n_old"))
+    return (
+        inter.join(sn, "id_new")
+        .join(so, "id_old")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_new") + F.col("n_old") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
+    )

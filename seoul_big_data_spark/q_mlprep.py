@@ -489,3 +489,65 @@ def corpus_refinery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "sample_negative_pairs",
+    """
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    anchors AS (
+      SELECT d.doc_id, d.lang, j,
+             ((d.doc_id % 100003) * 31 + j * 7 + d.doc_id) % n.n_docs
+               AS partner_id
+      FROM documents d
+      CROSS JOIN n
+      CROSS JOIN (VALUES (1), (2), (3)) AS js(j)
+    )
+    SELECT a.doc_id, CAST(a.j AS INTEGER) AS neg_rank, a.partner_id,
+           a.lang AS anchor_lang, p.lang AS partner_lang,
+           CAST(a.lang <> p.lang AS BOOLEAN) AS cross_lang
+    FROM anchors a
+    JOIN documents p ON p.doc_id = a.partner_id
+    WHERE a.partner_id <> a.doc_id
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair sampling for contrastive training data:
+    k=3 pseudo-random partners per anchor via a fixed mixing function of
+    (doc_id, j) mod corpus size — reproducible across runs/partitions/
+    engines (no rand()), which is what makes the training set auditable and
+    backfill-stable, same philosophy as the md5 samplers. The corpus size
+    rides in the plan as a broadcast 1-row aggregate; partner payloads come
+    from ONE equi-join on the derived key (at 100 TB this is a shuffle join
+    on uniformly-spread synthetic keys — no hotspots by construction).
+    Self-pairs are excluded; the modular arithmetic stays below 2^53 so
+    Spark and DuckDB agree exactly."""
+    d = load(spark, "documents", sf_dir)
+    nrow = d.agg(F.count("*").alias("n_docs"))
+    anchors = (
+        d.select("doc_id", "lang")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            "n_docs",
+        )
+        .withColumn(
+            "partner_id",
+            ((F.col("doc_id") % 100003) * 31 + F.col("j") * 7 + F.col("doc_id"))
+            % F.col("n_docs"),
+        )
+        .filter(F.col("partner_id") != F.col("doc_id"))
+    )
+    p = d.select(
+        F.col("doc_id").alias("partner_id"), F.col("lang").alias("partner_lang")
+    )
+    return anchors.join(p, "partner_id").select(
+        "doc_id",
+        F.col("j").cast("int").alias("neg_rank"),
+        "partner_id",
+        F.col("lang").alias("anchor_lang"),
+        "partner_lang",
+        (F.col("lang") != F.col("partner_lang")).alias("cross_lang"),
+    )

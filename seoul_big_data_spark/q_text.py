@@ -1085,3 +1085,58 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_common").cast("long").alias("n_common"),
         F.round("containment", 6).alias("containment"),
     )
+
+
+@query(
+    "dedup_incremental_vs_corpus",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex0 AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), ex AS (
+      SELECT * FROM ex0 WHERE shingle NOT IN (
+        SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 25
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_new, id_old,
+           round(n_common * 1.0 / (sn.n_sh + so.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sn ON sn.doc_id = id_new
+    JOIN sizes so ON so.doc_id = id_old
+    WHERE n_common * 1.0 / (sn.n_sh + so.n_sh - n_common) >= 0.3
+    """,
+)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — incremental dedup: the NEW batch (doc_id % 5 == 0 stands in for
+    today's increment) checked against the EXISTING corpus (the rest),
+    pairing ONLY new x old — never old x old. This is the shape a
+    continuously-ingesting 100 TB corpus actually runs daily: the corpus
+    side is already deduped, so re-pairing it with itself would be almost
+    all of the naive cost for zero information. One groupBy(shingle)
+    collects old-ids and new-ids separately (conditional collect_list); the
+    df<=25 cap bounds both lists; pair work is O(|old| x |new|) per
+    shingle (operators/dedup.py::incremental_jaccard_pairs)."""
+    d = load(spark, "documents", sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    incr = d.filter(F.col("doc_id") % 5 == 0)
+    out = dedup.incremental_jaccard_pairs(
+        corpus, incr, k_shingle=3, threshold=0.3, max_shingle_df=25
+    )
+    return out.select("id_new", "id_old", F.round("jaccard", 6).alias("jaccard"))

@@ -197,3 +197,30 @@ def test_exact_dedup_property_random_corpora(spark):
             .collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_incremental_jaccard_matches_full_pair_subset(spark, sf_dir):
+    """incremental_jaccard_pairs(corpus, increment) must equal exactly the
+    new x old subset of the full pair operator over corpus+increment (same
+    cap, same threshold), and emit zero old-old or new-new pairs."""
+    d = load(spark, "documents", sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    incr = d.filter(F.col("doc_id") % 5 == 0)
+    inc = dedup.incremental_jaccard_pairs(
+        corpus, incr, k_shingle=3, threshold=0.3, max_shingle_df=25
+    )
+    got = {
+        (r["id_new"], r["id_old"], round(r["jaccard"], 6)) for r in inc.collect()
+    }
+    full = dedup.ngram_jaccard_pairs(
+        d, k_shingle=3, threshold=0.3, max_shingle_df=25
+    )
+    want = set()
+    for r in full.collect():
+        a_new, b_new = r["id_a"] % 5 == 0, r["id_b"] % 5 == 0
+        if a_new and not b_new:
+            want.add((r["id_a"], r["id_b"], round(r["jaccard"], 6)))
+        elif b_new and not a_new:
+            want.add((r["id_b"], r["id_a"], round(r["jaccard"], 6)))
+    assert got == want
+    assert all(n % 5 == 0 and o % 5 != 0 for n, o, _ in got)
