@@ -98,3 +98,22 @@ def session_rollup_stream(
             "session_value",
         )
     )
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the most common streaming join:
+    each micro-batch hash-joins against a STATIC (batch) dimension, no
+    watermark and no streaming state involved (only stream-stream joins
+    buffer state). The dim side is broadcast, so enrichment adds zero
+    shuffle to the stream; at 100 TB/day the dim re-broadcasts per batch
+    and a dim refresh is just a re-read on the next trigger. Left join
+    preserves events with no dim row (nulls), the usual contract for
+    late-registered entities."""
+    d = F.broadcast(dim.select(key, *dim_cols))
+    return stream.join(d, key, how)
