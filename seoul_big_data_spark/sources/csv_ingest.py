@@ -42,3 +42,36 @@ def load_csv_with_catalog_schema(
         for name, ctype in zip(column_names, column_types):
             out = out.withColumn(name, F.col(name).cast(spark_type_for(ctype)))
     return out
+
+
+def read_csv_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """C4 with malformed-row quarantine: PERMISSIVE CSV parse against a
+    declared schema, split into (clean, quarantine). A row that fails the
+    schema (wrong arity, uncastable value) lands in the quarantine frame
+    with its raw text preserved in ``_corrupt_record`` for replay after the
+    upstream fix — the CSV analogue of q_dq.py's JSON bad-record routing,
+    and the contract a 100 TB ingest needs: one malformed line must never
+    kill a load (FAILFAST) or silently vanish (DROPMALFORMED).
+
+    Both frames come from ONE scan plan; the split is a filter on the
+    corrupt-record column, so Spark reads the file once per action. The
+    returned clean frame drops the bookkeeping column."""
+    raw = spark.read.csv(
+        path,
+        header=header,
+        schema=schema_ddl + ", _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    # Spark requires caching/materializing the parsed frame before
+    # referencing the corrupt-record column in a filter (documented
+    # from_csv/corrupt-record restriction).
+    raw = raw.cache()
+    clean = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = raw.filter(F.col("_corrupt_record").isNotNull())
+    return clean, quarantine

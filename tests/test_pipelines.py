@@ -262,3 +262,28 @@ def test_extract_paths_agree():
         None,
         "plain text, no anchor",
     )
+
+
+def test_csv_quarantine_split(spark, tmp_path):
+    """PERMISSIVE CSV ingest: malformed rows (bad arity / uncastable types)
+    go to quarantine with raw text preserved; clean rows parse typed; no
+    row is lost or duplicated."""
+    from seoul_big_data_spark.sources.csv_ingest import read_csv_quarantined
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,qty,name\n"
+        "1,10,alpha\n"
+        "2,notanumber,beta\n"
+        "3,30,gamma\n"
+        "4,40\n"
+    )
+    clean, quar = read_csv_quarantined(
+        spark, str(p), "id int, qty int, name string"
+    )
+    got_clean = sorted(map(tuple, clean.collect()))
+    assert got_clean == [(1, 10, "alpha"), (3, 30, "gamma")]
+    # both the uncastable row AND the short-arity row quarantine (Spark's
+    # CSV reader treats arity mismatch as malformed), raw text preserved
+    quar_raw = sorted(r["_corrupt_record"] for r in quar.collect())
+    assert quar_raw == ["2,notanumber,beta", "4,40"]
