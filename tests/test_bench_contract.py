@@ -32,3 +32,26 @@ def test_bench_headline_record_is_compact():
     line = json.dumps(fake)
     assert "\n" not in line
     assert len(line) < 4096, len(line)
+
+
+def test_load_prev_round_skips_unparseable(tmp_path, monkeypatch):
+    """_load_prev_round must fall back to the latest PARSEABLE round record
+    (r2's was truncated mid-line) and read extended timings from the side
+    file when present."""
+    import bench
+
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"q_a": 1.5}}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": None, "tail": '{"metric": "headline_su'})
+    )
+    (tmp_path / "bench_extended.json").write_text(
+        json.dumps({"extended": {"q_x": 2.5}})
+    )
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda _: str(tmp_path)
+    )
+    head, ext = bench._load_prev_round()
+    assert head == {"q_a": 1.5}
+    assert ext == {"q_x": 2.5}
