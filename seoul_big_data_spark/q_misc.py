@@ -1145,7 +1145,11 @@ def hierarchy_flatten_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("parent").alias("ancestor"), F.lit(1).alias("depth")
     ).localCheckpoint()
     frontier = anc
-    while True:
+    # Bounded rounds: a parent cycle in bad data would otherwise loop the
+    # driver forever. 64 levels covers any real hierarchy (digit hierarchies
+    # are log10-deep; org charts/BOMs are O(10)); hitting the bound raises
+    # instead of silently truncating ancestry.
+    for _ in range(64):
         nxt = (
             frontier.join(up, frontier.ancestor == up.j_node)
             .select(
@@ -1156,7 +1160,9 @@ def hierarchy_flatten_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # eager: truncates lineage every round
         )
         if nxt.isEmpty():
-            break
+            return anc
         anc = anc.unionByName(nxt).localCheckpoint()
         frontier = nxt
-    return anc
+    raise ValueError(
+        "hierarchy deeper than 64 levels — cycle in parent relation?"
+    )

@@ -137,10 +137,19 @@ def merge_upsert_partitioned(
     merged = merge_upsert(
         target, source.select(*target.columns), key, delete_condition
     )
-    # Merge output loses partition-column ordering guarantees; cache the
-    # surviving partition values BEFORE the write consumes the plan.
-    merged = merged.localCheckpoint(eager=True)
-    survived = {r[0] for r in merged.select(partition_col).distinct().collect()}
+    if delete_condition is None:
+        # No deletes → every affected partition keeps at least its source
+        # rows, so the survived set is known statically: no checkpoint, no
+        # second pass, the write below is the only action.
+        survived = set(parts)
+    else:
+        # Deletes may empty a partition; checkpoint the merge once so the
+        # survived-partition probe and the write share the materialized
+        # result instead of recomputing the join twice.
+        merged = merged.localCheckpoint(eager=True)
+        survived = {
+            r[0] for r in merged.select(partition_col).distinct().collect()
+        }
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
