@@ -214,10 +214,13 @@ def scalar_subquery_vs_global_max(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 shape: reused CTE (revenue appears twice — as the join input and
-    under the max; the identical groupBy-agg subplans share one shuffle via
-    ReuseExchange) + uncorrelated max subquery folded into the plan as a
-    broadcast 1-row aggregate, so the whole query is a single job."""
+    """Q15 shape: reused CTE + uncorrelated max subquery. The max rides as
+    a window aggregate OVER the revenue rows themselves (single-partition
+    window — legitimate here because revenue is already reduced to supplier
+    cardinality), so lineitem is scanned exactly ONCE and the whole query
+    is one job; the crossJoin-broadcast alternative plans the revenue
+    aggregate twice because the broadcast and max subtrees cannot share an
+    exchange."""
     l = load(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -227,12 +230,12 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_revenue")
     )
-    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    top = revenue.withColumn(
+        "_mx", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("_mx"))
     s = load(spark, "supplier", sf_dir)
     return (
-        s.join(F.broadcast(revenue), s.s_suppkey == revenue.supplier_no)
-        .crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("_mx"))
+        s.join(F.broadcast(top), s.s_suppkey == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -532,43 +535,52 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q11_important_value",
     """
-    SELECT n_name, s_suppkey, value
+    SELECT n_name, s_suppkey, CAST(value_dec AS DOUBLE) AS value
     FROM (
-      SELECT n.n_name, s.s_suppkey,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS value
-      FROM lineitem l
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      JOIN nation n   ON s.s_nationkey = n.n_nationkey
-      GROUP BY n.n_name, s.s_suppkey
+      SELECT n_name, s_suppkey, value_dec,
+             sum(value_dec) OVER () AS total_dec
+      FROM (
+        SELECT n.n_name, s.s_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS value_dec
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, s.s_suppkey
+      )
     )
-    WHERE value > (
-      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-      FROM lineitem
-    ) * CAST(0.01 AS DOUBLE)
+    WHERE CAST(value_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * CAST(0.01 AS DOUBLE)
     """,
 )
 def tpch_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: grouped value filtered against a fraction of the global
     total (scalar subquery). No partsupp table in this schema, so lineitem
-    revenue stands in for stock value; the HAVING threshold is the same
-    fraction-of-global-scalar pattern. The global total rides in the plan
-    as a broadcast 1-row aggregate cross-join (one job, no eager .first()
-    re-scan) — Catalyst reuses the scan where possible."""
+    revenue stands in for stock value. The total is a window sum OVER the
+    grouped (supplier-sized) result — lineitem is scanned exactly ONCE;
+    computing the total from raw lineitem in a second subtree would double
+    the fact scan for the same number (the grouped values partition the
+    joined universe). Both engines keep the per-group sums and the window
+    total in exact decimal, so the threshold comparison is deterministic."""
     l = load(spark, "lineitem", sf_dir)
     s = load(spark, "supplier", sf_dir)
     n = load(spark, "nation", sf_dir)
     vol = _dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)"))
-    total = l.agg(F.sum(vol).cast("double").alias("_total"))
-    return (
+    grouped = (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "s_suppkey")
-        .agg(F.sum(vol).cast("double").alias("value"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("_total") * 0.01)
-        .select("n_name", "s_suppkey", "value")
+        .agg(F.sum(vol).alias("value_dec"))
+    )
+    total = F.sum("value_dec").over(Window.partitionBy())
+    return (
+        grouped.withColumn("_total", total)
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("_total").cast("double") * 0.01
+        )
+        .select(
+            "n_name", "s_suppkey", F.col("value_dec").cast("double").alias("value")
+        )
     )
 
 
