@@ -630,16 +630,28 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "events", sf_dir).select(
         F.date_trunc("hour", "ts").alias("hour_start"), "event_type", "value"
     )
-    # The late-batch cutoff rides in the plan as a broadcast 1-row aggregate
-    # (single job) — no eager .collect() scalar that would scan events twice.
-    cut = e.agg(F.date_sub(F.max("hour_start"), 3).alias("_cut"))
-    ec = e.crossJoin(F.broadcast(cut))
-    base = ec.filter(F.col("hour_start").cast("date") < F.col("_cut")).drop("_cut")
-    late = ec.filter(F.col("hour_start").cast("date") >= F.col("_cut")).drop("_cut")
+    # ONE fact scan: reduce to hourly partials first, THEN split base/late
+    # on the bucket key (the cutoff is a window max over the bucket table —
+    # single-partition is fine there, it is already hours x types sized).
+    # Splitting by the group key keeps every bucket wholly in one increment,
+    # so merge(partial(base), partial(late)) still exercises the mergeable-
+    # aggregate path the oracle recomputes from scratch.
+    from pyspark import StorageLevel
+
     keys = ["hour_start", "event_type"]
-    merged = merge_rollups(
-        partial_rollup(base, keys, "value"), partial_rollup(late, keys, "value")
+    # persist the bucket-sized partial table: both increment branches read
+    # it from cache, so the fact scan runs exactly once.
+    part = (
+        partial_rollup(e, keys, "value")
+        .withColumn(
+            "_cut",
+            F.date_sub(F.max(F.col("hour_start")).over(Window.partitionBy()), 3),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    base = part.filter(F.col("hour_start").cast("date") < F.col("_cut")).drop("_cut")
+    late = part.filter(F.col("hour_start").cast("date") >= F.col("_cut")).drop("_cut")
+    merged = merge_rollups(base, late)
     return merged.select(
         F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
@@ -1170,8 +1182,15 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    sess = s.groupBy("user_id", "sid").agg(
-        F.min("tus").alias("lo"), F.max("tus").alias("hi")
+    from pyspark import StorageLevel
+
+    # sess feeds three consumers (start deltas, end deltas, session count);
+    # persist the session-sized reduction so the lag/cumsum window chain
+    # over the fact runs exactly once.
+    sess = (
+        s.groupBy("user_id", "sid")
+        .agg(F.min("tus").alias("lo"), F.max("tus").alias("hi"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Session count joins the plan as a broadcast 1-row aggregate (one job,
     # no eager .count() that would redo the sessionization window).

@@ -740,8 +740,18 @@ def stats_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     support from one aggregate, lift as column arithmetic against the
     broadcast support table. The association-rule kernel; a min-support
     HAVING keeps the output to recurring pairs."""
+    from pyspark import StorageLevel
+
     li = load(spark, "lineitem", sf_dir)
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # items feeds FOUR consumers (both self-join sides, support, n_orders);
+    # Catalyst cannot CSE across exchanges, so without materialization the
+    # fact is scanned once per consumer — persist the reduced distinct
+    # (spills to disk at scale) and lineitem is read exactly once.
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # n_orders rides in the plan as a broadcast 1-row aggregate (one job,
     # no eager .count() that would re-run the distinct in a separate job).
     n_orders = items.agg(F.count_distinct("l_orderkey").alias("_n_orders"))

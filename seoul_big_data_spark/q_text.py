@@ -843,13 +843,19 @@ def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars (one aggregate, driver-sized). The BM25 expression is written
     with the same operation order on both engines so the 6-decimal rounding
     is stable cross-engine."""
+    from pyspark import StorageLevel
+
     d = load(spark, "documents", sf_dir)
+    # The tokenize+explode subtree feeds THREE aggregations (tf, dl, df);
+    # Catalyst replans it per consumer, so persist the exploded tokens once
+    # (spills to disk at scale) — documents is then scanned once for the
+    # token pipeline plus once for the cheap n_docs count.
     toks = d.select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != F.lit(""))
         ).alias("token"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
