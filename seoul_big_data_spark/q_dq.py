@@ -130,7 +130,7 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_custkey").alias("dist_cust"),
         F.min("o_custkey").cast("string").alias("min_cust"),
         F.max("o_custkey").cast("string").alias("max_cust"),
-    )
+    ).persist()  # 1-row profile consumed once per unpivoted column
     rows = [
         ("o_orderstatus", "null_status", "dist_status", "min_status", "max_status"),
         ("o_orderpriority", "null_prio", "dist_prio", "min_prio", "max_prio"),
@@ -322,15 +322,20 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines before the division so the cross-engine boundary at the 2.5
     cut is pinned (the percentile interpolation convention is already
     value-identical, see agg_percentile_exact)."""
+    from pyspark import StorageLevel
+
+    # customer-sized intermediates persisted: the median, MAD, and final
+    # flag pass all read the cache — orders is scanned exactly once.
     spend = (
         load(spark, "orders", sf_dir)
         .groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice").cast("double"), 2).alias("spend"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     med = spend.agg(F.round(F.expr("percentile(spend, 0.5)"), 2).alias("med"))
     dev = spend.join(F.broadcast(med)).withColumn(
         "adev", F.round(F.abs(F.col("spend") - F.col("med")), 2)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     mad = dev.agg(F.round(F.expr("percentile(adev, 0.5)"), 2).alias("mad"))
     z = (F.col("spend") - F.col("med")) / (1.4826 * F.col("mad"))
     return (

@@ -265,14 +265,23 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     one week of events: each stage joins the previous stage's first-reach
     time and requires strict progression. Each stage is a groupBy on
     user_id — same key every stage, so at scale one repartition by user_id
-    serves all three aggregations (no re-shuffle between stages)."""
-    w = load(spark, "events", sf_dir).filter(
-        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    serves all three aggregations (no re-shuffle between stages). The week
+    slice and each stage's user-sized output are persisted: the fact is
+    scanned once even though three stages and three counts consume them
+    (Catalyst replans shared subtrees per consumer otherwise)."""
+    from pyspark import StorageLevel
+
+    w = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .select("user_id", "event_type", "ts")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     fv = (
         w.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     fc = (
         w.filter(F.col("event_type") == "click")
@@ -280,6 +289,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     fp = (
         w.filter(F.col("event_type") == "purchase")
@@ -995,11 +1005,18 @@ def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth metric uses (the unbounded funnel is `events_funnel_conversion`).
     Two per-user aggregates on the same user_id shuffle + one join; the
     window bound is column arithmetic, not a range join."""
+    from pyspark import StorageLevel
+
     e = load(spark, "events", sf_dir)
+    # signup aggregate feeds the purchase join AND the final outer join;
+    # persist the user-sized result so its events scan runs once (the
+    # purchase side's scan pushes its own type filter — two scans total,
+    # each reading a different pushed-down subset).
     s = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")

@@ -256,7 +256,9 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model scoring — the classic cheap perplexity
     signal for corpus curation (low avg log-prob = rare-token-heavy /
-    noisy docs). The LM is fit on the corpus itself in one pass:
+    noisy docs). The exploded tokens are persisted once (LM fit + scoring
+    join both read the cache — one documents scan). The LM is fit on the
+    corpus itself in one pass:
     explode -> groupBy(token) with map-side combine, then the frequency
     table (vocab-sized, Zipf-bounded) broadcasts back onto the exploded
     tokens — the per-doc aggregation is the only full shuffle.
@@ -266,10 +268,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the final division rounds. At 100 TB the vocab table stays
     dim-sized (top-1M tokens cover the mass), so the score join remains
     a broadcast."""
+    from pyspark import StorageLevel
+
     d = load(spark, "documents", sf_dir)
     toks = d.select(
         "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
     lnp = F.round(F.log(F.col("cnt") * 1.0 / F.col("total")), 6).cast(
@@ -324,10 +328,15 @@ def text_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back), and bucket assignment is a map-side comparison, so
     nothing ever globally sorts. Cutoffs and scores are both rounded to
     6 decimals before comparison, pinning the cross-engine boundary."""
+    from pyspark import StorageLevel
+
     d = load(spark, "documents", sf_dir)
+    # persist the exploded tokens (freq fit + scoring join) AND the
+    # doc-sized scores (cutoff aggregate + bucket assignment): one
+    # documents scan, one token-pipeline evaluation.
     toks = d.select(
         "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
     lnp = F.round(F.log(F.col("cnt") * 1.0 / F.col("total")), 6).cast(
@@ -340,6 +349,7 @@ def text_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum(lnp).cast("double") / F.count("*"), 6).alias("score")
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cuts = scored.agg(
         F.round(F.expr("percentile(score, 0.25)"), 6).alias("c1"),

@@ -496,22 +496,25 @@ def stats_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = o.groupBy(
         F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
     ).agg(F.count("*").alias("o"))
-    rowm = obs.groupBy("pri").agg(F.sum("o").alias("rt"))
-    colm = obs.groupBy("st").agg(F.sum("o").alias("ct"))
-    n = obs.groupBy().agg(F.sum("o").alias("n"))
+    # Marginals and total as WINDOW sums over the cell table (same pattern
+    # as the mutual-information query): one orders scan; the join/broadcast
+    # form replans the obs subtree once per marginal (4 fact scans).
+    m = obs.select(
+        "pri",
+        "st",
+        "o",
+        F.sum("o").over(Window.partitionBy("pri")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("st")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
     exp = F.col("rt") * F.col("ct") * 1.0 / F.col("n")
-    return (
-        obs.join(F.broadcast(rowm), "pri")
-        .join(F.broadcast(colm), "st")
-        .crossJoin(F.broadcast(n))
-        .agg(
-            F.round(
-                F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 6
-            ).alias("chi2"),
-            (
-                (F.count_distinct("pri") - 1) * (F.count_distinct("st") - 1)
-            ).alias("dof"),
-        )
+    return m.agg(
+        F.round(
+            F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 6
+        ).alias("chi2"),
+        (
+            (F.count_distinct("pri") - 1) * (F.count_distinct("st") - 1)
+        ).alias("dof"),
     )
 
 

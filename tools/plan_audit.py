@@ -60,7 +60,9 @@ CHECKS = {
     # DQ layer: rule filters must push down; profiling is one aggregate
     "dq_accepted_values": ["PushedFilters:"],
     "sample_fraction_md5": ["Filter"],
-    "dq_profile_columns": ["HashAggregate"],
+    # the 1-row profile aggregate is persisted (one scan for 4 unpivot
+    # consumers), so the plan shows the cached-relation scan
+    "dq_profile_columns": ["InMemoryTableScan"],
     "events_funnel_conversion": ["HashAggregate"],
     # ML-prep + ANN: small sides must broadcast (benchmark set, probe set)
     "text_contamination_overlap": ["BroadcastHashJoin"],
@@ -201,6 +203,42 @@ _EAGER_ALLOWLIST = {
 }
 
 
+# Max parquet-scan nodes of any ONE fact table per query plan. Catalyst
+# replans shared subtrees per consumer, so a multi-consumer intermediate
+# must be persisted or restructured — otherwise the fact is re-read once
+# per consumer at 100 TB. Default budget 2 (some queries legitimately read
+# two different filtered subsets); the exceptions are documented designs.
+_SCAN_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")
+_SCAN_BUDGET_DEFAULT = 2
+_SCAN_BUDGET = {
+    "dedup_ngram_jaccard": 4,   # UNCAPPED oracle form (scale path is the capped variant)
+    "sample_negative_pairs": 3,  # anchors/partners/count: three narrow projections
+    "corpus_refinery_pipeline": 3,  # three genuinely different filtered subsets
+    "dq_fk_orphans": 3,         # one scan per FK direction by definition
+}
+
+
+def _audit_scan_budget(spark, failures: list) -> None:
+    for name in QUERIES:
+        try:
+            df = QUERIES[name](spark, SF_DIR)
+            plan = _plan_str(spark, df)
+        except Exception as ex:  # build errors surface in correctness gates
+            print(f"!! scan-audit build error {name}: {str(ex)[:100]}")
+            continue
+        budget = _SCAN_BUDGET.get(name, _SCAN_BUDGET_DEFAULT)
+        for tbl in _SCAN_TABLES:
+            n = sum(
+                1
+                for line in plan.splitlines()
+                if "Location" in line and f"/{tbl}" in line
+            )
+            if n > budget:
+                failures.append((name, f"{n} scans of {tbl} (budget {budget})"))
+                print(f"!! SCAN-BUDGET: {name}: {n}x {tbl}")
+    print("[scan-audit done]")
+
+
 def _audit_no_eager_scalars(failures: list) -> None:
     import glob
 
@@ -268,6 +306,8 @@ def main() -> None:
         _audit_hints(spark, failures)
         print("\n===== eager-scalar audit (query modules) =====")
         _audit_no_eager_scalars(failures)
+        print("\n===== scan-budget audit (all queries) =====")
+        _audit_scan_budget(spark, failures)
     if failures:
         print("\nAUDIT FAILURES:", failures)
         sys.exit(1)
