@@ -37,6 +37,63 @@ def with_rank(df: DataFrame, order_by: list[Column | str], col: str = "rk") -> D
     return df.withColumn(col, F.row_number().over(Window.orderBy(*order_by)))
 
 
+def bucketed_cumsum(
+    df: DataFrame,
+    val_col: str,
+    sum_cols: list[str],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Global ordered cumulative sums WITHOUT the single-reducer window.
+
+    ``Window.orderBy(val)`` with no partition key moves the whole input to
+    one reducer — the classic ECDF/cumulative-distribution scale trap. This
+    is the two-level form: fixed-width range buckets from one min/max
+    aggregate (1 row, broadcast cross-join — no eager collect), per-bucket
+    partial sums cumulated over the bucket-cardinality table (n_buckets
+    rows — the only unpartitioned window, bounded by construction), then a
+    within-bucket window partitioned by ``_b``. Adds ``cum_<c>`` (inclusive,
+    ≤ val) for each input sum column.
+
+    Requires one row per distinct ``val_col`` (aggregate first): with ties
+    the within-bucket inclusive frame would make tied rows' cumsums
+    order-dependent.
+    """
+    mm = df.agg(
+        F.min(val_col).cast("double").alias("_lo"),
+        F.max(val_col).cast("double").alias("_hi"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_buckets
+    bucket = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(val_col).cast("double") - F.col("_lo")) / width),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("bigint")
+    )
+    d = df.crossJoin(F.broadcast(mm)).withColumn("_b", bucket).drop("_lo", "_hi")
+    partials = d.groupBy("_b").agg(
+        *[F.sum(c).alias(f"_p_{c}") for c in sum_cols]
+    )
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select(
+        "_b",
+        *[
+            F.coalesce(F.sum(f"_p_{c}").over(w_off), F.lit(0)).alias(f"_o_{c}")
+            for c in sum_cols
+        ],
+    )
+    w_in = Window.partitionBy("_b").orderBy(val_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = d.join(F.broadcast(offsets), "_b")
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"_o_{c}") + F.sum(c).over(w_in))
+    return out.drop("_b", *[f"_o_{c}" for c in sum_cols])
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

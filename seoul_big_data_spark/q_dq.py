@@ -542,3 +542,204 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("observed_p"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
     )
+
+
+@query(
+    "dq_psi_drift",
+    """
+    WITH mm AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    ), b AS (
+      SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)), 9)
+                  AS BIGINT) AS bin,
+             CASE WHEN o_orderdate <  TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+               AS is_expected
+      FROM orders CROSS JOIN mm
+    ), cells AS (
+      SELECT bin,
+             sum(is_expected)     AS n_e,
+             sum(1 - is_expected) AS n_a
+      FROM b GROUP BY bin
+    ), t AS (
+      SELECT sum(n_e) AS te, sum(n_a) AS ta FROM cells
+    ), terms AS (
+      SELECT bin,
+             (n_e + 0.5) / (te + 5.0) AS pe,
+             (n_a + 0.5) / (ta + 5.0) AS pa
+      FROM cells CROSS JOIN t
+    )
+    SELECT bin,
+           round(pe, 6) AS pct_expected,
+           round(pa, 6) AS pct_actual,
+           round((pa - pe) * ln(pa / pe), 6) AS psi_term,
+           round(sum((pa - pe) * ln(pa / pe)) OVER (), 6) AS psi_total
+    FROM terms
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre-1998 ('expected') and
+    1998+ ('actual') order-value distributions over 10 fixed-width bins —
+    the drift metric scoring/data teams threshold on (>0.2 = action).
+    Laplace smoothing (+0.5 per bin) makes empty bins well-defined on both
+    engines without an epsilon fudge.
+
+    Two column-pruned fact scans by design (min/max probe, then the binned
+    aggregate — the probe reads one column); every later stage operates on
+    the 10-row cell table, with totals as a window over it."""
+    o = load(spark, "orders", sf_dir)
+    mm = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = o.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10.0)
+            ),
+            F.lit(9),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("is_expected"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("is_expected").alias("n_e"),
+        F.sum(1 - F.col("is_expected")).alias("n_a"),
+    )
+    terms = cells.select(
+        "bin",
+        (
+            (F.col("n_e") + 0.5)
+            / (F.sum("n_e").over(Window.partitionBy()) + 5.0)
+        ).alias("pe"),
+        (
+            (F.col("n_a") + 0.5)
+            / (F.sum("n_a").over(Window.partitionBy()) + 5.0)
+        ).alias("pa"),
+    )
+    term = (F.col("pa") - F.col("pe")) * F.log(F.col("pa") / F.col("pe"))
+    return terms.select(
+        "bin",
+        F.round("pe", 6).alias("pct_expected"),
+        F.round("pa", 6).alias("pct_actual"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(Window.partitionBy()), 6).alias("psi_total"),
+    )
+
+
+@query(
+    "dq_order_total_consistency",
+    """
+    WITH r AS (
+      SELECT l_orderkey,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) AS DECIMAL(18,6)))
+                        AS DOUBLE), 2) AS recomputed
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN abs(recomputed - o_totalprice) > 0.02
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+           round(max(abs(recomputed - o_totalprice)), 2) AS max_abs_diff
+    FROM r JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def dq_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table arithmetic-consistency rule: recompute each order's total
+    from its line items (Σ extprice·(1−disc)·(1+tax)) and count orders whose
+    header total disagrees beyond a money tolerance — the classic
+    fact-vs-rollup reconciliation every warehouse DQ suite runs. (On this
+    synthetic data the invariant intentionally does NOT hold, so the counts
+    are the interesting output.)
+
+    Determinism: the per-order Σ is a float sum whose value depends on
+    partition merge order, so each product is cast to DECIMAL(18,6) first —
+    decimal addition is exact and order-free — then rounded once. One scan
+    of each fact; the join keys are both pre-aggregated to order
+    cardinality, so AQE plans a shuffle join on co-granular sides."""
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    r = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast("decimal(18,6)")
+            ).cast("double"),
+            2,
+        ).alias("recomputed")
+    )
+    j = r.join(o, r.l_orderkey == o.o_orderkey)
+    bad = F.abs(F.col("recomputed") - F.col("o_totalprice")) > 0.02
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.sum(bad.cast("long")).cast("bigint").alias("n_mismatch"),
+        F.round(F.max(F.abs(F.col("recomputed") - F.col("o_totalprice"))), 2).alias(
+            "max_abs_diff"
+        ),
+    )
+
+
+@query(
+    "dq_key_candidates",
+    """
+    SELECT 'o_orderkey' AS col, CAST(count(DISTINCT o_orderkey) AS BIGINT)
+             AS n_distinct, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) = count(*) AS INTEGER) AS is_key
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) = count(*) AS INTEGER)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) = count(*) AS INTEGER)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) = count(*) AS INTEGER)
+    FROM orders
+    """,
+)
+def dq_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: per column, exact distinct count vs row
+    count (equal → the column is a unique key). The profiling primitive
+    behind schema inference and MERGE-key validation.
+
+    Single fact scan for ALL columns: one multi-count_distinct aggregate
+    (Spark plans multi-distinct via a single expand+aggregate pass, not one
+    scan per column), unpivoted to the per-column report shape. The oracle's
+    four scans are DuckDB-side only."""
+    o = load(spark, "orders", sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        *[F.count_distinct(c).alias(f"d_{c}") for c in cols],
+    )
+    per_col = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"d_{c}").cast("bigint").alias("n_distinct"),
+                        F.col("n_rows").cast("bigint").alias("n_rows"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    )
+    return per_col.select(
+        "s.col",
+        "s.n_distinct",
+        "s.n_rows",
+        (F.col("s.n_distinct") == F.col("s.n_rows")).cast("int").alias("is_key"),
+    )

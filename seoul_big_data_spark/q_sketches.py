@@ -1,0 +1,228 @@
+"""Probabilistic-sketch layer, cross-engine-deterministic variants.
+
+The engine already exposes Spark's native sketches (HLL in
+``agg_approx_count_distinct`` / ``agg_hll_sketch_merge``, KLL-style
+quantiles in ``agg_percentile_approx``, the optimizer's runtime Bloom
+filter in ``tests/test_runtime_filter.py``). Those are the production
+fast path, but their estimates are engine-internal, so the driver can
+only rows-check them. This module adds the two classic counting sketches
+built from PORTABLE md5 hashing — identical bytes in Spark and DuckDB —
+so the full sketch construction + estimate is hash-checkable end to end:
+
+- Count-Min: d×w counter matrix, estimate = min over d salted rows.
+- Bloom membership: m-bit array, k salted hashes, probe = all bits set.
+
+Reference parity: the reference (441-line pandas ETL,
+``data_seoul_2_csv_noopenapi.py:113-128``) counts rows with a Python
+accumulator; these are the sub-linear-memory equivalents a 100 TB engine
+needs when the key space itself doesn't fit (per-key counts via CMS,
+membership pruning via Bloom).
+
+Scale notes (100 TB): both sketches reduce the fact to a key-cardinality
+aggregate FIRST (one scan, map-side partial agg), then build the sketch on
+the reduced table — the d×w / m-bit structures are constant-size and the
+joins against them broadcast. Nothing here shuffles the raw fact twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .registry import query
+from .sources.tables import load
+
+
+def _md5_bucket(col, salt: int, width: int):
+    """Portable hash bucket: first 8 hex chars of md5('<salt>:'||key) mod
+    width — byte-identical in DuckDB via ('0x'||substr(md5(...),1,8))::BIGINT.
+    8 hex chars < 2^32, so the conv() string→bigint cast is exact."""
+    s = F.concat(F.lit(f"{salt}:"), col.cast("string"))
+    return (F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % width).alias(
+        f"b{salt}"
+    )
+
+
+@query(
+    "agg_countmin_heavy_hitters",
+    """
+    WITH per_key AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM orders GROUP BY o_custkey
+    ), hashed AS (
+      SELECT o_custkey, true_cnt, j.j AS j,
+             ('0x' || substr(md5(j.j || ':' || CAST(o_custkey AS VARCHAR)), 1, 8))
+               ::BIGINT % 256 AS bucket
+      FROM per_key CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+    ), counters AS (
+      SELECT j, bucket, CAST(sum(true_cnt) AS BIGINT) AS c
+      FROM hashed GROUP BY j, bucket
+    ), est AS (
+      SELECT h.o_custkey, h.true_cnt, min(c.c) AS est_cnt
+      FROM hashed h JOIN counters c ON h.j = c.j AND h.bucket = c.bucket
+      GROUP BY h.o_custkey, h.true_cnt
+    )
+    SELECT o_custkey, CAST(est_cnt AS BIGINT) AS est_cnt, true_cnt
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY est_cnt DESC, o_custkey) AS rn
+      FROM est
+    ) WHERE rn <= 10
+    """,
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows × w=256 buckets) over per-customer order
+    counts, reporting the top-10 estimated heavy hitters alongside true
+    counts (CMS guarantees est >= true; the overshoot is the collision
+    mass). Salted md5 buckets keep the whole construction portable, so the
+    oracle rebuilds the identical sketch.
+
+    Single fact scan: the raw fact reduces to the key-cardinality
+    ``per_key`` aggregate first; the sketch (4×256 counters) and the
+    estimates are built from that persisted reduction, and the counter
+    join broadcasts (1 024 rows)."""
+    o = load(spark, "orders", sf_dir)
+    per_key = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("true_cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # key-cardinality reduction: both the counters and the probe side
+    #    read this, not the fact
+    hashed = per_key.select(
+        "o_custkey",
+        "true_cnt",
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j"), F.lit(":"), F.col("o_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 256,
+    )
+    counters = hashed.groupBy("j", "bucket").agg(
+        F.sum("true_cnt").cast("bigint").alias("c")
+    )
+    est = (
+        hashed.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("o_custkey", "true_cnt")
+        .agg(F.min("c").cast("bigint").alias("est_cnt"))
+    )
+    # top-10 via sort+limit, not a global row_number window: Spark plans
+    # this as TakeOrderedAndProject (per-partition top-k, then a 10-row
+    # merge on the driver) — no single-partition window over the key table.
+    return (
+        est.orderBy(F.desc("est_cnt"), F.asc("o_custkey"))
+        .limit(10)
+        .select("o_custkey", "est_cnt", "true_cnt")
+    )
+
+
+@query(
+    "agg_bloom_membership",
+    """
+    WITH members AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(j.j || ':' || CAST(c_custkey AS VARCHAR)), 1, 8))
+               ::BIGINT % 1024 AS bit
+      FROM members CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
+    ), probes AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ), probe_bits AS (
+      SELECT p.o_custkey, p.n_orders, j.j AS j,
+             ('0x' || substr(md5(j.j || ':' || CAST(p.o_custkey AS VARCHAR)), 1, 8))
+               ::BIGINT % 1024 AS bit
+      FROM probes p CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
+    ), verdicts AS (
+      SELECT pb.o_custkey,
+             CAST(count(*) FILTER (WHERE b.bit IS NOT NULL) = 3 AS INTEGER)
+               AS bloom_pos,
+             CAST(max(CASE WHEN m.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                  AS INTEGER) AS truly_member
+      FROM probe_bits pb
+      LEFT JOIN bits b ON pb.bit = b.bit
+      LEFT JOIN members m ON pb.o_custkey = m.c_custkey
+      GROUP BY pb.o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(bloom_pos) AS BIGINT) AS n_bloom_positive,
+           CAST(sum(truly_member) AS BIGINT) AS n_true_members,
+           CAST(sum(CASE WHEN bloom_pos = 1 AND truly_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+           CAST(sum(CASE WHEN bloom_pos = 0 AND truly_member = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative
+    FROM verdicts
+    """,
+)
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom filter (m=1024 bits, k=3 salted md5 hashes) built over
+    BUILDING-segment customers, probed by every ordering customer: counts
+    probed keys, Bloom positives, true members, false positives — and false
+    negatives, which MUST be 0 (the Bloom guarantee; the oracle rebuilding
+    the identical filter re-proves it).
+
+    This is the portable, hash-checkable twin of Spark's native runtime
+    Bloom pruning (tests/test_runtime_filter.py): same semi-join-reduction
+    idea, but with the bit array as first-class data. At 100 TB the ``bits``
+    side is ≤ m rows (constant) and broadcasts; the fact reduces to
+    key-cardinality ``probes`` in its single scan."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    ks = F.array(*[F.lit(j) for j in range(3)])
+
+    def bit_of(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j"), F.lit(":"), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1024
+        )
+
+    members = (
+        c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
+    )
+    bits = (
+        members.select("c_custkey", F.explode(ks).alias("j"))
+        .select(bit_of(F.col("c_custkey")).alias("bit"))
+        .distinct()
+    )
+    probes = o.groupBy("o_custkey").agg(F.count("*").cast("bigint").alias("n_orders"))
+    probe_bits = probes.select(
+        "o_custkey", "n_orders", F.explode(ks).alias("j")
+    ).withColumn("bit", bit_of(F.col("o_custkey")))
+    verdicts = (
+        probe_bits.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .join(
+            F.broadcast(members.withColumnRenamed("c_custkey", "o_custkey").withColumn("mem", F.lit(1))),
+            "o_custkey",
+            "left",
+        )
+        .groupBy("o_custkey")
+        .agg(
+            (F.count("hit") == 3).cast("int").alias("bloom_pos"),
+            F.max(F.coalesce(F.col("mem"), F.lit(0))).cast("int").alias("truly_member"),
+        )
+    )
+    return verdicts.agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.sum("bloom_pos").cast("bigint").alias("n_bloom_positive"),
+        F.sum("truly_member").cast("bigint").alias("n_true_members"),
+        F.sum(
+            ((F.col("bloom_pos") == 1) & (F.col("truly_member") == 0)).cast("bigint")
+        ).alias("n_false_positive"),
+        F.sum(
+            ((F.col("bloom_pos") == 0) & (F.col("truly_member") == 1)).cast("bigint")
+        ).alias("n_false_negative"),
+    )

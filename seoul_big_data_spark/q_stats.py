@@ -939,3 +939,202 @@ def stats_mutual_info_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_cells"),
         F.round(F.sum(term), 6).alias("mi_nats"),
     )
+
+
+@query(
+    "stats_cramers_v",
+    """
+    WITH obs AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT pri, st, o,
+             sum(o) OVER (PARTITION BY pri) AS rt,
+             sum(o) OVER (PARTITION BY st) AS ct,
+             sum(o) OVER () AS n
+      FROM obs
+    )
+    SELECT round(sum(
+             (o - rt * ct * 1.0 / n) * (o - rt * ct * 1.0 / n)
+             / (rt * ct * 1.0 / n)
+           ), 6) AS chi2,
+           round(sqrt(
+             sum((o - rt * ct * 1.0 / n) * (o - rt * ct * 1.0 / n)
+                 / (rt * ct * 1.0 / n))
+             / (max(n) * least(count(DISTINCT pri) - 1,
+                               count(DISTINCT st) - 1))
+           ), 6) AS cramers_v,
+           CAST(max(n) AS BIGINT) AS n
+    FROM m
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0,1]-normalized effect size on top of the chi-square
+    statistic (`stats_chi2_priority_status` reports raw chi2, which grows
+    with N; V is what a drift monitor thresholds on). Same single-scan
+    window-over-cells shape: observed cells from one aggregate, marginals as
+    windows over the cell table, V from one final 1-row aggregate."""
+    o = load(spark, "orders", sf_dir)
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count("*").alias("o"))
+    m = obs.select(
+        "pri",
+        "st",
+        "o",
+        F.sum("o").over(Window.partitionBy("pri")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("st")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("rt") * F.col("ct") * 1.0 / F.col("n")
+    chi2 = F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp)
+    dof = F.least(F.count_distinct("pri") - 1, F.count_distinct("st") - 1)
+    return m.agg(
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(chi2 / (F.max("n") * dof)), 6).alias("cramers_v"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "stats_ks_two_sample",
+    """
+    WITH j AS (
+      SELECT o_totalprice AS val, c_mktsegment AS seg
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), c AS (
+      SELECT val,
+             sum(CASE WHEN seg = 'BUILDING'  THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS n2
+      FROM j GROUP BY val
+    ), cc AS (
+      SELECT val,
+             sum(n1) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS c1,
+             sum(n2) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS c2
+      FROM c
+    ), t AS (
+      SELECT sum(n1) AS n1t, sum(n2) AS n2t FROM c
+    )
+    SELECT round(max(abs(c1 * 1.0 / n1t - c2 * 1.0 / n2t)), 6) AS ks_d,
+           CAST(max(n1t) AS BIGINT) AS n1,
+           CAST(max(n2t) AS BIGINT) AS n2
+    FROM cc CROSS JOIN t
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between the order-value distributions
+    of two customer segments — the standard 'did the distribution shift'
+    test behind data-drift gates.
+
+    100 TB shape: the naive ECDF is a no-partition ordered window (single
+    reducer over every distinct value). Here the fact reduces to per-value
+    counts in its one scan (persisted), and the cumulative counts come from
+    ``bucketed_cumsum`` — range-bucket partials + broadcast offsets — so
+    the only unpartitioned window is over the 1 024-row bucket table. The
+    oracle uses the plain window (DuckDB is single-node); values identical.
+    """
+    from pyspark import StorageLevel
+
+    from .operators.windows import bucketed_cumsum
+
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    segs = c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(F.broadcast(segs), o.o_custkey == segs.c_custkey).select(
+        F.col("o_totalprice").alias("val"), F.col("c_mktsegment").alias("seg")
+    )
+    counts = (
+        j.groupBy("val")
+        .agg(
+            F.sum((F.col("seg") == "BUILDING").cast("long")).alias("n1"),
+            F.sum((F.col("seg") == "MACHINERY").cast("long")).alias("n2"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # value-cardinality reduction: min/max probe, totals, and the
+    #    cumsum all read this — the fact is scanned once
+    cum = bucketed_cumsum(counts, "val", ["n1", "n2"])
+    totals = counts.agg(
+        F.sum("n1").alias("n1t"), F.sum("n2").alias("n2t")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_n1") * 1.0 / F.col("n1t")
+                        - F.col("cum_n2") * 1.0 / F.col("n2t")
+                    )
+                ),
+                6,
+            ).alias("ks_d"),
+            F.max("n1t").cast("bigint").alias("n1"),
+            F.max("n2t").cast("bigint").alias("n2"),
+        )
+    )
+
+
+@query(
+    "stats_auc_roc",
+    """
+    WITH c AS (
+      SELECT n_chars AS val,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+      FROM documents GROUP BY n_chars
+    ), cc AS (
+      SELECT val, pos, neg,
+             sum(neg) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum_neg
+      FROM c
+    ), t AS (
+      SELECT sum(pos) AS n_pos, sum(neg) AS n_neg FROM c
+    )
+    SELECT round(sum(pos * ((cum_neg - neg) + 0.5 * neg))
+                 / (max(n_pos) * max(n_neg)), 6) AS auc,
+           CAST(max(n_pos) AS BIGINT) AS n_pos,
+           CAST(max(n_neg) AS BIGINT) AS n_neg
+    FROM cc CROSS JOIN t
+    """,
+)
+def stats_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a score column against a binary label via the
+    rank-sum (Mann–Whitney U) identity, with the standard 0.5 credit for
+    score ties: AUC = Σ_v pos(v)·(neg_below(v) + ½·neg_at(v)) / (P·N).
+    Here: does document length separate English from non-English docs —
+    the shape every quality-classifier evaluation runs over a labeled
+    corpus slice.
+
+    Same scalable-ECDF construction as `stats_ks_two_sample`: per-score
+    counts in the fact's single scan (persisted), cumulative negatives via
+    ``bucketed_cumsum`` (no unpartitioned window over score cardinality),
+    totals broadcast as a 1-row cross join."""
+    from pyspark import StorageLevel
+
+    from .operators.windows import bucketed_cumsum
+
+    d = load(spark, "documents", sf_dir)
+    counts = (
+        d.groupBy(F.col("n_chars").alias("val"))
+        .agg(
+            F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
+            F.sum((F.col("lang") != "en").cast("long")).alias("neg"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cum = bucketed_cumsum(counts, "val", ["neg"])
+    totals = counts.agg(F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"))
+    u = F.sum(
+        F.col("pos")
+        * ((F.col("cum_neg") - F.col("neg")) + 0.5 * F.col("neg"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(u / (F.max("n_pos") * F.max("n_neg")), 6).alias("auc"),
+            F.max("n_pos").cast("bigint").alias("n_pos"),
+            F.max("n_neg").cast("bigint").alias("n_neg"),
+        )
+    )

@@ -463,6 +463,7 @@ from . import q_stats  # noqa: E402,F401  (moments, TPC-H Q4/Q6/Q12/Q18, TF-IDF,
 from . import q_dq  # noqa: E402,F401  (data-quality rules, profiling, deterministic sampling)
 from . import q_mlprep  # noqa: E402,F401  (corpus hygiene: repetition, contamination, PII, mixture sampling)
 from . import sql_interface  # noqa: E402,F401  (ad-hoc SQL surface, shared-dialect parity)
+from . import q_sketches  # noqa: E402,F401  (portable Count-Min / Bloom sketches)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's correctness gate runs queries in
