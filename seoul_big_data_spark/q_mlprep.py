@@ -561,3 +561,146 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partner_lang",
         (F.col("lang") != F.col("partner_lang")).alias("cross_lang"),
     )
+
+
+@query(
+    "sample_kfold_assign",
+    """
+    WITH f AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5
+               AS fold,
+             n_chars, lang
+      FROM documents
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 2) AS avg_n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM f GROUP BY fold
+    """,
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5(doc_id) mod 5 — a pure function of the row key, so folds are
+    identical across engines, reruns, repartitions, and incremental loads
+    (the same contract as `sample_train_val_test_split`, with the per-fold
+    balance report CV pipelines sanity-check before training). One scan,
+    one aggregate."""
+    d = load(spark, "documents", sf_dir)
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 5
+    ).alias("fold")
+    return (
+        d.select(fold, "n_chars", "lang")
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_n_chars"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "text_feature_hashing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> x != '')) AS t
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS bucket,
+             CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ), vec AS (
+      SELECT doc_id, bucket, sum(sgn) AS w FROM hashed GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE w != 0) AS BIGINT) AS n_active,
+           round(sqrt(sum(CAST(w * w AS DOUBLE))), 6) AS l2_norm
+    FROM vec GROUP BY doc_id
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (signed feature hashing, Weinberger et al. 2009):
+    token → bucket md5(t) mod 1024 with a ±1 sign from an independent hash
+    nibble, summed per (doc, bucket) — fixed-width sparse features with no
+    vocabulary build, the streaming-safe featurizer for classifier-based
+    quality filtering at corpus scale. Reported per doc: active dimensions
+    and the L2 norm of the hashed vector (both hash-checkable; portable md5
+    on both engines).
+
+    One scan: explode → two hash-agg levels keyed by doc_id, so the second
+    level is map-side (already co-partitioned)."""
+    d = load(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("t"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("bigint") % 1024
+    ).alias("bucket")
+    sgn = (
+        F.when(
+            F.conv(F.substring(F.md5(F.col("t")), 9, 1), 16, 10).cast("bigint") % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn")
+    )
+    vec = (
+        toks.select("doc_id", bucket, sgn)
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("w"))
+    )
+    return vec.groupBy("doc_id").agg(
+        F.sum((F.col("w") != 0).cast("long")).cast("bigint").alias("n_active"),
+        F.round(F.sqrt(F.sum((F.col("w") * F.col("w")).cast("double"))), 6).alias(
+            "l2_norm"
+        ),
+    )
+
+
+@query(
+    "sample_per_source_cap",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the CommonCrawl-style anti-dominance rule:
+    no source contributes more than N docs), with survivors drawn by
+    md5(doc_id) order — deterministic under repartitioning and incremental
+    recrawls, unlike any rand()-based cap. Reports per source the
+    before/after counts and surviving character mass. One shuffle on the
+    source key; per-group rank, never a global sort."""
+    d = load(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum((F.col("rn") <= 15).cast("long")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= 15, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )

@@ -1146,3 +1146,245 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, incr, k_shingle=3, threshold=0.3, max_shingle_df=25
     )
     return out.select("id_new", "id_old", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "text_vocab_oov_rate",
+    """
+    WITH lt AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT lang, tok, count(*) AS c FROM lt GROUP BY lang, tok
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY sum(c) DESC, tok) AS rn
+        FROM cnt GROUP BY tok
+      ) WHERE rn <= 1000
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) * 1.0
+                 / sum(c), 6) AS oov_rate
+    FROM cnt LEFT JOIN vocab v ON cnt.tok = v.tok
+    GROUP BY lang
+    """,
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the corpus top-1000 vocabulary
+    (by frequency, ties broken by token) and report each language's
+    out-of-vocabulary token rate — the number that decides whether a
+    tokenizer/vocab is fit for a multilingual corpus before a training run.
+
+    One fact scan: the token stream reduces to (lang, token) counts
+    immediately (persisted — lang×vocab cardinality); the global vocabulary
+    is that table re-aggregated, picked via sort+limit
+    (TakeOrderedAndProject, no single-partition rank window), and
+    broadcast back against it."""
+    from pyspark import StorageLevel
+
+    d = load(spark, "documents", sf_dir)
+    cnt = (
+        d.select("lang", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = (
+        cnt.groupBy("tok")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("tok"))
+        .limit(1000)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    j = cnt.join(F.broadcast(vocab), "tok", "left")
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
+    return j.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(oov_c).cast("bigint").alias("n_oov"),
+        F.round(F.sum(oov_c) * 1.0 / F.sum("c"), 6).alias("oov_rate"),
+    )
+
+
+@query(
+    "text_bigram_logprob",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(toks) AS t FROM base)
+    ), sp AS (
+      SELECT doc_id,
+             split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS b
+        FROM base WHERE len(toks) >= 2
+      )
+    ), d2 AS (
+      SELECT doc_id, w1, w2, count(*) AS k FROM sp GROUP BY doc_id, w1, w2
+    ), c2 AS (
+      SELECT w1, w2, sum(k) AS c2 FROM d2 GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(k) AS c1 FROM d2 GROUP BY w1
+    )
+    SELECT d2.doc_id,
+           CAST(sum(d2.k) AS BIGINT) AS n_bigrams,
+           round(sum(d2.k * ln((c2.c2 + 1.0) / (c1.c1 + uni.v)))
+                 / sum(d2.k), 6) AS avg_lp
+    FROM d2
+    JOIN c2 ON d2.w1 = c2.w1 AND d2.w2 = c2.w2
+    JOIN c1 ON d2.w1 = c1.w1
+    CROSS JOIN uni
+    GROUP BY d2.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model with add-one smoothing, trained on the corpus
+    and scoring every document: P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) over
+    context counts, reported as each doc's mean log-probability — the
+    perplexity-style fluency signal quality pipelines use (gibberish and
+    boilerplate both fall out of the bulk of the distribution). Extends the
+    unigram scorer (`text_unigram_logprob`) with conditional context.
+
+    One fact scan: bigrams come straight from the token array
+    (``transform`` over an index sequence — no posexplode, no per-doc
+    window), reduced immediately to per-(doc, bigram) counts ``d2``
+    (persisted). The LM tables c2/c1, the vocab size V (1-row broadcast),
+    and the per-doc scores are ALL re-aggregations or joins of d2 — the
+    corpus-sized bigram stream is never shuffled twice, and the doc_id in
+    d2's grouping key keeps the final per-doc rollup co-partitioned."""
+    from pyspark import StorageLevel
+
+    d = load(spark, "documents", sf_dir)
+    base = d.select(
+        "doc_id", tx.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    toks = F.col("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    d2 = (
+        base.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # V counts distinct unigrams (incl. last tokens), so it reads the token
+    # array once more — a column-pruned second scan of documents (budget 2).
+    uni = (
+        base.select(F.explode(toks).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    c2 = d2.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    c1 = d2.groupBy("w1").agg(F.sum("k").alias("c1"))
+    lp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    return (
+        d2.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(uni))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * lp) / F.sum("k"), 6).alias("avg_lp"),
+        )
+    )
+
+
+@query(
+    "text_js_divergence",
+    """
+    WITH cnt AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> x != '')) AS tok
+      FROM documents WHERE lang IN ('en', 'zh')
+    ), c AS (
+      SELECT lang, tok, count(*) AS n FROM cnt GROUP BY lang, tok
+    ), t AS (
+      SELECT sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS te,
+             sum(CASE WHEN lang = 'zh' THEN n ELSE 0 END) AS tz
+      FROM c
+    ), probs AS (
+      SELECT coalesce(e.tok, z.tok) AS tok,
+             coalesce(e.n, 0) * 1.0 / t.te AS p,
+             coalesce(z.n, 0) * 1.0 / t.tz AS q
+      FROM (SELECT tok, n FROM c WHERE lang = 'en') e
+      FULL OUTER JOIN (SELECT tok, n FROM c WHERE lang = 'zh') z
+        ON e.tok = z.tok
+      CROSS JOIN t
+    )
+    SELECT round(sum(
+             CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+             + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END
+           ), 6) AS jsd_nats,
+           CAST(max(t2.te) AS BIGINT) AS n_tokens_en,
+           CAST(max(t2.tz) AS BIGINT) AS n_tokens_zh
+    FROM probs CROSS JOIN t AS t2
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the English and Chinese token
+    distributions — the bounded, symmetric corpus-similarity metric behind
+    mixture tuning and domain-shift monitoring (0 = identical corpora,
+    ln 2 = disjoint). KL terms guard p=0/q=0 explicitly, mirroring the
+    0·log 0 = 0 convention on both engines.
+
+    One fact scan to (lang, token) counts (persisted — vocab-cardinality);
+    the two distributions come from that table filtered per language and
+    full-outer-joined over the union vocabulary; totals ride a 1-row
+    broadcast cross join, so no unpartitioned window touches the
+    vocab-sized table."""
+    from pyspark import StorageLevel
+
+    d = load(spark, "documents", sf_dir)
+    c = (
+        d.filter(F.col("lang").isin("en", "zh"))
+        .select("lang", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t = c.agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias("te"),
+        F.sum(F.when(F.col("lang") == "zh", F.col("n")).otherwise(0)).alias("tz"),
+    )
+    e = c.filter(F.col("lang") == "en").select("tok", F.col("n").alias("ne"))
+    z = c.filter(F.col("lang") == "zh").select("tok", F.col("n").alias("nz"))
+    probs = (
+        e.join(z, "tok", "full_outer")
+        .crossJoin(F.broadcast(t))
+        .select(
+            (F.coalesce(F.col("ne"), F.lit(0)) * 1.0 / F.col("te")).alias("p"),
+            (F.coalesce(F.col("nz"), F.lit(0)) * 1.0 / F.col("tz")).alias("q"),
+            "te",
+            "tz",
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    kl_p = F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(
+        0.0
+    )
+    kl_q = F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(
+        0.0
+    )
+    return probs.agg(
+        F.round(F.sum(kl_p + kl_q), 6).alias("jsd_nats"),
+        F.max("te").cast("bigint").alias("n_tokens_en"),
+        F.max("tz").cast("bigint").alias("n_tokens_zh"),
+    )
