@@ -109,3 +109,106 @@ def project_scalar(df: DataFrame, direction: list[float], vec_col: str = "embedd
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def moment_sums(df: DataFrame, vec_col: str = "embedding"):
+    """(n, sum vector, Gram matrix) in ONE distributed pass: each Arrow
+    batch contributes float64 partials (count scalar, d sums, d x d Gram —
+    ``X.T @ X``), keyed so a single groupBy reduces them; the driver
+    collects d^2 + d + 1 floats total, never data. Returns
+    ``(n, mu: np.ndarray(d), gram: np.ndarray(d, d))``.
+    """
+    import numpy as np
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, g = 0, None, None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in b[vec_col]],
+                dtype=np.float64,
+            )
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x if g is None else g + x.T @ x
+        if s is None:
+            return
+        d = s.shape[0]
+        rows = [{"i": 0, "j": 0, "part": float(n)}]
+        rows += [{"i": int(i) + 1, "j": 0, "part": float(s[i])} for i in range(d)]
+        iu, ju = np.triu_indices(d)
+        rows += [
+            {"i": int(a) + 1, "j": int(b) + 1, "part": float(g[a, b])}
+            for a, b in zip(iu, ju)
+        ]
+        yield pd.DataFrame(rows)
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(_partial, schema="i int, j int, part double")
+        .groupBy("i", "j")
+        .agg(F.sum("part").alias("v"))
+        .collect()  # d^2 + d + 1 scalars — catalog-sized driver state
+    )
+    import numpy as np
+
+    d = max(r["i"] for r in parts)  # i is 1-based over dims; 0 row is n
+    n = 0.0
+    s = np.zeros(d, dtype=np.float64)
+    g = np.zeros((d, d), dtype=np.float64)
+    for r in parts:
+        i, j, v = r["i"], r["j"], r["v"]
+        if i == 0 and j == 0:
+            n = v
+        elif j == 0:
+            s[i - 1] = v
+        else:
+            g[i - 1, j - 1] = v
+            g[j - 1, i - 1] = v
+    return int(n), s, g
+
+
+def zca_whitening_matrix(n: int, s, g, eps: float = 1e-5):
+    """ZCA whitening transform from one-pass moment sums: cov =
+    (G - n mu mu^T)/(n-1); W = E diag(1/sqrt(lambda+eps)) E^T (symmetric
+    eigendecomposition — deterministic for a symmetric input). Returns
+    ``(mu, W)`` as float64 arrays; apply as (x - mu) @ W (W symmetric)."""
+    import numpy as np
+
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    lam, e = np.linalg.eigh(cov)
+    w = (e * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ e.T
+    return mu, w
+
+
+def whiten(
+    df: DataFrame,
+    mu,
+    w,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a broadcast whitening transform: (X - mu) @ W per Arrow batch
+    (numpy matmul — vectorized, no per-row Python). Zero shuffle: the
+    transform rides the scan. Returns (id, whitened array<double>)."""
+    import numpy as np
+
+    mu64 = np.asarray(mu, dtype=np.float64)
+    w64 = np.asarray(w, dtype=np.float64)
+
+    def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in b[vec_col]],
+                dtype=np.float64,
+            )
+            y = (x - mu64) @ w64
+            yield pd.DataFrame({id_col: b[id_col], "whitened": list(y)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _apply, schema=f"{id_col} bigint, whitened array<double>"
+    )

@@ -169,3 +169,92 @@ def lsh_topk(
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[tuple[int, int, float, float]]":
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR'98):
+    select ``k`` results balancing relevance to the query against redundancy
+    with already-selected results — the standard diversity pass RAG
+    retrieval runs after ANN candidate generation.
+
+    Two stages, each in its right place:
+
+    1. DISTRIBUTED candidate generation: cosine against the broadcast query
+       vector riding the corpus scan (codegen'd zip_with/aggregate), top
+       ``pool`` via sort+limit — TakeOrderedAndProject, one corpus pass, no
+       corpus shuffle.
+    2. DRIVER greedy selection over the pool: MMR is inherently sequential
+       (step t depends on the t-1 already picked), so it runs on the
+       collected pool — BOUNDED state (pool * dim floats, pool <= dozens by
+       contract), same legitimacy class as k-means centroids. The pool x
+       pool cosine matrix is numpy-vectorized.
+
+    Deterministic: candidate ties broken by id at stage 1; argmax ties at
+    stage 2 resolved to the lowest candidate index (numpy argmax contract).
+    Returns [(sel_rank, id, relevance, mmr_score)] for the k selections.
+    """
+    import numpy as np
+
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (
+        corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            cosine(qarr, F.col(vec_col)).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("nid"))
+        .limit(pool)
+        .collect()  # bounded: `pool` rows of dim floats — driver state by design
+    )
+    if not cand:
+        return []
+    ids = [r["nid"] for r in cand]
+    rel = np.array([r["rel"] for r in cand], dtype=np.float64)
+    x = np.array([r["v"] for r in cand], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0.0] = 1.0
+    xn = x / norms[:, None]
+    sim = xn @ xn.T  # pool x pool cosine, vectorized
+    selected: list[int] = []
+    out = []
+    remaining = list(range(len(ids)))
+    for rank in range(1, min(k, len(ids)) + 1):
+        if not selected:
+            scores = rel[remaining]
+        else:
+            red = sim[np.ix_(remaining, selected)].max(axis=1)
+            scores = lam * rel[remaining] - (1.0 - lam) * red
+        pick = remaining[int(np.argmax(scores))]
+        out.append(
+            (rank, ids[pick], float(rel[pick]), float(scores[int(np.argmax(scores))]))
+        )
+        selected.append(pick)
+        remaining.remove(pick)
+    return out
+
+
+def label_centroid(
+    df: DataFrame, label: int, label_col: str = "label", vec_col: str = "embedding"
+) -> list[float]:
+    """Mean vector of one label's embeddings — the distributed aggregate is
+    posexplode + per-dim avg; the driver collects d scalars (catalog-sized),
+    typically to serve as a query/prototype vector."""
+    rows = (
+        df.filter(F.col(label_col) == label)
+        .select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("cx"))
+        .collect()  # d scalars
+    )
+    out = [0.0] * (max(r["i"] for r in rows) + 1)
+    for r in rows:
+        out[r["i"]] = float(r["cx"])
+    return out

@@ -562,3 +562,55 @@ def similarity_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rk"
     )
+
+
+@query("similarity_mmr_rerank")  # iterative greedy selection → rows-only
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — MMR diversity re-ranking over the ANN candidate pool: distributed
+    cosine top-20 against the label-0 centroid query, then the inherently
+    sequential greedy (lambda=0.7) on the driver over the bounded pool
+    (operators/similarity.py::mmr_rerank documents the two-stage split).
+    No SQL oracle: the greedy recurrence isn't expressible declaratively;
+    tests/test_similarity.py pins it against an independent numpy
+    implementation."""
+    from .operators.similarity import label_centroid, mmr_rerank
+
+    emb = load(spark, "embeddings", sf_dir)
+    qvec = label_centroid(emb, 0)
+    picks = mmr_rerank(emb, qvec, k=5, pool=20, lam=0.7)
+    return spark.createDataFrame(
+        [
+            (r, int(i), round(rel, 6), round(score, 6))
+            for (r, i, rel, score) in picks
+        ],
+        "sel_rank int, vec_id bigint, relevance double, mmr_score double",
+    )
+
+
+@query("embedding_whitening")  # eigendecomposition transform → rows-only
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening of the embedding table: one distributed pass collects
+    the d^2+d+1 moment sums (operators/pca.py::moment_sums — map-side
+    partial Gram per Arrow batch), the d x d transform is eigendecomposed
+    on the driver, and the whitened vectors come from a zero-shuffle
+    broadcast matmul pass. The decorrelation standard before PQ/IVF
+    training and SIF-style embedding cleanup. Rows-only: matrix inverse
+    square roots have no SQL form; tests/test_pca.py pins
+    cov(whitened) ~ I."""
+    from .operators.pca import moment_sums, whiten, zca_whitening_matrix
+
+    emb = load(spark, "embeddings", sf_dir)
+    n, s, g = moment_sums(emb)
+    mu, w = zca_whitening_matrix(n, s, g)
+    out = whiten(emb, mu, w)
+    return out.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "whitened", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            4,
+        ).alias("w_norm"),
+    )

@@ -64,3 +64,29 @@ def test_projection_matches_numpy(spark, sf_dir, xmat):
     want = xmat @ np.asarray(v)
     got = np.asarray([r["p"] for r in rows])
     assert np.allclose(got, want, atol=1e-6)
+
+
+def test_whitening_decorrelates(spark, sf_dir, xmat):
+    """ZCA-whitened vectors must have ~identity covariance (the definition),
+    and the one-pass moment sums must match numpy exactly."""
+    from seoul_big_data_spark.operators.pca import (
+        moment_sums,
+        whiten,
+        zca_whitening_matrix,
+    )
+    from seoul_big_data_spark.sources.tables import load as _load
+
+    emb = _load(spark, "embeddings", sf_dir)
+    n, s, g = moment_sums(emb)
+    assert n == xmat.shape[0]
+    np.testing.assert_allclose(s, xmat.sum(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(g, xmat.T @ xmat, rtol=1e-9)
+
+    mu, w = zca_whitening_matrix(n, s, g)
+    rows = whiten(emb, mu, w).orderBy("vec_id").collect()
+    y = np.asarray([r["whitened"] for r in rows], dtype=np.float64)
+    cov = np.cov(y, rowvar=False)
+    # eps=1e-5 regularization keeps it off exact identity; 1e-2 is ample
+    np.testing.assert_allclose(cov, np.eye(y.shape[1]), atol=1e-2)
+    # and W must be symmetric (ZCA property)
+    np.testing.assert_allclose(w, w.T, rtol=1e-9, atol=1e-9)

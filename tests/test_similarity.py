@@ -133,3 +133,44 @@ def test_adaptive_probe_count_is_exact(spark, sf_dir):
         .collect()
     )
     assert n_buckets and all(r["nb"] <= 6 for r in n_buckets)
+
+
+def test_mmr_rerank_matches_reference_greedy(spark, sf_dir):
+    """MMR selections must equal an independently-coded numpy greedy over
+    the same candidate pool, and selection ranks must be 1..k with the
+    first pick being the single most relevant candidate."""
+    import numpy as np
+
+    from seoul_big_data_spark.operators.similarity import (
+        label_centroid,
+        mmr_rerank,
+    )
+    from seoul_big_data_spark.sources.tables import load as _load
+
+    emb = _load(spark, "embeddings", sf_dir)
+    q = np.asarray(label_centroid(emb, 0), dtype=np.float64)
+    got = mmr_rerank(emb, list(q), k=5, pool=20, lam=0.7)
+    assert [r for (r, _, _, _) in got] == [1, 2, 3, 4, 5]
+
+    # independent reference: rebuild the pool and run a fresh greedy
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    rel = (x @ q) / (np.linalg.norm(x, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -rel))[:20]
+    pool_ids, pool_x, pool_rel = ids[order], x[order], rel[order]
+    xn = pool_x / np.linalg.norm(pool_x, axis=1)[:, None]
+    sim = xn @ xn.T
+    sel: list[int] = []
+    rem = list(range(20))
+    for _ in range(5):
+        if sel:
+            sc = 0.7 * pool_rel[rem] - 0.3 * sim[np.ix_(rem, sel)].max(axis=1)
+        else:
+            sc = pool_rel[rem]
+        p = rem[int(np.argmax(sc))]
+        sel.append(p)
+        rem.remove(p)
+    assert [i for (_, i, _, _) in got] == [int(pool_ids[s]) for s in sel]
+    # first pick is the most relevant candidate by construction
+    assert got[0][1] == int(pool_ids[0])
