@@ -129,6 +129,23 @@ EXTENDED = [
     "hierarchy_flatten_ancestors",
     "dedup_incremental_vs_corpus",
     "sample_negative_pairs",
+    "agg_countmin_heavy_hitters",
+    "agg_bloom_membership",
+    "stats_ks_two_sample",
+    "stats_auc_roc",
+    "stats_cramers_v",
+    "dq_psi_drift",
+    "dq_order_total_consistency",
+    "dq_key_candidates",
+    "sample_kfold_assign",
+    "text_feature_hashing",
+    "sample_per_source_cap",
+    "text_vocab_oov_rate",
+    "text_bigram_logprob",
+    "text_js_divergence",
+    "similarity_mmr_rerank",
+    "embedding_whitening",
+    "mlprep_quality_classifier",
 ]
 
 

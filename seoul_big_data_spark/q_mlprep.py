@@ -704,3 +704,41 @@ def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_chars"),
     )
+
+
+@query("mlprep_quality_classifier")  # iterative Newton fit → rows-only
+def mlprep_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering, the FineWeb/DCLM corpus recipe:
+    fit a logistic model (is-English as the stand-in label) on cheap
+    declarative text features, then score every document with a pure
+    codegen'd sigmoid expression. The fit is 6 Newton steps, each ONE
+    distributed pass collecting O(d^2) sufficient statistics
+    (operators/logreg.py::logreg_fit_irls); the data never moves.
+
+    Output: per-language calibration (mean predicted P(en), row count) —
+    the separation report a filtering threshold is chosen from. Rows-only:
+    the iterative fit has no SQL form; tests/test_logreg.py pins the
+    coefficients against an independent numpy IRLS."""
+    from .operators.logreg import logreg_fit_irls, logreg_score
+
+    d = load(spark, "documents", sf_dir)
+    feats = d.select(
+        "lang",
+        F.log(F.col("n_chars") + 1.0).alias("f_logchars"),
+        tx.token_count(F.col("text")).cast("double").alias("f_ntok"),
+        (
+            F.length("text")
+            / (tx.token_count(F.col("text")).cast("double") + 1.0)
+        ).alias("f_toklen"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    beta = logreg_fit_irls(
+        feats, ["f_logchars", "f_ntok", "f_toklen"], "y", n_iter=6
+    )
+    scored = feats.withColumn(
+        "score", logreg_score(feats, ["f_logchars", "f_ntok", "f_toklen"], beta)
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("score"), 4).alias("avg_p_en"),
+    )
