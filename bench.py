@@ -146,6 +146,8 @@ EXTENDED = [
     "similarity_mmr_rerank",
     "embedding_whitening",
     "mlprep_quality_classifier",
+    "dq_join_key_skew",
+    "events_throttle_debounce",
 ]
 
 

@@ -743,3 +743,65 @@ def dq_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s.n_rows",
         (F.col("s.n_distinct") == F.col("s.n_rows")).cast("int").alias("is_key"),
     )
+
+
+@query(
+    "dq_join_key_skew",
+    """
+    WITH k AS (
+      SELECT l_orderkey AS key, count(*) AS c FROM lineitem GROUP BY l_orderkey
+    ), t AS (
+      SELECT sum(c) AS total, count(*) AS n_keys, max(c) AS max_c FROM k
+    )
+    SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
+           CAST(t.total AS BIGINT) AS n_rows,
+           CAST(t.max_c AS BIGINT) AS max_key_rows,
+           round(t.max_c * 1.0 / t.total, 6) AS max_key_share,
+           round(t.max_c * 1.0 * t.n_keys / t.total, 2) AS skew_factor,
+           CAST((SELECT count(*) FROM k CROSS JOIN t
+                 WHERE c * 1.0 * n_keys / total > 10.0) AS BIGINT)
+             AS n_hot_keys
+    FROM t
+    """,
+)
+def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for lineitem.l_orderkey — the pre-flight check
+    that decides between a plain shuffle join, AQE skew handling, or the
+    explicit salted join (`join_skew_salted`). Reports the hottest key's
+    share, the skew factor (hottest/mean), and how many keys exceed 10x the
+    mean — the inputs to a salting-factor choice.
+
+    One fact scan to key-cardinality counts (persisted); the profile and
+    the hot-key count are two tiny aggregates over that reduction with the
+    1-row totals broadcast."""
+    from pyspark import StorageLevel
+
+    li = load(spark, "lineitem", sf_dir)
+    k = (
+        li.groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t = k.agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_c"),
+    )
+    hot = (
+        k.crossJoin(F.broadcast(t))
+        .filter(F.col("c") * 1.0 * F.col("n_keys") / F.col("total") > 10.0)
+        .agg(F.count("*").alias("n_hot"))
+    )
+    return (
+        t.crossJoin(F.broadcast(hot))
+        .select(
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("total").cast("bigint").alias("n_rows"),
+            F.col("max_c").cast("bigint").alias("max_key_rows"),
+            F.round(F.col("max_c") * 1.0 / F.col("total"), 6).alias("max_key_share"),
+            F.round(F.col("max_c") * 1.0 * F.col("n_keys") / F.col("total"), 2).alias(
+                "skew_factor"
+            ),
+            F.col("n_hot").cast("bigint").alias("n_hot_keys"),
+        )
+    )

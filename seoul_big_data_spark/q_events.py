@@ -1666,3 +1666,45 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 / F.avg("gap_s"), 8).alias("rate_per_s"),
         F.round(F.stddev_samp("gap_s") / F.avg("gap_s"), 4).alias("cv"),
     )
+
+
+@query(
+    "events_throttle_debounce",
+    """
+    WITH g AS (
+      SELECT user_id, event_type, ts, value,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS prev_us,
+             epoch_us(ts) AS us
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 60000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 60000000
+                          THEN value ELSE 0 END), 2) AS kept_value
+    FROM g GROUP BY user_id, event_type
+    """,
+)
+def events_throttle_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce/throttle: suppress events arriving within 60 s of the
+    previous event of the same (user, type) — the batch twin of streaming's
+    `dropDuplicatesWithinWatermark` dedup window (streaming/sinks.py::
+    dedup_within_watermark), here as a declarative lag predicate so the
+    batch and stream paths share semantics. Reports per-key totals vs
+    survivors. One shuffle on the composite key; deterministic tie-break by
+    event_id in the lag ordering."""
+    e = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.col("ts").cast("long") * 1000000
+    g = e.withColumn("prev_us", F.lag(us).over(w)).withColumn("us", us)
+    keep = F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") >= 60000000)
+    return g.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(keep.cast("long")).cast("bigint").alias("n_kept"),
+        F.round(F.sum(F.when(keep, F.col("value")).otherwise(0.0)), 2).alias(
+            "kept_value"
+        ),
+    )
