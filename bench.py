@@ -148,6 +148,7 @@ EXTENDED = [
     "mlprep_quality_classifier",
     "dq_join_key_skew",
     "events_throttle_debounce",
+    "events_out_of_order_profile",
 ]
 
 

@@ -1708,3 +1708,117 @@ def events_throttle_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_value"
         ),
     )
+
+
+@query(
+    "events_out_of_order_profile",
+    """
+    WITH sh AS (
+      SELECT event_id, ts,
+             epoch_us(ts) + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 7200000000 AS arrival_us
+      FROM events
+    ), arr AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY arrival_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM sh
+    ), lat AS (
+      SELECT CASE
+               WHEN prev_max IS NULL OR prev_max <= ts THEN 'on_time'
+               WHEN epoch_us(prev_max) - epoch_us(ts) < 60000000 THEN 'lt_1m'
+               WHEN epoch_us(prev_max) - epoch_us(ts) < 600000000 THEN 'lt_10m'
+               WHEN epoch_us(prev_max) - epoch_us(ts) < 3600000000 THEN 'lt_1h'
+               ELSE 'ge_1h'
+             END AS band
+      FROM arr
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n_events,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS pct
+    FROM lat GROUP BY band
+    """,
+)
+def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile: each event's lateness versus the maximum
+    event-time already seen in ARRIVAL order, banded — THE measurement that
+    sizes a streaming watermark (`withWatermark` delay should cover the
+    observed lateness tail; `events_throttle_debounce` /
+    `dedup_within_watermark` inherit it). The synthetic events table is
+    perfectly time-ordered, so arrival is modeled as event-time plus a
+    deterministic md5 transport jitter (0–2 h) — the portable stand-in for
+    the network/partition delays that produce disorder in any real feed;
+    on data with a real arrival id, substitute that column.
+
+    The naive form is a running max over the WHOLE fact in arrival order —
+    an unpartitioned window (single reducer). Scalable form mirrors
+    ``bucketed_cumsum``: fixed arrival-time buckets from one min/max probe
+    (broadcast), per-bucket max cummax'd over the bucket-cardinality table
+    (the only unpartitioned window, 1 024 rows), then a strictly-preceding
+    running max WITHIN each bucket; an event's prior-max is
+    greatest(bucket offset, within-bucket run). The oracle runs the plain
+    window (single-node DuckDB); values identical."""
+    e = load(spark, "events", sf_dir).select(
+        "event_id",
+        "ts",
+        (
+            F.unix_micros("ts")
+            + F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 7200000000
+        ).alias("arrival_us"),
+    )
+    n_buckets = 1024
+    mm = e.agg(F.min("arrival_us").alias("_lo"), F.max("arrival_us").alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo") + 1) / n_buckets
+    d = (
+        e.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "_b",
+            F.least(
+                F.floor((F.col("arrival_us") - F.col("_lo")) / width),
+                F.lit(n_buckets - 1),
+            ).cast("bigint"),
+        )
+        .drop("_lo", "_hi")
+    )
+    per_bucket = d.groupBy("_b").agg(F.max("ts").alias("bmax"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select("_b", F.max("bmax").over(w_off).alias("off_max"))
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = (
+        d.join(F.broadcast(offsets), "_b")
+        .withColumn("run_max", F.max("ts").over(w_in))
+        .withColumn(
+            "prev_max",
+            F.coalesce(
+                F.greatest("off_max", "run_max"), F.col("off_max"), F.col("run_max")
+            ),
+        )
+    )
+    late_us = F.unix_micros("prev_max") - F.unix_micros("ts")
+    band = (
+        F.when(
+            F.col("prev_max").isNull() | (F.col("prev_max") <= F.col("ts")),
+            "on_time",
+        )
+        .when(late_us < 60000000, "lt_1m")
+        .when(late_us < 600000000, "lt_10m")
+        .when(late_us < 3600000000, "lt_1h")
+        .otherwise("ge_1h")
+    )
+    counts = arr.select(band.alias("band")).groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    return counts.select(
+        "band",
+        "n_events",
+        F.round(
+            F.col("n_events") * 1.0 / F.sum("n_events").over(Window.partitionBy()), 6
+        ).alias("pct"),
+    )
