@@ -149,6 +149,8 @@ EXTENDED = [
     "dq_join_key_skew",
     "events_throttle_debounce",
     "events_out_of_order_profile",
+    "dq_pseudonymize_keys",
+    "events_attribution_models",
 ]
 
 

@@ -805,3 +805,56 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hot").cast("bigint").alias("n_hot_keys"),
         )
     )
+
+
+@query(
+    "dq_pseudonymize_keys",
+    """
+    WITH c AS (
+      SELECT c_custkey, md5('k:' || CAST(c_custkey AS VARCHAR)) AS tok
+      FROM customer
+    ), o AS (
+      SELECT o_custkey, md5('k:' || CAST(o_custkey AS VARCHAR)) AS tok
+      FROM orders
+    )
+    SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_customers,
+           CAST((SELECT count(DISTINCT tok) FROM c) AS BIGINT)
+             AS n_distinct_tokens,
+           CAST((SELECT count(*) FROM orders o2
+                 JOIN customer c2 ON o2.o_custkey = c2.c_custkey) AS BIGINT)
+             AS n_joined_raw,
+           CAST((SELECT count(*) FROM o JOIN c ON o.tok = c.tok) AS BIGINT)
+             AS n_joined_pseudo
+    """,
+)
+def dq_pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key pseudonymization with referential integrity: every
+    table maps the same salted md5 over the natural key, so joins work on
+    tokens exactly as on raw keys while the keys themselves never leave the
+    engine — the privacy-engineering primitive for sharing joinable
+    datasets. The output proves the two contracts: token count equals key
+    count (injective on this domain — collisions would show here), and the
+    token-join row count equals the raw-key join row count.
+
+    Pseudonymization is a pure scan expression (no shuffle of its own);
+    the verification joins are the only shuffles, and they're the same
+    joins the consumer would run."""
+    c = load(spark, "customer", sf_dir).select(
+        "c_custkey",
+        F.md5(F.concat(F.lit("k:"), F.col("c_custkey").cast("string"))).alias("tok"),
+    )
+    o = load(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.md5(F.concat(F.lit("k:"), F.col("o_custkey").cast("string"))).alias("tok"),
+    )
+    nc = c.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.count_distinct("tok").cast("bigint").alias("n_distinct_tokens"),
+    )
+    raw = o.join(c, o.o_custkey == c.c_custkey).agg(
+        F.count("*").cast("bigint").alias("n_joined_raw")
+    )
+    pseudo = o.select(F.col("tok").alias("otok")).join(
+        c.select("tok"), F.col("otok") == F.col("tok")
+    ).agg(F.count("*").cast("bigint").alias("n_joined_pseudo"))
+    return nc.crossJoin(F.broadcast(raw)).crossJoin(F.broadcast(pseudo))

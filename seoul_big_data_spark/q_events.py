@@ -1822,3 +1822,54 @@ def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events") * 1.0 / F.sum("n_events").over(Window.partitionBy()), 6
         ).alias("pct"),
     )
+
+
+@query(
+    "events_attribution_models",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn_first,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn_last,
+             count(*) OVER (PARTITION BY user_id) AS n_touch
+      FROM events
+    )
+    SELECT event_type AS channel,
+           CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch,
+           CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch,
+           round(sum(1.0 / n_touch), 4) AS linear_credit
+    FROM s GROUP BY event_type
+    """,
+)
+def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three attribution models side by side per channel (event_type as the
+    channel proxy): first-touch, last-touch, and linear (1/n credit per
+    touch) — the comparison marketers run to see how model choice moves
+    budget. Extends `events_attribution_first_touch` to the model-choice
+    report.
+
+    One fact scan: all three models ride the SAME user-partitioned window
+    pass (two row_numbers + a count over one shuffle on user_id), then one
+    aggregate by channel. Deterministic ties by event_id both ways.
+    Linear credit is a float sum of reciprocals, rounded to 4."""
+    e = load(spark, "events", sf_dir)
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    s = e.select(
+        F.col("event_type").alias("channel"),
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count("*").over(wc).alias("n_touch"),
+    )
+    return s.groupBy("channel").agg(
+        F.sum((F.col("rn_first") == 1).cast("long")).cast("bigint").alias(
+            "first_touch"
+        ),
+        F.sum((F.col("rn_last") == 1).cast("long")).cast("bigint").alias("last_touch"),
+        F.round(F.sum(1.0 / F.col("n_touch")), 4).alias("linear_credit"),
+    )
