@@ -151,6 +151,8 @@ EXTENDED = [
     "events_out_of_order_profile",
     "dq_pseudonymize_keys",
     "events_attribution_models",
+    "stats_bootstrap_ci_mean",
+    "agg_kmv_theta_setops",
 ]
 
 

@@ -26,7 +26,7 @@ joins against them broadcast. Nothing here shuffles the raw fact twice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -225,4 +225,153 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             ((F.col("bloom_pos") == 0) & (F.col("truly_member") == 1)).cast("bigint")
         ).alias("n_false_negative"),
+    )
+
+
+@query(
+    "agg_kmv_theta_setops",
+    """
+    WITH uh AS (
+      SELECT DISTINCT event_type, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               * 1.0 / 4294967296.0 AS h
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), sk AS (
+      SELECT event_type, user_id, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h, user_id)
+               AS rk
+      FROM uh
+    ), ka AS (
+      SELECT event_type, count(*) AS n_in, max(h) AS theta
+      FROM sk WHERE rk <= 64 GROUP BY event_type
+    ), est AS (
+      SELECT event_type,
+             CASE WHEN n_in < 64 THEN CAST(n_in AS DOUBLE)
+                  ELSE (64 - 1) / theta END AS d_est
+      FROM ka
+    ), merged AS (
+      SELECT user_id, h, count(*) AS n_types
+      FROM sk WHERE rk <= 64 GROUP BY user_id, h
+    ), msk AS (
+      SELECT user_id, h, n_types,
+             row_number() OVER (ORDER BY h, user_id) AS rk
+      FROM merged
+    ), mtop AS (
+      SELECT count(*) AS n_in, max(h) AS theta,
+             sum(CASE WHEN n_types = 2 THEN 1 ELSE 0 END) AS n_both
+      FROM msk WHERE rk <= 64
+    ), u_est AS (
+      SELECT CASE WHEN n_in < 64 THEN CAST(n_in AS DOUBLE)
+                  ELSE (64 - 1) / theta END AS union_est,
+             n_both * 1.0 / n_in AS jaccard_est
+      FROM mtop
+    ), truth AS (
+      SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+               AS true_a,
+             count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+               AS true_b,
+             count(DISTINCT user_id) AS true_union
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT round(a.d_est, 2) AS est_click,
+           round(b.d_est, 2) AS est_purchase,
+           round(u.union_est, 2) AS est_union,
+           round(u.jaccard_est * u.union_est, 2) AS est_intersect,
+           CAST(t.true_a AS BIGINT) AS true_click,
+           CAST(t.true_b AS BIGINT) AS true_purchase,
+           CAST(t.true_union AS BIGINT) AS true_union
+    FROM (SELECT d_est FROM est WHERE event_type = 'click') a
+    CROSS JOIN (SELECT d_est FROM est WHERE event_type = 'purchase') b
+    CROSS JOIN u_est u CROSS JOIN truth t
+    """,
+)
+def agg_kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch set algebra (Beyer et al., the Apache DataSketches
+    theta idea) with portable md5 hashing: per-type k=64 minimum-value
+    sketches of the distinct-user sets, the distinct estimate (k-1)/h_k,
+    and — the part HLL cannot do — UNION and INTERSECTION estimates from
+    the merged sketch (Jaccard over the union's k smallest × union
+    estimate). True values computed alongside so the driver's hash check
+    pins both the sketch AND its error on both engines. Sketches not yet
+    full fall back to exact counts (n<k ⇒ the sketch IS the set).
+
+    Scale: one fact scan to per-(type,user) distinct; per-type top-k by
+    hash rank is a bounded per-group window (k rows out per type); every
+    later stage operates on ≤ 2k rows. The truth subquery is the second
+    scan (budget 2) — production would drop it."""
+    e = load(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    uh = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            * 1.0
+            / 4294967296.0,
+        )
+    )
+    wk = Window.partitionBy("event_type").orderBy("h", "user_id")
+    sk = uh.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") <= 64)
+    ka = sk.groupBy("event_type").agg(
+        F.count("*").alias("n_in"), F.max("h").alias("theta")
+    )
+    est = ka.select(
+        "event_type",
+        F.when(F.col("n_in") < 64, F.col("n_in").cast("double"))
+        .otherwise((64 - 1) / F.col("theta"))
+        .alias("d_est"),
+    )
+    merged = sk.groupBy("user_id", "h").agg(F.count("*").alias("n_types"))
+    wm = Window.orderBy("h", "user_id")
+    msk = merged.withColumn("rk", F.row_number().over(wm)).filter(F.col("rk") <= 64)
+    mtop = msk.agg(
+        F.count("*").alias("n_in"),
+        F.max("h").alias("theta"),
+        F.sum((F.col("n_types") == 2).cast("long")).alias("n_both"),
+    )
+    u_est = mtop.select(
+        F.when(F.col("n_in") < 64, F.col("n_in").cast("double"))
+        .otherwise((64 - 1) / F.col("theta"))
+        .alias("union_est"),
+        (F.col("n_both") * 1.0 / F.col("n_in")).alias("jaccard_est"),
+    )
+    truth = e.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("true_a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("true_b"),
+        F.count_distinct("user_id").alias("true_union"),
+    )
+    a = est.filter(F.col("event_type") == "click").select(
+        F.round("d_est", 2).alias("est_click")
+    )
+    b = est.filter(F.col("event_type") == "purchase").select(
+        F.round("d_est", 2).alias("est_purchase")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(
+            F.broadcast(
+                u_est.select(
+                    F.round("union_est", 2).alias("est_union"),
+                    F.round(F.col("jaccard_est") * F.col("union_est"), 2).alias(
+                        "est_intersect"
+                    ),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                truth.select(
+                    F.col("true_a").cast("bigint").alias("true_click"),
+                    F.col("true_b").cast("bigint").alias("true_purchase"),
+                    F.col("true_union").cast("bigint").alias("true_union"),
+                )
+            )
+        )
     )

@@ -1138,3 +1138,100 @@ def stats_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_neg").cast("bigint").alias("n_neg"),
         )
     )
+
+
+@query(
+    "stats_bootstrap_ci_mean",
+    """
+    WITH reps AS (
+      SELECT c_acctbal, b.b AS b,
+             ('0x' || substr(md5(b.b || ':' || CAST(c_custkey AS VARCHAR)), 1, 8))
+               ::BIGINT * 1.0 / 4294967296.0 AS u
+      FROM customer
+      CROSS JOIN (SELECT unnest(generate_series(0, 100)) AS b) b
+    ), w AS (
+      SELECT b, c_acctbal,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847  THEN 1
+                  WHEN u < 0.9196986029286058  THEN 2
+                  WHEN u < 0.9810118431238462  THEN 3
+                  WHEN u < 0.9963401531726563  THEN 4
+                  WHEN u < 0.9994058151824183  THEN 5
+                  ELSE 6 END AS wt
+      FROM reps
+    ), means AS (
+      SELECT b, sum(wt * c_acctbal) / sum(wt) AS m
+      FROM w GROUP BY b HAVING sum(wt) > 0
+    ), ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m) AS rk,
+             count(*) OVER () AS n_reps
+      FROM means
+    )
+    SELECT CAST((SELECT count(*) FROM customer) AS BIGINT) AS n,
+           round((SELECT avg(c_acctbal) FROM customer), 4) AS mean,
+           round(max(CASE WHEN rk = 6 THEN m END), 4) AS ci_lo,
+           round(max(CASE WHEN rk = 96 THEN m END), 4) AS ci_hi
+    FROM ranked
+    """,
+)
+def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 90% confidence interval for the mean account balance via
+    the POISSON bootstrap (Chamandy et al., Google 2012) — the resampling
+    scheme that works distributed: replicate b includes each row
+    Poisson(1)-many times, with the Poisson draw inverted from a portable
+    md5 uniform (deterministic across engines, partitionings, reruns).
+    101 replicates make the 5th/95th percentile ranks exact (rank 6 / 96 of
+    the sorted replicate means) — no interpolation convention to disagree
+    on.
+
+    Scale shape: the replicate cross join multiplies the scan ×101 but
+    reduces IMMEDIATELY to per-replicate sums (map-side combine, 101
+    output rows), so the shuffle is constant-size; the rank window runs
+    over 101 rows. For a fact-sized table the same query runs on the
+    bag-of-little-bootstraps partitioning instead — documented here as the
+    100 TB variant. Customer is dim-sized; budget 2 scans (replicates +
+    point estimate)."""
+    c = load(spark, "customer", sf_dir)
+    reps = c.select(
+        "c_custkey", "c_acctbal", F.explode(F.sequence(F.lit(0), F.lit(100))).alias("b")
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("b"), F.lit(":"), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        * 1.0
+        / 4294967296.0,
+    )
+    wt = (
+        F.when(F.col("u") < 0.36787944117144233, 0)
+        .when(F.col("u") < 0.7357588823428847, 1)
+        .when(F.col("u") < 0.9196986029286058, 2)
+        .when(F.col("u") < 0.9810118431238462, 3)
+        .when(F.col("u") < 0.9963401531726563, 4)
+        .when(F.col("u") < 0.9994058151824183, 5)
+        .otherwise(6)
+    )
+    means = (
+        reps.withColumn("wt", wt)
+        .groupBy("b")
+        .agg((F.sum(F.col("wt") * F.col("c_acctbal")) / F.sum("wt")).alias("m"))
+        .filter(F.col("m").isNotNull())
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("rk")
+    )
+    point = c.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean"),
+    )
+    ci = ranked.agg(
+        F.round(F.max(F.when(F.col("rk") == 6, F.col("m"))), 4).alias("ci_lo"),
+        F.round(F.max(F.when(F.col("rk") == 96, F.col("m"))), 4).alias("ci_hi"),
+    )
+    return point.crossJoin(F.broadcast(ci))
