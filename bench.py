@@ -153,6 +153,21 @@ EXTENDED = [
     "events_attribution_models",
     "stats_bootstrap_ci_mean",
     "agg_kmv_theta_setops",
+    "stats_skyline_parts",
+    "agg_weighted_median",
+    "events_survival_km",
+    "events_cusum_change_point",
+    "mlprep_target_encoding_loo",
+    "mlprep_woe_encoding",
+    "sample_weighted_reservoir",
+    "dedup_sorted_neighborhood",
+    "events_interval_overlap_pairs",
+    "text_rake_keywords",
+    "agg_hll_portable",
+    "text_cooccurrence_pmi",
+    "mlprep_calibration_bins",
+    "stats_kendall_tau_b",
+    "timeseries_autocorrelation_acf",
 ]
 
 

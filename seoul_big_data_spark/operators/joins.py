@@ -77,6 +77,46 @@ def banded_range_join(
     return joined.drop("_band")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: Column,
+    l_end: Column,
+    r_start: Column,
+    r_end: Column,
+    band_width: float,
+) -> DataFrame:
+    """Interval × interval overlap join (closed intervals: match iff
+    ``max(starts) <= min(ends)``) for TWO fact-sized interval tables.
+
+    Same binned-equi-join technique as ``banded_range_join``, applied on
+    both sides: each interval replicates across the ``band_width`` bins it
+    touches, candidate pairs meet only inside a shared bin (hash equi-join,
+    no nested loop, no broadcast), and the residual overlap predicate plus
+    the exactly-once guard — keep a pair only in the bin containing
+    ``max(starts)``, the first bin both intervals occupy — make every
+    overlapping pair appear exactly once without a dedup pass. Replication
+    factor per interval is O(width / band_width); pick band_width near the
+    typical interval width. One shuffle per side on the bin key.
+    """
+    w = float(band_width)
+    lbin = F.explode(
+        F.sequence(
+            F.floor(l_start / w).cast("long"), F.floor(l_end / w).cast("long")
+        )
+    )
+    rbin = F.explode(
+        F.sequence(
+            F.floor(r_start / w).cast("long"), F.floor(r_end / w).cast("long")
+        )
+    )
+    lt = left.withColumn("_band", lbin)
+    rt = right.withColumn("_band", rbin)
+    overlap = (F.greatest(l_start, r_start) <= F.least(l_end, r_end))
+    once = F.col("_band") == F.floor(F.greatest(l_start, r_start) / w).cast("long")
+    return lt.join(rt, "_band").filter(overlap & once).drop("_band")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

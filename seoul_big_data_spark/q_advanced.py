@@ -1,0 +1,1110 @@
+"""Advanced analytics widening (round 3, continuation): skyline/Pareto
+frontier, weighted median, Kaplan-Meier survival, CUSUM change-point,
+leave-one-out target encoding, weight-of-evidence encoding, weighted
+reservoir (A-ES) sampling, sorted-neighborhood dedup blocking, interval
+overlap pairs, RAKE keyphrases, windowed PMI collocations, and
+calibration/reliability bins.
+
+Engine-scope breadth beyond the reference's fixed pipelines (the reference
+has no analytics layer at all — its scripts end at row INSERTs,
+data_seoul_3_csv.py:117-126); these are the operators a training-data /
+BI workload runs on the same tables. Every query is paired with a DuckDB
+oracle; scale notes on each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.joins import interval_overlap_join
+from .registry import query
+from .sources.tables import load
+
+
+@query(
+    "stats_skyline_parts",
+    """
+    SELECT p.p_partkey, p.p_size, round(p.p_retailprice, 2) AS price
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+    )
+    """,
+)
+def stats_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (maximize p_size, minimize p_retailprice).
+
+    The naive formulation is a quadratic NOT EXISTS self-join (the oracle).
+    The scalable form exploits the 2-D structure: aggregate min(price) per
+    size (one shuffle, pre-aggregated map-side), then a running strict-min
+    over sizes descending marks frontier sizes — the window runs over the
+    per-size aggregate (≤ |distinct sizes| rows, catalog-sized), never the
+    fact. Frontier membership joins back as a broadcast. Identical points
+    (same size AND price as a frontier row) are all kept — dominance
+    requires one strict inequality — matching the oracle exactly.
+    """
+    p = load(spark, "part", sf_dir)
+    per_size = p.groupBy(F.col("p_size").alias("f_size")).agg(
+        F.min("p_retailprice").alias("best_price")
+    )
+    # Tiny frame (distinct sizes): the unpartitioned window is deliberate.
+    w = Window.orderBy(F.col("f_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = per_size.withColumn(
+        "min_larger", F.min("best_price").over(w)
+    ).filter(
+        F.col("min_larger").isNull()
+        | (F.col("best_price") < F.col("min_larger"))
+    )
+    return (
+        p.join(
+            F.broadcast(frontier),
+            (F.col("p_size") == F.col("f_size"))
+            & (F.col("p_retailprice") == F.col("best_price")),
+        )
+        .select(
+            "p_partkey", "p_size", F.round("p_retailprice", 2).alias("price")
+        )
+    )
+
+
+@query(
+    "agg_weighted_median",
+    """
+    WITH g AS (
+      SELECT l_returnflag, l_quantity,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS w
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), c AS (
+      SELECT l_returnflag, l_quantity, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM g
+    )
+    SELECT l_returnflag,
+           min(l_quantity) AS weighted_median_qty,
+           round(CAST(min(tw) AS DOUBLE), 2) AS total_weight
+    FROM c WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the smallest l_quantity whose cumulative
+    extendedprice weight reaches half the group total (price-weighted
+    'typical order size').
+
+    Weights are pre-aggregated per (group, value) first — the window then
+    runs over distinct values per group, not raw rows, so the shuffle and
+    window state shrink to the value cardinality. All comparisons are on
+    exact decimal sums (2*cw >= tw in decimal, no division), so the
+    crossing point is bit-deterministic across engines and partitionings.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    g = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("w")
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("l_quantity").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("weighted_median_qty"),
+            F.round(F.min("tw").cast("double"), 2).alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "events_survival_km",
+    """
+    WITH bounds AS (
+      SELECT max(ts) AS max_ts FROM events
+    ), life AS (
+      SELECT user_id,
+             CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       IS NOT NULL
+                  THEN date_diff('day', min(ts),
+                                 min(CASE WHEN event_type = 'purchase' THEN ts END))
+                  ELSE date_diff('day', min(ts), (SELECT max_ts FROM bounds))
+             END AS t,
+             CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END) IS NULL
+                  THEN 1 ELSE 0 END AS censored
+      FROM events GROUP BY user_id
+    ), per_t AS (
+      SELECT t,
+             CAST(sum(1 - censored) AS BIGINT) AS deaths,
+             CAST(sum(censored) AS BIGINT)     AS censored_n
+      FROM life GROUP BY t
+    ), risk AS (
+      SELECT t, deaths, censored_n,
+             CAST(sum(deaths + censored_n) OVER (
+               ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS BIGINT) AS n_at_risk
+      FROM per_t
+    )
+    SELECT t, deaths, censored_n, n_at_risk,
+           round(CAST(deaths AS DOUBLE) / n_at_risk, 6) AS hazard,
+           CASE WHEN min(CAST(n_at_risk - deaths AS DOUBLE) / n_at_risk) OVER (
+                  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) = 0 THEN 0.0
+                ELSE round(exp(sum(ln(nullif(CAST(n_at_risk - deaths AS DOUBLE)
+                                             / n_at_risk, 0))) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )), 4)
+           END AS survival
+    FROM risk
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival for time-to-conversion: days from a user's
+    first event to their first 'purchase', right-censored at the end of
+    the observation window for users who never purchase — the
+    product-limit estimator behind every churn/conversion curve.
+
+    One shuffle groups events per user (map-side combinable conditional
+    mins); the KM table itself is a window pass over the per-duration
+    aggregate (≤ observation-window days, catalog-sized — the
+    unpartitioned windows are deliberate). The at-risk count is a reverse
+    cumulative sum; the survivor product is exp∘Σln with an exact-zero
+    guard (duckdb/JVM ln disagree only in ulps, absorbed by round(4);
+    ln(0) never evaluates — the CASE short-circuits the all-deaths tail).
+    The censoring horizon rides as a broadcast 1-row aggregate, not a
+    collected scalar, keeping the whole query a single plan.
+    """
+    ev = load(spark, "events", sf_dir)
+    bounds = ev.groupBy().agg(F.max("ts").alias("max_ts"))
+    conv = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    life = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), conv.alias("conv_ts"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(
+                F.col("conv_ts").isNotNull(),
+                F.datediff(F.col("conv_ts"), F.col("first_ts")),
+            )
+            .otherwise(F.datediff(F.col("max_ts"), F.col("first_ts")))
+            .alias("t"),
+            F.when(F.col("conv_ts").isNull(), 1).otherwise(0).alias("censored"),
+        )
+    )
+    per_t = life.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("deaths"),
+        F.sum("censored").cast("bigint").alias("censored_n"),
+    )
+    w_rev = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_fwd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = per_t.select(
+        "t",
+        "deaths",
+        "censored_n",
+        F.sum(F.col("deaths") + F.col("censored_n"))
+        .over(w_rev)
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    factor = (F.col("n_at_risk") - F.col("deaths")).cast("double") / F.col("n_at_risk")
+    return risk.select(
+        "t",
+        "deaths",
+        "censored_n",
+        "n_at_risk",
+        F.round(F.col("deaths").cast("double") / F.col("n_at_risk"), 6).alias(
+            "hazard"
+        ),
+        F.when(F.min(factor).over(w_fwd) == 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(F.log(factor)).over(w_fwd)), 4))
+        .alias("survival"),
+    )
+
+
+@query(
+    "events_cusum_change_point",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT day, cnt,
+             sum(cnt) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run,
+             row_number() OVER (ORDER BY day) AS k,
+             avg(cnt) OVER () AS mean_cnt
+      FROM daily
+    ), s AS (
+      SELECT day, cnt, run - k * mean_cnt AS cusum FROM c
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, cnt,
+           round(cusum, 4) AS cusum,
+           CASE WHEN row_number() OVER (ORDER BY abs(cusum) DESC, day ASC) = 1
+                THEN 1 ELSE 0 END AS is_change_point
+    FROM s
+    """,
+)
+def events_cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection on the daily event count: the running sum
+    of deviations from the global mean peaks (in |S|) at the most likely
+    change point — the standard offline CUSUM estimator.
+
+    One shuffle builds the daily aggregate; every window after that runs
+    over ≤ observation-window days (unpartitioned over a catalog-sized
+    frame, deliberate). The CUSUM is cumsum(cnt) - k*mean — integer
+    cumulative sums plus one double product, so both engines compute
+    bit-identical values; the argmax tie-breaks on earliest day.
+    """
+    ev = load(spark, "events", sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+    w_ord = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = daily.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w_ord).alias("run"),
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        F.avg("cnt").over(w_all).alias("mean_cnt"),
+    )
+    s = c.select(
+        "day", "cnt", (F.col("run") - F.col("k") * F.col("mean_cnt")).alias("cusum")
+    )
+    w_top = Window.orderBy(F.abs(F.col("cusum")).desc(), F.col("day").asc())
+    return s.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        F.round("cusum", 4).alias("cusum"),
+        F.when(F.row_number().over(w_top) == 1, 1).otherwise(0).alias(
+            "is_change_point"
+        ),
+    )
+
+
+@query(
+    "mlprep_target_encoding_loo",
+    """
+    WITH s AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (PARTITION BY l_suppkey)
+               AS grp_sum,
+             count(*) OVER (PARTITION BY l_suppkey) AS grp_n
+      FROM lineitem WHERE l_suppkey <= 10
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(CAST(grp_sum - CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+                 / (grp_n - 1), 2) AS loo_price_enc,
+           round(CAST(grp_sum AS DOUBLE) / grp_n, 2) AS grp_mean
+    FROM s
+    """,
+)
+def mlprep_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's category (supplier) encoded
+    by the mean target (extendedprice) of its group EXCLUDING the row
+    itself — the leakage-free categorical encoder for gradient-boosted /
+    linear models.
+
+    (sum - x)/(n - 1) from one windowed pass: a single shuffle on the
+    category key, no per-row subquery. Group sums are exact decimals so
+    the subtraction is exact; the single double division + round(2) is
+    engine-deterministic. Filtered to suppkeys ≤ 10 to bound the sample
+    the gate hashes — the plan is identical unfiltered.
+    """
+    li = load(spark, "lineitem", sf_dir).filter(F.col("l_suppkey") <= 10)
+    wg = Window.partitionBy("l_suppkey")
+    price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        price_dec.alias("price_dec"),
+        F.sum(price_dec).over(wg).alias("grp_sum"),
+        F.count("*").over(wg).alias("grp_n"),
+    )
+    return s.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            (F.col("grp_sum") - F.col("price_dec")).cast("double")
+            / (F.col("grp_n") - 1),
+            2,
+        ).alias("loo_price_enc"),
+        F.round(F.col("grp_sum").cast("double") / F.col("grp_n"), 2).alias(
+            "grp_mean"
+        ),
+    )
+
+
+@query(
+    "mlprep_woe_encoding",
+    """
+    WITH agg AS (
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS bad,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT)
+               AS good
+      FROM orders GROUP BY o_orderpriority
+    ), tot AS (
+      SELECT sum(bad) AS tbad, sum(good) AS tgood FROM agg
+    )
+    SELECT o_orderpriority, bad, good,
+           round(ln((CAST(bad AS DOUBLE) / tbad)
+                    / (CAST(good AS DOUBLE) / tgood)), 6) AS woe,
+           round((CAST(bad AS DOUBLE) / tbad - CAST(good AS DOUBLE) / tgood)
+                 * ln((CAST(bad AS DOUBLE) / tbad)
+                      / (CAST(good AS DOUBLE) / tgood)), 6) AS iv_term
+    FROM agg, tot
+    """,
+)
+def mlprep_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of order priority against the
+    'finished' status as the event class: WOE = ln((bad_i/Σbad)/(good_i/Σgood)),
+    with the information-value contribution per category — the standard
+    scorecard encoder.
+
+    One hash aggregate over the fact (map-side combinable conditional
+    sums); the totals ride as a broadcast 1-row aggregate (no collected
+    scalar, single plan). ln of a ratio of exact integer ratios — both
+    engines agree to well past round(6).
+    """
+    o = load(spark, "orders", sf_dir)
+    bad = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    agg = o.groupBy("o_orderpriority").agg(
+        F.sum(bad).cast("bigint").alias("bad"),
+        F.sum(F.lit(1) - bad).cast("bigint").alias("good"),
+    )
+    tot = agg.groupBy().agg(
+        F.sum("bad").alias("tbad"), F.sum("good").alias("tgood")
+    )
+    br = F.col("bad").cast("double") / F.col("tbad")
+    gr = F.col("good").cast("double") / F.col("tgood")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "bad",
+        "good",
+        F.round(F.log(br / gr), 6).alias("woe"),
+        F.round((br - gr) * F.log(br / gr), 6).alias("iv_term"),
+    )
+
+
+@query(
+    "sample_weighted_reservoir",
+    """
+    SELECT doc_id, n_chars,
+           round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         + 1 AS DOUBLE) / 4294967296.0) / n_chars, 10) AS aes_key
+    FROM documents
+    ORDER BY aes_key DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each row draws u ~ U(0,1] from md5(doc_id) and ranks by u^(1/w)
+    (equivalently ln(u)/w), weight = document length; the global top-k is
+    the weighted sample. Deterministic: the row's own key decides its
+    draw, so the sample is identical under any partitioning or engine,
+    and composes with incremental backfill.
+
+    ORDER BY + LIMIT k compiles to TakeOrderedAndProject — a per-partition
+    top-k then a k-row merge on the driver; no global sort, no shuffle of
+    the fact. ln(u)/w is one ln + one division per row; round(10) absorbs
+    libm ulp differences while preserving the ranking (keys are spread
+    over ~1e-4 gaps).
+    """
+    d = load(spark, "documents", sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 10)
+    return (
+        d.select("doc_id", "n_chars", key.alias("aes_key"))
+        .orderBy(F.col("aes_key").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             substr(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), 1, 24)
+               AS sk
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, sk, substr(sk, 1, 1) AS blk,
+             row_number() OVER (PARTITION BY substr(sk, 1, 1)
+                                ORDER BY sk, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+           levenshtein(a.sk, b.sk) AS key_dist
+    FROM ranked a JOIN ranked b
+      ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+    WHERE levenshtein(a.sk, b.sk) <= 6
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking: sort documents by a normalized
+    key, slide a window of w=3 over the sort order, and verify only the
+    pairs inside the window — the classic record-linkage alternative to
+    LSH when near-duplicates share prefixes.
+
+    The sort is PARTITIONED by the key's first character (the standard
+    multi-pass SNM block split): ranks are per-block windows, not one
+    global single-reducer sort, and candidate pairs never cross blocks —
+    the documented recall trade every blocking scheme makes. Pair
+    generation is a bucketed self-join (bucket = rank div w, each row
+    joins its own and the next bucket) so the join is a hash equi-join
+    with fan-out w, never a cross product; the Levenshtein verifier runs
+    only on window-mates. One shuffle per side on (block, bucket).
+    """
+    d = load(spark, "documents", sf_dir)
+    sk = F.substring(
+        F.lower(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", "")), 1, 24
+    )
+    keyed = d.select("doc_id", sk.alias("sk"), F.substring(sk, 1, 1).alias("blk"))
+    w = Window.partitionBy("blk").orderBy("sk", "doc_id")
+    ranked = keyed.withColumn("rnk", F.row_number().over(w))
+    WIN = 3
+    a = ranked.select(
+        F.col("blk"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(
+            F.array(
+                F.floor(F.col("rnk") / WIN), F.floor(F.col("rnk") / WIN) + 1
+            )
+        ).alias("bkt"),
+    )
+    b = ranked.select(
+        F.col("blk"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("rnk").alias("rnk_b"),
+        F.floor(F.col("rnk") / WIN).alias("bkt"),
+    )
+    pairs = a.join(b, ["blk", "bkt"]).filter(
+        (F.col("rnk_b") > F.col("rnk_a"))
+        & (F.col("rnk_b") <= F.col("rnk_a") + WIN)
+    )
+    return pairs.filter(
+        F.levenshtein("sk_a", "sk_b") <= 6
+    ).select(
+        "doc_a",
+        "doc_b",
+        (F.col("rnk_b") - F.col("rnk_a")).cast("bigint").alias("rank_gap"),
+        F.levenshtein("sk_a", "sk_b").alias("key_dist"),
+    )
+
+
+@query(
+    "events_interval_overlap_pairs",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS e
+      FROM events WHERE user_id < 20
+      GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_s
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND greatest(a.s, b.s) <= least(a.e, b.e)
+    """,
+)
+def events_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-activity detection: per-user daily activity spans
+    [first event, last event], find every pair of users whose spans
+    overlap and for how long — the interval × interval overlap join that
+    powers co-presence / resource-contention analytics.
+
+    Runs through ``operators.joins.interval_overlap_join``: both interval
+    sides band into 6-hour bins, pairs meet only inside a shared bin (hash
+    equi-join — no nested loop, no broadcast, both sides may be
+    fact-sized), and the first-shared-bin guard emits each overlapping
+    pair exactly once. The oracle is the quadratic non-equi self-join the
+    operator avoids. Restricted to 20 users to bound the pair count the
+    gate hashes; the plan shape is identical unrestricted.
+    """
+    ev = load(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    iv = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.unix_timestamp(F.min("ts")).alias("s"),
+        F.unix_timestamp(F.max("ts")).alias("e"),
+    )
+    a = iv.select(
+        F.col("user_id").alias("user_a"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    pairs = interval_overlap_join(
+        a,
+        b,
+        F.col("s1"),
+        F.col("e1"),
+        F.col("s2"),
+        F.col("e2"),
+        band_width=21600.0,
+    ).filter(F.col("user_a") < F.col("user_b"))
+    return pairs.select(
+        "user_a",
+        "user_b",
+        (F.least("e1", "e2") - F.greatest("s1", "s2"))
+        .cast("bigint")
+        .alias("overlap_s"),
+    )
+
+
+@query(
+    "text_rake_keywords",
+    """
+    WITH toks0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')
+               AS ws
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(ws) AS w,
+             unnest(generate_series(1, len(ws))) AS pos
+      FROM toks0
+    ), stop5 AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS r
+        FROM toks GROUP BY w
+      ) WHERE r <= 5
+    ), marked AS (
+      SELECT t.doc_id, t.pos, t.w,
+             CASE WHEN s.w IS NULL THEN 0 ELSE 1 END AS is_stop,
+             sum(CASE WHEN s.w IS NULL THEN 0 ELSE 1 END) OVER (
+               PARTITION BY t.doc_id ORDER BY t.pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM toks t LEFT JOIN stop5 s ON t.w = s.w
+    ), pw AS (
+      SELECT doc_id, island, pos, w,
+             count(*) OVER (PARTITION BY doc_id, island) AS plen
+      FROM marked WHERE is_stop = 0
+    ), wordstats AS (
+      SELECT w,
+             CAST(count(*) AS DOUBLE)  AS freq,
+             CAST(sum(plen) AS DOUBLE) AS degree
+      FROM pw GROUP BY w
+    ), scored AS (
+      SELECT p.doc_id, p.island,
+             string_agg(p.w, ' ' ORDER BY p.pos) AS phrase,
+             round(sum(ws.degree / ws.freq), 6)  AS score
+      FROM pw p JOIN wordstats ws ON p.w = ws.w
+      GROUP BY p.doc_id, p.island
+    )
+    SELECT phrase, occurrences, score FROM (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS occurrences,
+             max(score) AS score,
+             row_number() OVER (ORDER BY max(score) DESC, phrase ASC) AS r
+      FROM scored GROUP BY phrase
+    ) WHERE r <= 15
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: candidate phrases are maximal runs of
+    non-stopword tokens, each word scores degree/frequency (degree = Σ
+    length of phrases containing it), and a phrase scores the sum of its
+    word scores — the classic unsupervised keyphrase extractor.
+
+    The stopword list is corpus-derived (top-5 tokens by frequency, the
+    data-driven variant) so the pipeline is self-contained. Phrase
+    segmentation is a cumulative-stopword-count window per document
+    (island numbering); word statistics are one vocabulary-sized
+    aggregate, re-joined to phrase words (vocab-sized → broadcast); the
+    deterministic top-15 tie-breaks on phrase text. Per-doc windows
+    partition by doc_id — no global sort; everything else is hash
+    aggregates. round(6) before ranking pins double-sum ulps.
+    """
+    from pyspark import StorageLevel
+
+    d = load(spark, "documents", sf_dir)
+    # the token table feeds the stopword ranking AND the phrase pass (which
+    # itself fans out to word stats + phrase scores) — persist it so the
+    # documents scan runs exactly once
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stop5 = (
+        toks.groupBy("w")
+        .count()
+        .select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.col("count").desc(), F.col("w").asc()))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 5)
+        .select(F.col("w").alias("sw"))
+    )
+    marked = toks.join(
+        F.broadcast(stop5), toks["w"] == stop5["sw"], "left"
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        F.when(F.col("sw").isNull(), 0).otherwise(1).alias("is_stop"),
+    )
+    w_isl = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islanded = marked.withColumn("island", F.sum("is_stop").over(w_isl)).filter(
+        F.col("is_stop") == 0
+    )
+    w_ph = Window.partitionBy("doc_id", "island")
+    # phrase-word table feeds word stats AND phrase scoring: persist so the
+    # stopword join + island windows run once, not once per consumer
+    pw = islanded.withColumn("plen", F.count("*").over(w_ph)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wordstats = pw.groupBy(F.col("w").alias("ww")).agg(
+        F.count("*").cast("double").alias("freq"),
+        F.sum("plen").cast("double").alias("degree"),
+    )
+    scored = (
+        pw.join(F.broadcast(wordstats), pw["w"] == wordstats["ww"])
+        .groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.round(F.sum(F.col("degree") / F.col("freq")), 6).alias("score"),
+        )
+    )
+    top = (
+        scored.groupBy("phrase")
+        .agg(
+            F.count("*").cast("bigint").alias("occurrences"),
+            F.max("score").alias("score"),
+        )
+        .select(
+            "phrase",
+            "occurrences",
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("phrase").asc()))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 15)
+    )
+    return top.select("phrase", "occurrences", "score")
+
+
+@query(
+    "text_cooccurrence_pmi",
+    """
+    WITH toks0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')
+               AS ws
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(ws) AS w,
+             unnest(generate_series(1, len(ws))) AS pos
+      FROM toks0
+    ), tok_cnt AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS t_tok FROM tok_cnt
+    ), pairs AS (
+      SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM toks a
+      JOIN (SELECT unnest(generate_series(1, 2)) AS d) d ON true
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + d.d
+      GROUP BY 1, 2
+    ), ptot AS (
+      SELECT CAST(sum(n_ab) AS BIGINT) AS t_pair FROM pairs
+    )
+    SELECT wa, wb, n_ab,
+           round(ln((CAST(n_ab AS DOUBLE) / t_pair)
+                    / ((CAST(ca.cnt AS DOUBLE) / t_tok)
+                       * (CAST(cb.cnt AS DOUBLE) / t_tok))), 6) AS pmi
+    FROM pairs
+    JOIN tok_cnt ca ON ca.w = wa
+    JOIN tok_cnt cb ON cb.w = wb
+    CROSS JOIN tot CROSS JOIN ptot
+    WHERE n_ab >= 50
+    ORDER BY pmi DESC, wa, wb LIMIT 20
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over token co-occurrence within a
+    ±2-position window — the classic collocation / word-association
+    statistic (PMI = ln(p(a,b) / p(a)p(b))).
+
+    The naive windowed co-occurrence is a per-document self-join filtered
+    on |Δpos| — Σ|doc|² pairs. This runs it as an exact adjacency
+    EQUI-join instead: explode offsets d ∈ {1,2} and join (doc, pos+d) to
+    (doc, pos), so the pair stream is 2·|tokens| rows, linear in the
+    corpus. Unigram and pair totals ride as broadcast 1-row aggregates;
+    PMI is one ln over ratios of exact integer counts (deterministic to
+    well past round(6)); deterministic top-20 (support floor ≥ 50,
+    tiebreak on the pair). Vocabulary-sized count tables broadcast.
+    """
+    from pyspark import StorageLevel
+
+    d = load(spark, "documents", sf_dir)
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # feeds unigram counts AND both sides of the adjacency join
+    tok_cnt = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("cnt"))
+    tot = tok_cnt.agg(F.sum("cnt").cast("bigint").alias("t_tok"))
+    a = toks.select(
+        "doc_id",
+        F.col("w").alias("w_a"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("dd"),
+        (F.col("pos") + F.col("dd")).alias("pos_b"),
+    ).drop("dd")
+    b = toks.select(
+        F.col("doc_id"), F.col("w").alias("w_b"), F.col("pos").alias("pos_b")
+    )
+    pairs = (
+        a.join(b, ["doc_id", "pos_b"])
+        .groupBy(
+            F.least("w_a", "w_b").alias("wa"),
+            F.greatest("w_a", "w_b").alias("wb"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    ptot = pairs.agg(F.sum("n_ab").cast("bigint").alias("t_pair"))
+    ca = tok_cnt.select(F.col("w").alias("wa"), F.col("cnt").alias("cnt_a"))
+    cb = tok_cnt.select(F.col("w").alias("wb"), F.col("cnt").alias("cnt_b"))
+    scored = (
+        pairs.filter(F.col("n_ab") >= 50)
+        .join(F.broadcast(ca), "wa")
+        .join(F.broadcast(cb), "wb")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ptot))
+        .select(
+            "wa",
+            "wb",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") / F.col("t_pair"))
+                    / (
+                        (F.col("cnt_a").cast("double") / F.col("t_tok"))
+                        * (F.col("cnt_b").cast("double") / F.col("t_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("wa").asc(), F.col("wb").asc()
+    ).limit(20)
+
+
+@query(
+    "mlprep_calibration_bins",
+    """
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             1.0e0 / (1.0e0 + exp(-0.01e0 * (n_chars - 500))) AS score
+      FROM documents
+    ), binned AS (
+      SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, label, score
+      FROM scored
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(score), 4) AS mean_predicted,
+           round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS observed_rate,
+           round(avg((score - label) * (score - label)), 4) AS brier_term
+    FROM binned GROUP BY bin
+    """,
+)
+def mlprep_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table for a classifier score: bin the
+    predicted probability into deciles and compare mean prediction with
+    the observed positive rate, plus the per-bin Brier contribution — the
+    standard diagnostic before trusting any quality-filter threshold.
+    (The score here is a fixed logistic of document length against the
+    'en' label, so both engines reproduce it exactly; the IRLS-fitted
+    classifier in `mlprep_quality_classifier` stays the engine-native
+    path.)
+
+    One scan, one hash aggregate over ten bins — entirely map-side
+    combinable. round(4) on the double means absorbs summation-order
+    ulps; the observed rate is an exact integer ratio.
+    """
+    d = load(spark, "documents", sf_dir)
+    score = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(F.lit(-0.01) * (F.col("n_chars") - 500))
+    )
+    label = F.when(F.col("lang") == "en", 1).otherwise(0)
+    binned = d.select(
+        F.least(F.floor(score * 10).cast("bigint"), F.lit(9).cast("bigint")).alias(
+            "bin"
+        ),
+        label.alias("label"),
+        score.alias("score"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("score"), 4).alias("mean_predicted"),
+        F.round(
+            F.sum("label").cast("double") / F.count("*"), 6
+        ).alias("observed_rate"),
+        F.round(
+            F.avg((F.col("score") - F.col("label")) * (F.col("score") - F.col("label"))),
+            4,
+        ).alias("brier_term"),
+    )
+
+
+@query(
+    "stats_kendall_tau_b",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2, 3
+    ), cd AS (
+      SELECT a.g,
+             CAST(sum(CASE WHEN (a.y < b.y) THEN a.n * b.n ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN (a.y > b.y) THEN a.n * b.n ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+      GROUP BY a.g
+    ), marg AS (
+      SELECT g,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(n) * (sum(n) - 1) / 2 AS BIGINT) AS n0
+      FROM cells GROUP BY g
+    ), tx AS (
+      SELECT g, CAST(sum(tn * (tn - 1) / 2) AS BIGINT) AS n1
+      FROM (SELECT g, x, sum(n) AS tn FROM cells GROUP BY g, x) GROUP BY g
+    ), ty AS (
+      SELECT g, CAST(sum(tn * (tn - 1) / 2) AS BIGINT) AS n2
+      FROM (SELECT g, y, sum(n) AS tn FROM cells GROUP BY g, y) GROUP BY g
+    )
+    SELECT m.g AS l_returnflag,
+           cd.c AS concordant, cd.d AS discordant,
+           round((cd.c - cd.d)
+                 / sqrt(CAST(m.n0 - tx.n1 AS DOUBLE)
+                        * CAST(m.n0 - ty.n2 AS DOUBLE)), 6) AS tau_b
+    FROM marg m
+    JOIN cd ON cd.g = m.g
+    JOIN tx ON tx.g = m.g
+    JOIN ty ON ty.g = m.g
+    """,
+)
+def stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation (quantity vs discount per return
+    flag) with full tie correction — the robust monotone-association
+    measure Pearson's r is not.
+
+    The textbook form compares all n² row pairs. Both variables are
+    low-cardinality, so the fact reduces to a contingency CELL table first
+    (one map-side-combinable aggregate, ≤ |x|·|y| cells per group);
+    concordant/discordant mass is a cell×cell self-join — |cells|² work,
+    independent of n — and every sum is exact integer arithmetic until
+    the single final division (bit-deterministic across engines). Tie
+    terms come from the cell marginals.
+    """
+    from pyspark import StorageLevel
+
+    li = load(spark, "lineitem", sf_dir)
+    cells = (
+        li.groupBy(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").alias("x"),
+            F.col("l_discount").alias("y"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # feeds the pair join (twice), marginals, and tie terms: one fact scan
+    a = cells.select(
+        F.col("g"), F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.col("n").alias("na"),
+    )
+    b = cells.select(
+        F.col("g"), F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("n").alias("nb"),
+    )
+    cd = (
+        a.join(b, "g")
+        .filter(F.col("xa") < F.col("xb"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.col("ya") < F.col("yb"), F.col("na") * F.col("nb"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c"),
+            F.sum(
+                F.when(F.col("ya") > F.col("yb"), F.col("na") * F.col("nb"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    marg = cells.groupBy("g").agg(
+        (F.sum("n") * (F.sum("n") - 1) / 2).cast("bigint").alias("n0")
+    )
+    tx = (
+        cells.groupBy("g", "x")
+        .agg(F.sum("n").alias("tn"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("tn") * (F.col("tn") - 1) / 2).cast("bigint").alias("n1")
+        )
+    )
+    ty = (
+        cells.groupBy("g", "y")
+        .agg(F.sum("n").alias("tn"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("tn") * (F.col("tn") - 1) / 2).cast("bigint").alias("n2")
+        )
+    )
+    out = (
+        marg.join(cd, "g").join(tx, "g").join(ty, "g").select(
+            F.col("g").alias("l_returnflag"),
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            F.round(
+                (F.col("c") - F.col("d"))
+                / F.sqrt(
+                    (F.col("n0") - F.col("n1")).cast("double")
+                    * (F.col("n0") - F.col("n2")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+    return out
+
+
+@query(
+    "timeseries_autocorrelation_acf",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT avg(CAST(cnt AS DOUBLE)) AS mean_cnt,
+             sum((CAST(cnt AS DOUBLE) - (SELECT avg(CAST(cnt AS DOUBLE))
+                                         FROM daily))
+                 * (CAST(cnt AS DOUBLE) - (SELECT avg(CAST(cnt AS DOUBLE))
+                                           FROM daily))) AS denom
+      FROM daily
+    )
+    SELECT k.k AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum((CAST(a.cnt AS DOUBLE) - m.mean_cnt)
+                     * (CAST(b.cnt AS DOUBLE) - m.mean_cnt)) / max(m.denom), 6)
+             AS acf
+    FROM daily a
+    JOIN (SELECT unnest(generate_series(1, 7)) AS k) k ON true
+    JOIN daily b ON b.day = a.day + to_days(CAST(k.k AS INTEGER))
+    CROSS JOIN m
+    GROUP BY k.k
+    """,
+)
+def timeseries_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event count at lags 1–7 — the
+    first diagnostic of any forecasting workflow (weekly seasonality shows
+    as a lag-7 peak).
+
+    The lag join is an exact equi-join on (day + k) over the per-day
+    AGGREGATE (observation-window rows, catalog-sized) — the fact is
+    touched once for the daily rollup. The mean and the centered
+    denominator ride as a broadcast 1-row aggregate; round(6) absorbs the
+    double summation-order ulps of the ≤31-term numerator.
+    """
+    from pyspark import StorageLevel
+
+    ev = load(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # day-cardinality table: feeds mean/denominator and both join sides
+    mean_df = daily.agg(F.avg(F.col("cnt").cast("double")).alias("mean_cnt"))
+    m = (
+        daily.crossJoin(F.broadcast(mean_df))
+        .agg(
+            F.max("mean_cnt").alias("mean_cnt"),
+            F.sum(
+                (F.col("cnt").cast("double") - F.col("mean_cnt"))
+                * (F.col("cnt").cast("double") - F.col("mean_cnt"))
+            ).alias("denom"),
+        )
+    )
+    a = daily.select(
+        "day", F.col("cnt").alias("cnt_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    ).withColumn("day_b", F.date_add(F.col("day").cast("date"), F.col("lag")))
+    b = daily.select(
+        F.col("day").cast("date").alias("day_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        a.join(b, "day_b")
+        .crossJoin(F.broadcast(m))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    (F.col("cnt_a").cast("double") - F.col("mean_cnt"))
+                    * (F.col("cnt_b").cast("double") - F.col("mean_cnt"))
+                )
+                / F.max("denom"),
+                6,
+            ).alias("acf"),
+        )
+    )

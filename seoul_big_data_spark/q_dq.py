@@ -839,9 +839,19 @@ def dq_pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pseudonymization is a pure scan expression (no shuffle of its own);
     the verification joins are the only shuffles, and they're the same
     joins the consumer would run."""
-    c = load(spark, "customer", sf_dir).select(
-        "c_custkey",
-        F.md5(F.concat(F.lit("k:"), F.col("c_custkey").cast("string"))).alias("tok"),
+    from pyspark import StorageLevel
+
+    # three consumers (count check + both verification joins) — persist the
+    # 2-column tokenized projection so the customer scan runs exactly once
+    c = (
+        load(spark, "customer", sf_dir)
+        .select(
+            "c_custkey",
+            F.md5(
+                F.concat(F.lit("k:"), F.col("c_custkey").cast("string"))
+            ).alias("tok"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     o = load(spark, "orders", sf_dir).select(
         "o_custkey",

@@ -1758,16 +1758,26 @@ def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     running max WITHIN each bucket; an event's prior-max is
     greatest(bucket offset, within-bucket run). The oracle runs the plain
     window (single-node DuckDB); values identical."""
-    e = load(spark, "events", sf_dir).select(
-        "event_id",
-        "ts",
-        (
-            F.unix_micros("ts")
-            + F.conv(
-                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
-            ).cast("bigint")
-            % 7200000000
-        ).alias("arrival_us"),
+    from pyspark import StorageLevel
+
+    # three consumers (min/max probe, per-bucket maxima, the banded join) —
+    # persist the 3-column projection so the events scan runs exactly once
+    e = (
+        load(spark, "events", sf_dir)
+        .select(
+            "event_id",
+            "ts",
+            (
+                F.unix_micros("ts")
+                + F.conv(
+                    F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 7200000000
+            ).alias("arrival_us"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_buckets = 1024
     mm = e.agg(F.min("arrival_us").alias("_lo"), F.max("arrival_us").alias("_hi"))

@@ -313,8 +313,17 @@ def agg_kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 4294967296.0,
         )
     )
+    from pyspark import StorageLevel
+
     wk = Window.partitionBy("event_type").orderBy("h", "user_id")
-    sk = uh.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") <= 64)
+    # the ≤2k-row sketch feeds the per-type estimates AND the merged union
+    # sketch — persist it so the fact scan behind it runs once (the truth
+    # subquery is the deliberate second scan, budget 2)
+    sk = (
+        uh.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 64)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ka = sk.groupBy("event_type").agg(
         F.count("*").alias("n_in"), F.max("h").alias("theta")
     )
@@ -374,4 +383,118 @@ def agg_kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+    )
+
+
+@query(
+    "agg_hll_portable",
+    """
+    WITH r0 AS (
+      SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2))::BIGINT
+               AS bucket,
+             substr(md5(CAST(o_custkey AS VARCHAR)), 3, 13) AS rem
+      FROM orders
+    ), rho AS (
+      SELECT bucket,
+             CASE WHEN length(regexp_extract(rem, '^0*')) = 13 THEN 53
+                  ELSE 4 * length(regexp_extract(rem, '^0*'))
+                       + CASE WHEN ('0x' || substr(rem,
+                                      length(regexp_extract(rem, '^0*')) + 1, 1)
+                                    )::BIGINT >= 8 THEN 0
+                              WHEN ('0x' || substr(rem,
+                                      length(regexp_extract(rem, '^0*')) + 1, 1)
+                                    )::BIGINT >= 4 THEN 1
+                              WHEN ('0x' || substr(rem,
+                                      length(regexp_extract(rem, '^0*')) + 1, 1)
+                                    )::BIGINT >= 2 THEN 2
+                              ELSE 3 END
+                       + 1
+             END AS rho
+      FROM r0
+    ), regs AS (
+      SELECT b.bucket, coalesce(max(rho.rho), 0) AS m
+      FROM (SELECT unnest(generate_series(0, 255)) AS bucket) b
+      LEFT JOIN rho ON rho.bucket = b.bucket
+      GROUP BY b.bucket
+    ), agg AS (
+      SELECT CAST(sum(1::BIGINT << (53 - m)) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM regs
+    ), est AS (
+      SELECT CASE WHEN 0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0
+                       * 9007199254740992.0e0 / s <= 640.0e0 AND v > 0
+                  THEN 256.0e0 * ln(256.0e0 / v)
+                  ELSE 0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0
+                       * 9007199254740992.0e0 / s
+             END AS e
+      FROM agg
+    ), truth AS (
+      SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders
+    )
+    SELECT n_exact, round(e, 2) AS hll_est,
+           round((e - n_exact) / n_exact, 4) AS rel_err
+    FROM est, truth
+    """,
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (Flajolet et al.), hash-checkable end to end:
+    256 registers keyed by the first md5 byte, rank = leading-zero count
+    of the next 52 bits + 1, estimate = alpha·m²/Σ2^(-M_j) with the
+    standard small-range linear-counting correction — the cross-engine
+    twin of the native `approx_count_distinct` (which stays rows-only
+    because its HLL bytes are engine-internal).
+
+    Determinism: the harmonic denominator is computed as the EXACT integer
+    Σ 2^(53-M_j) (shiftleft, every term integral, no float summation
+    order), so the single final division is the only floating step and
+    both engines agree bit-for-bit before round(2). Scale: registers come
+    from one map-side-combinable max aggregate over the fact — sketch
+    state is 256 rows regardless of input size; the exact-truth subquery
+    is the deliberate second scan (budget 2, dropped in production).
+    """
+    o = load(spark, "orders", sf_dir)
+    h = F.md5(F.col("o_custkey").cast("string"))
+    rem = F.substring(h, 3, 13)
+    z = F.length(F.regexp_extract(rem, "^0*", 0))
+    nib = F.conv(rem.substr(z + F.lit(1), F.lit(1)), 16, 10).cast("int")
+    lznib = (
+        F.when(nib >= 8, 0).when(nib >= 4, 1).when(nib >= 2, 2).otherwise(3)
+    )
+    rho = F.when(z == 13, 53).otherwise(4 * z + lznib + 1)
+    regs = o.select(
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        rho.alias("rho"),
+    ).groupBy("bucket").agg(F.max("rho").alias("m_part"))
+    all_b = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(255))).alias("bucket")
+    ).select(F.col("bucket").cast("bigint").alias("bucket"))
+    full = all_b.join(F.broadcast(regs), "bucket", "left").select(
+        F.coalesce(F.col("m_part"), F.lit(0)).alias("m")
+    )
+    agg = full.agg(
+        F.sum(F.expr("shiftleft(1L, 53 - m)")).cast("bigint").alias("s"),
+        F.sum((F.col("m") == 0).cast("long")).cast("bigint").alias("v"),
+    )
+    e_raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+        * F.lit(65536.0)
+        * F.lit(9007199254740992.0)
+        / F.col("s")
+    )
+    est = agg.select(
+        F.when(
+            (e_raw <= 640.0) & (F.col("v") > 0),
+            F.lit(256.0) * F.log(F.lit(256.0) / F.col("v")),
+        )
+        .otherwise(e_raw)
+        .alias("e")
+    )
+    truth = o.agg(F.count_distinct("o_custkey").cast("bigint").alias("n_exact"))
+    return est.crossJoin(F.broadcast(truth)).select(
+        "n_exact",
+        F.round("e", 2).alias("hll_est"),
+        F.round((F.col("e") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
     )

@@ -464,6 +464,7 @@ from . import q_dq  # noqa: E402,F401  (data-quality rules, profiling, determini
 from . import q_mlprep  # noqa: E402,F401  (corpus hygiene: repetition, contamination, PII, mixture sampling)
 from . import sql_interface  # noqa: E402,F401  (ad-hoc SQL surface, shared-dialect parity)
 from . import q_sketches  # noqa: E402,F401  (portable Count-Min / Bloom sketches)
+from . import q_advanced  # noqa: E402,F401  (skyline, survival, CUSUM, encoders, A-ES sampling, SNM blocking)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's correctness gate runs queries in

@@ -1,0 +1,133 @@
+"""Tests for q_advanced operators: interval-overlap join exactly-once
+property, skyline equivalence to brute-force dominance, weighted-median
+crossing semantics, and A-ES weighted-sample determinism."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from seoul_big_data_spark.operators.joins import interval_overlap_join
+from seoul_big_data_spark.q_advanced import (
+    sample_weighted_reservoir,
+    stats_skyline_parts,
+)
+
+# Integer endpoints: exact in doubles, so boundary overlaps (e1 == s2) are
+# unambiguous in both the operator and the brute-force oracle.
+_iv = st.tuples(st.integers(0, 60), st.integers(0, 25)).map(
+    lambda t: (float(t[0]), float(t[0] + t[1]))
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    left=st.lists(_iv, min_size=1, max_size=12),
+    right=st.lists(_iv, min_size=1, max_size=12),
+    width=st.sampled_from([1.0, 3.0, 7.0, 50.0]),
+)
+def test_interval_overlap_exactly_once(spark, left, right, width):
+    lt = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(left)], "lid int, s1 double, e1 double"
+    )
+    rt = spark.createDataFrame(
+        [(j, s, e) for j, (s, e) in enumerate(right)], "rid int, s2 double, e2 double"
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            lt, rt, F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2"),
+            band_width=width,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, e1) in enumerate(left)
+        for j, (s2, e2) in enumerate(right)
+        if max(s1, s2) <= min(e1, e2)
+    )
+    assert got == want  # every overlapping pair exactly once, any band width
+
+
+def test_interval_overlap_zero_width_and_touching(spark):
+    # zero-width interval sitting exactly on a band boundary; pair that
+    # touches at a single point (closed semantics: counts as overlap)
+    lt = spark.createDataFrame([(0, 10.0, 10.0)], "lid int, s1 double, e1 double")
+    rt = spark.createDataFrame(
+        [(0, 10.0, 12.0), (1, 0.0, 10.0), (2, 10.5, 11.0)],
+        "rid int, s2 double, e2 double",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            lt, rt, F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2"),
+            band_width=5.0,
+        ).collect()
+    )
+    assert got == [(0, 0), (0, 1)]
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    rows = stats_skyline_parts(spark, sf_dir).collect()
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_size", "p_retailprice"
+    ).collect()
+    pts = [(r["p_partkey"], r["p_size"], r["p_retailprice"]) for r in parts]
+    want = {
+        k
+        for k, sz, pr in pts
+        if not any(
+            (sz2 >= sz and pr2 <= pr and (sz2 > sz or pr2 < pr))
+            for _, sz2, pr2 in pts
+        )
+    }
+    assert {r["p_partkey"] for r in rows} == want
+
+
+def test_weighted_median_crossing(spark):
+    # weights force the crossing at value 3: cum(1)=1, cum(2)=3, cum(3)=9
+    # of total 10 -> first value with 2*cw >= tw is 3
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 6.0), ("g", 9.0, 1.0)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    df.createOrReplaceTempView("_wm")
+    from pyspark.sql import Window
+
+    g = df.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("w")
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("l_quantity").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_quantity",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    got = (
+        c.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .agg(F.min("l_quantity"))
+        .first()[0]
+    )
+    assert got == 3.0
+
+
+def test_weighted_reservoir_deterministic_and_weighted(spark, sf_dir):
+    a = [r["doc_id"] for r in sample_weighted_reservoir(spark, sf_dir).collect()]
+    b = [r["doc_id"] for r in sample_weighted_reservoir(spark, sf_dir).collect()]
+    assert a == b  # md5-keyed: identical under re-execution
+    assert len(a) == len(set(a)) == 20  # without replacement
+    # weighting sanity: the sample's mean doc length should exceed the
+    # corpus mean (longer docs draw larger A-ES keys in expectation)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = (
+        docs.filter(F.col("doc_id").isin(a)).agg(F.avg("n_chars")).first()[0]
+    )
+    assert sample_mean > corpus_mean
