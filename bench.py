@@ -168,6 +168,9 @@ EXTENDED = [
     "mlprep_calibration_bins",
     "stats_kendall_tau_b",
     "timeseries_autocorrelation_acf",
+    "similarity_knn_classifier",
+    "stats_benjamini_hochberg",
+    "events_power_analysis_mde",
 ]
 
 

@@ -1108,3 +1108,197 @@ def timeseries_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("acf"),
         )
     )
+
+
+@query(
+    "stats_benjamini_hochberg",
+    """
+    WITH cells AS (
+      SELECT event_type, user_id % 2 AS arm,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS s,
+             sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS ss
+      FROM events GROUP BY 1, 2
+    ), wz AS (
+      SELECT a.event_type,
+             (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / sqrt(((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE)
+                      * CAST(a.s AS DOUBLE) / a.n) / (a.n - 1)) / a.n
+                    + ((CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE)
+                        * CAST(b.s AS DOUBLE) / b.n) / (b.n - 1)) / b.n)
+               AS z
+      FROM cells a JOIN cells b
+        ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+    ), pv AS (
+      SELECT event_type, round(z, 4) AS z,
+             round(2.0e0 * (exp(-abs(z) * abs(z) / 2.0e0) / 2.5066282746310002e0)
+                   * (0.31938153e0 * (1.0e0 / (1.0e0 + 0.2316419e0 * abs(z)))
+                      - 0.356563782e0 * pow(1.0e0 / (1.0e0 + 0.2316419e0 * abs(z)), 2)
+                      + 1.781477937e0 * pow(1.0e0 / (1.0e0 + 0.2316419e0 * abs(z)), 3)
+                      - 1.821255978e0 * pow(1.0e0 / (1.0e0 + 0.2316419e0 * abs(z)), 4)
+                      + 1.330274429e0 * pow(1.0e0 / (1.0e0 + 0.2316419e0 * abs(z)), 5)),
+                   6) AS p_value
+      FROM wz
+    ), ranked AS (
+      SELECT event_type, z, p_value,
+             CAST(row_number() OVER (ORDER BY p_value, event_type) AS BIGINT)
+               AS p_rank,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pv
+    ), crossed AS (
+      SELECT *,
+             max(CASE WHEN p_value <= 0.05e0 * p_rank / m THEN p_rank
+                      ELSE 0 END) OVER () AS k_max
+      FROM ranked
+    )
+    SELECT event_type, z, p_value, p_rank,
+           round(0.05e0 * p_rank / m, 6) AS bh_threshold,
+           CAST(CASE WHEN p_rank <= k_max THEN 1 ELSE 0 END AS INTEGER)
+             AS significant
+    FROM crossed
+    """,
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a family of Welch z-tests
+    (per event type: mean value, even- vs odd-user arms) — the
+    multiple-testing control every metrics platform applies before calling
+    winners across many simultaneous experiments.
+
+    Sufficient statistics (n, Σx, Σx²) come from ONE hash aggregate with
+    exact decimal sums, so the z statistics are bit-deterministic; the
+    normal tail probability is the Zelen-Severo polynomial approximation
+    written as identical literal arithmetic on both engines (rounded to 6
+    before ranking, so the BH step function compares the same numbers).
+    The BH step-up (reject all ranks ≤ argmax{p_(k) ≤ αk/m}) is a window
+    over the m-row test table — everything after the fact scan is
+    test-family-cardinality.
+    """
+    from pyspark import StorageLevel
+
+    ev = load(spark, "events", sf_dir)
+    vd = F.col("value").cast("decimal(18,6)")
+    cells = (
+        ev.groupBy("event_type", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(vd).alias("s"),
+            F.sum(vd * vd).alias("ss"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # both arms of the self-join read this 10-row table, one fact scan
+    a = cells.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa"),
+    )
+    b = cells.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb"),
+    )
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    ssa, ssb = F.col("ssa").cast("double"), F.col("ssb").cast("double")
+    na, nb = F.col("na"), F.col("nb")
+    z_expr = (sa / na - sb / nb) / F.sqrt(
+        ((ssa - sa * sa / na) / (na - 1)) / na
+        + ((ssb - sb * sb / nb) / (nb - 1)) / nb
+    )
+    wz = a.join(b, "event_type").select("event_type", z_expr.alias("z"))
+    az = F.abs(F.col("z"))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    poly = (
+        F.lit(0.31938153) * t
+        - F.lit(0.356563782) * F.pow(t, 2)
+        + F.lit(1.781477937) * F.pow(t, 3)
+        - F.lit(1.821255978) * F.pow(t, 4)
+        + F.lit(1.330274429) * F.pow(t, 5)
+    )
+    p = F.round(
+        F.lit(2.0)
+        * (F.exp(-az * az / F.lit(2.0)) / F.lit(2.5066282746310002))
+        * poly,
+        6,
+    )
+    pv = wz.select("event_type", F.round("z", 4).alias("z"), p.alias("p_value"))
+    w_rank = Window.orderBy("p_value", "event_type")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pv.select(
+        "*",
+        F.row_number().over(w_rank).cast("bigint").alias("p_rank"),
+        F.count("*").over(w_all).cast("bigint").alias("m"),
+    )
+    thresh = F.lit(0.05) * F.col("p_rank") / F.col("m")
+    crossed = ranked.withColumn(
+        "k_max",
+        F.max(F.when(F.col("p_value") <= thresh, F.col("p_rank")).otherwise(0)).over(
+            w_all
+        ),
+    )
+    return crossed.select(
+        "event_type",
+        "z",
+        "p_value",
+        "p_rank",
+        F.round(thresh, 6).alias("bh_threshold"),
+        F.when(F.col("p_rank") <= F.col("k_max"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("significant"),
+    )
+
+
+@query(
+    "events_power_analysis_mde",
+    """
+    WITH u AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+    ), reach AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users_reached
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, users_reached, n_users,
+           round(CAST(users_reached AS DOUBLE) / n_users, 6) AS baseline_rate,
+           round((1.959964e0 + 0.841621e0)
+                 * sqrt(2.0e0 * (CAST(users_reached AS DOUBLE) / n_users)
+                        * (1.0e0 - CAST(users_reached AS DOUBLE) / n_users)
+                        / (n_users / 2)), 6) AS mde_abs,
+           round((1.959964e0 + 0.841621e0)
+                 * sqrt(2.0e0 * (CAST(users_reached AS DOUBLE) / n_users)
+                        * (1.0e0 - CAST(users_reached AS DOUBLE) / n_users)
+                        / (n_users / 2))
+                 / (CAST(users_reached AS DOUBLE) / n_users), 6) AS mde_rel
+    FROM reach CROSS JOIN u
+    """,
+)
+def events_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power analysis: the minimum detectable effect (absolute and
+    relative) for each event type's user-reach rate at 80% power / 5%
+    two-sided alpha with a 50/50 split of the observed population — the
+    'is this experiment even worth running' pre-check that pairs with
+    `events_ab_test_ztest`.
+
+    Two distinct-count aggregates over one fact scan pattern (per-type
+    reach + the global denominator as a broadcast 1-row aggregate);
+    everything downstream is closed-form arithmetic on exact integer
+    ratios with literal z constants — deterministic to round(6).
+    """
+    ev = load(spark, "events", sf_dir)
+    u = ev.agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    reach = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("users_reached")
+    )
+    rate = F.col("users_reached").cast("double") / F.col("n_users")
+    mde = (F.lit(1.959964) + F.lit(0.841621)) * F.sqrt(
+        F.lit(2.0) * rate * (F.lit(1.0) - rate)
+        / (F.col("n_users") / F.lit(2)).cast("double")
+    )
+    return reach.crossJoin(F.broadcast(u)).select(
+        "event_type",
+        "users_reached",
+        "n_users",
+        F.round(rate, 6).alias("baseline_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / rate, 6).alias("mde_rel"),
+    )

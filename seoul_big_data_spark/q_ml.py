@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -613,4 +613,94 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("w_norm"),
+    )
+
+
+@query(
+    "similarity_knn_classifier",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS true_label, embedding AS q_vec
+      FROM embeddings WHERE vec_id < 100
+    ), scored AS (
+      SELECT q.query_id, q.true_label, c.label AS n_label,
+             list_cosine_similarity(q.q_vec, c.embedding) AS s, c.vec_id
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), top5 AS (
+      SELECT query_id, true_label, n_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, vec_id) AS rk
+        FROM scored
+      ) WHERE rk <= 5
+    ), votes AS (
+      SELECT query_id, true_label, n_label,
+             CAST(count(*) AS BIGINT) AS v
+      FROM top5 GROUP BY query_id, true_label, n_label
+    ), pred AS (
+      SELECT query_id, true_label, n_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY v DESC, n_label) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS accuracy
+    FROM pred GROUP BY true_label
+    """,
+)
+def similarity_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classifier (k=5, cosine, leave-one-out over 100
+    probes) with per-label accuracy — the standard embedding-quality probe
+    (if labels aren't recoverable from neighbors, the embedding space is
+    noise).
+
+    Probes broadcast, corpus streams once through
+    ``operators/similarity.py::brute_force_topk``; the vote is a per-query
+    aggregate over k rows with deterministic tie-breaks (count desc, then
+    smallest label — mirrored in the oracle). Label lookup joins the
+    corpus-sized id→label table as a broadcast. At scale the probe side
+    pages through the IVF/PQ variants; the voting stage is unchanged.
+    """
+    from pyspark.storagelevel import StorageLevel as _SL
+
+    # four consumers (probes, corpus stream, neighbor labels, truth) —
+    # persist the 3-column base once so the embeddings scan runs once
+    emb = (
+        load(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding", "label")
+        .persist(_SL.MEMORY_AND_DISK)
+    )
+    probes = emb.filter(F.col("vec_id") < 100)
+    top5 = brute_force_topk(emb, probes, k=5)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        top5.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(truth), "query_id")
+        .groupBy("query_id", "true_label", "n_label")
+        .agg(F.count("*").cast("bigint").alias("v"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return pred.groupBy("true_label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        F.round(F.sum(correct).cast("double") / F.count("*"), 4).alias(
+            "accuracy"
+        ),
     )

@@ -460,10 +460,16 @@ def corpus_refinery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hash-first dedup window key (comparator decides on 8 bytes, touches
     # the full document only on hash ties; text in the key guards collisions).
     w = Window.partitionBy(F.xxhash64("text"), F.col("text")).orderBy("doc_id")
+    from pyspark import StorageLevel
+
+    # two consumers (shingle explode + the final decontamination join) and
+    # the most expensive column work in the pipeline (regex token/quality
+    # scoring + the dedup window) sits beneath it — persist so it runs once
     kept = (
         q.filter(F.col("quality") >= 0.7)
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("source") != "src0"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ex = kept.select(
         "doc_id",
