@@ -171,6 +171,7 @@ EXTENDED = [
     "similarity_knn_classifier",
     "stats_benjamini_hochberg",
     "events_power_analysis_mde",
+    "events_geo_neighbor_pairs",
 ]
 
 

@@ -1302,3 +1302,70 @@ def events_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / rate, 6).alias("mde_rel"),
     )
+
+
+@query(
+    "events_geo_neighbor_pairs",
+    """
+    WITH pts AS (
+      SELECT DISTINCT user_id,
+             ('0x' || substr(md5('x:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0e0 * 100.0e0 AS x,
+             ('0x' || substr(md5('y:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0e0 * 100.0e0 AS y
+      FROM events
+    )
+    SELECT a.user_id AS id_a, b.user_id AS id_b,
+           round(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+    FROM pts a JOIN pts b
+      ON a.user_id < b.user_id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25.0e0
+    """,
+)
+def events_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join: every pair of users whose (deterministic,
+    md5-derived) positions on a 100×100 km plane lie within 5 km — the
+    proximity/co-location primitive behind geo dedup, store-catchment and
+    contact analytics. (The synthetic tables carry no coordinates, so
+    positions are a pure function of user_id — the portable stand-in that
+    keeps both engines bit-identical; on real data, substitute the
+    lat/lon projection.)
+
+    Runs through ``operators/spatial.py::grid_neighbor_pairs``: points
+    snap to radius-sized grid cells, the left side replicates to its 3×3
+    neighborhood (fan-out 9, map-side), pairs meet in a hash EQUI-join on
+    the cell id exactly once, and the exact-distance predicate runs only
+    on cell-local candidates — bounded by local density, never N². The
+    oracle is the quadratic self-join the operator avoids.
+    """
+    from .operators.spatial import grid_neighbor_pairs
+
+    ev = load(spark, "events", sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("x:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+        * F.lit(100.0)
+    )
+    v = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("y:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+        * F.lit(100.0)
+    )
+    pts = ev.select("user_id").distinct().select("user_id", u.alias("px"), v.alias("py"))
+    pairs = grid_neighbor_pairs(
+        pts, "user_id", F.col("px"), F.col("py"), radius=5.0
+    )
+    return pairs.select("id_a", "id_b", F.round("dist", 6).alias("dist"))

@@ -123,10 +123,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
-@query("text_language_detect")  # heuristic, engine-specific → rows-only
+def _langdetect_oracle_sql() -> str:
+    """Mirror of functions/text.py::detect_language: CJK char check, else
+    the stopword-profile fold (en base; de, es, fr challengers in that
+    order, strict >). Stopword lists injected from the same STOPWORDS
+    constant so the two engines can never drift."""
+    sw = {
+        lang: "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang]) + "]"
+        for lang in tx.STOPWORDS
+    }
+    ratios = ",\n".join(
+        f"""         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains({sw[lang]}, x)))
+                   AS DOUBLE) / len(toks) ELSE 0.0 END AS s_{lang}"""
+        for lang in ("en", "de", "es", "fr")
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS toks,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+      FROM documents
+    ), sc AS (
+      SELECT doc_id, lang, cjk,
+{ratios}
+      FROM t
+    ), fold AS (
+      SELECT doc_id, lang, cjk,
+             CASE WHEN s_de > s_en THEN 'de' ELSE 'en' END AS b1,
+             CASE WHEN s_de > s_en THEN s_de ELSE s_en END AS v1,
+             s_es, s_fr
+      FROM sc
+    ), fold2 AS (
+      SELECT doc_id, lang, cjk,
+             CASE WHEN s_es > v1 THEN 'es' ELSE b1 END AS b2,
+             CASE WHEN s_es > v1 THEN s_es ELSE v1 END AS v2,
+             s_fr
+      FROM fold
+    )
+    SELECT doc_id, lang,
+           CASE WHEN cjk > 0 THEN 'zh'
+                WHEN s_fr > v2 THEN 'fr' ELSE b2 END AS lang_pred
+    FROM fold2
+    """
+
+
+@query("text_language_detect", _langdetect_oracle_sql())
 def text_language_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N4 — language-ID heuristic (CJK detection + stopword profiles);
-    accuracy asserted against the lang label in tests/test_text.py."""
+    accuracy asserted against the lang label in tests/test_text.py, and the
+    full prediction oracle-checked via the SQL mirror built from the same
+    STOPWORDS constant."""
     d = load(spark, "documents", sf_dir)
     return d.select("doc_id", "lang", tx.detect_language("text").alias("lang_pred"))
 

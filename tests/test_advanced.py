@@ -131,3 +131,39 @@ def test_weighted_reservoir_deterministic_and_weighted(spark, sf_dir):
         docs.filter(F.col("doc_id").isin(a)).agg(F.avg("n_chars")).first()[0]
     )
     assert sample_mean > corpus_mean
+
+
+# Half-integer coordinates: exact in binary doubles, so the r² boundary
+# predicate (dist2 <= r*r) is unambiguous in both the operator and the
+# brute-force oracle.
+_coord = st.integers(0, 40).map(lambda i: i / 2.0)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pts=st.lists(st.tuples(_coord, _coord), min_size=1, max_size=15),
+    radius=st.sampled_from([0.5, 2.0, 5.0, 100.0]),
+)
+def test_grid_neighbor_pairs_matches_bruteforce(spark, pts, radius):
+    from seoul_big_data_spark.operators.spatial import grid_neighbor_pairs
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "pid int, x double, y double"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in grid_neighbor_pairs(
+            df, "pid", F.col("x"), F.col("y"), radius
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (x1, y1) in enumerate(pts)
+        for j, (x2, y2) in enumerate(pts)
+        if i < j and (x1 - x2) ** 2 + (y1 - y2) ** 2 <= radius * radius
+    )
+    assert got == want  # every in-radius pair exactly once, incl. boundaries
