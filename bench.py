@@ -172,6 +172,8 @@ EXTENDED = [
     "stats_benjamini_hochberg",
     "events_power_analysis_mde",
     "events_geo_neighbor_pairs",
+    "dedup_minhash_lsh_md5",
+    "stats_spearman_rho",
 ]
 
 

@@ -49,6 +49,15 @@ def exact_normalized(
     )
 
 
+def _portable_hash(col, seed: int):
+    """First 8 md5 hex chars of '<seed>:<value>' as a bigint — the
+    engine-independent hash family (same convention as q_sketches), so a
+    signature built with it is reproducible by any SQL engine."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -56,6 +65,7 @@ def minhash_signatures(
     k_shingle: int = 3,
     n_hashes: int = 16,
     max_shingle_df: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures as explode → groupBy-min: one hash evaluation per
     (shingle, seed), partial mins map-side, one shuffle on doc id.
@@ -83,8 +93,13 @@ def minhash_signatures(
             .select("s")
         )
         sh = sh.join(common, "s", "left_anti")
+    hashes = (
+        [_portable_hash(F.col("s"), i) for i in range(n_hashes)]
+        if portable
+        else [F.xxhash64("s", F.lit(i)) for i in range(n_hashes)]
+    )
     return sh.groupBy("id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"mh_{i}") for i in range(n_hashes)]
+        *[F.min(h).alias(f"mh_{i}") for i, h in enumerate(hashes)]
     )
 
 
@@ -97,6 +112,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     max_bucket_size: int | None = None,
     max_shingle_df: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """N2 — MinHash+LSH candidate pairs (id_a < id_b).
 
@@ -109,13 +125,20 @@ def minhash_lsh_candidates(
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(
-        df, text_col, id_col, k_shingle, n_hashes, max_shingle_df
+        df, text_col, id_col, k_shingle, n_hashes, max_shingle_df, portable
     )
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        # portable bucket key: the band minima themselves, rendered as a
+        # string (exact, engine-independent) instead of re-hashing
+        bucket = (
+            F.concat_ws(":", *[c.cast("string") for c in cols])
+            if portable
+            else F.xxhash64(*cols).cast("string")
+        )
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
         )
     buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")

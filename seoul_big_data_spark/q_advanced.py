@@ -1364,8 +1364,145 @@ def events_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(4294967296.0)
         * F.lit(100.0)
     )
-    pts = ev.select("user_id").distinct().select("user_id", u.alias("px"), v.alias("py"))
+    from pyspark import StorageLevel
+
+    # both sides of the cell join read the point table — persist the
+    # user-cardinality reduction so the events scan runs once
+    pts = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", u.alias("px"), v.alias("py"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = grid_neighbor_pairs(
         pts, "user_id", F.col("px"), F.col("py"), radius=5.0
     )
     return pairs.select("id_a", "id_b", F.round("dist", 6).alias("dist"))
+
+
+@query(
+    "stats_spearman_rho",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2, 3
+    ), xm AS (
+      SELECT g, x,
+             2 * (coalesce(sum(tx) OVER (PARTITION BY g ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+             + tx + 1 AS rx2
+      FROM (SELECT g, x, CAST(sum(n) AS BIGINT) AS tx FROM cells GROUP BY g, x)
+    ), ym AS (
+      SELECT g, y,
+             2 * (coalesce(sum(ty) OVER (PARTITION BY g ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+             + ty + 1 AS ry2
+      FROM (SELECT g, y, CAST(sum(n) AS BIGINT) AS ty FROM cells GROUP BY g, y)
+    ), s AS (
+      SELECT c.g,
+             CAST(sum(c.n) AS BIGINT)                    AS nn,
+             CAST(sum(c.n * xm.rx2) AS BIGINT)           AS sx,
+             CAST(sum(c.n * ym.ry2) AS BIGINT)           AS sy,
+             CAST(sum(c.n * xm.rx2 * xm.rx2) AS BIGINT)  AS sxx,
+             CAST(sum(c.n * ym.ry2 * ym.ry2) AS BIGINT)  AS syy,
+             CAST(sum(c.n * xm.rx2 * ym.ry2) AS BIGINT)  AS sxy
+      FROM cells c
+      JOIN xm ON xm.g = c.g AND xm.x = c.x
+      JOIN ym ON ym.g = c.g AND ym.y = c.y
+      GROUP BY c.g
+    )
+    SELECT g AS l_returnflag,
+           round((CAST(nn AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(nn AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS spearman_rho
+    FROM s
+    """,
+)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs discount per return flag)
+    with midrank tie handling — completing the robust-association triple
+    beside the exact Pearson (`agg_corr_covar`) and Kendall tau-b.
+
+    The textbook form ranks every ROW (a global sort). Both variables are
+    low-cardinality, so midranks come from the per-value marginals of the
+    contingency-cell reduction: rank(v) = (rows below v) + (ties+1)/2 — a
+    window over the value-cardinality table, never the fact. Doubled
+    midranks (2·rank, always integral) keep every power sum EXACT BIGINT
+    arithmetic regardless of summation order; only the final Pearson
+    combination is floating point, identical on both engines.
+    """
+    from pyspark import StorageLevel
+
+    li = load(spark, "lineitem", sf_dir)
+    cells = (
+        li.groupBy(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").alias("x"),
+            F.col("l_discount").alias("y"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # feeds both marginal rank tables and the moment join: one fact scan
+    w_prev_x = Window.partitionBy("g").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    xm = (
+        cells.groupBy("g", "x")
+        .agg(F.sum("n").cast("bigint").alias("tx"))
+        .select(
+            "g",
+            "x",
+            (
+                2 * F.coalesce(F.sum("tx").over(w_prev_x), F.lit(0))
+                + F.col("tx")
+                + 1
+            ).alias("rx2"),
+        )
+    )
+    w_prev_y = Window.partitionBy("g").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ym = (
+        cells.groupBy("g", "y")
+        .agg(F.sum("n").cast("bigint").alias("ty"))
+        .select(
+            "g",
+            "y",
+            (
+                2 * F.coalesce(F.sum("ty").over(w_prev_y), F.lit(0))
+                + F.col("ty")
+                + 1
+            ).alias("ry2"),
+        )
+    )
+    s = (
+        cells.join(xm, ["g", "x"])
+        .join(ym, ["g", "y"])
+        .groupBy("g")
+        .agg(
+            F.sum("n").cast("bigint").alias("nn"),
+            F.sum(F.col("n") * F.col("rx2")).cast("bigint").alias("sx"),
+            F.sum(F.col("n") * F.col("ry2")).cast("bigint").alias("sy"),
+            F.sum(F.col("n") * F.col("rx2") * F.col("rx2"))
+            .cast("bigint")
+            .alias("sxx"),
+            F.sum(F.col("n") * F.col("ry2") * F.col("ry2"))
+            .cast("bigint")
+            .alias("syy"),
+            F.sum(F.col("n") * F.col("rx2") * F.col("ry2"))
+            .cast("bigint")
+            .alias("sxy"),
+        )
+    )
+    nn, sx, sy = (F.col(c).cast("double") for c in ("nn", "sx", "sy"))
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    return s.select(
+        F.col("g").alias("l_returnflag"),
+        F.round(
+            (nn * sxy - sx * sy)
+            / F.sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)),
+            6,
+        ).alias("spearman_rho"),
+    )

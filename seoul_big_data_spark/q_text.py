@@ -292,6 +292,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(d, n_hashes=16, bands=4)
 
 
+@query(
+    "dedup_minhash_lsh_md5",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]))
+               AS s
+      FROM toks
+    ), mins AS (
+      SELECT doc_id, j.j AS j,
+             min(('0x' || substr(md5(j.j || ':' || s), 1, 8))::BIGINT) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+      GROUP BY doc_id, j.j
+    ), bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ':' ORDER BY j) AS bucket
+      FROM mins GROUP BY doc_id, j // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — the FULL MinHash+LSH pipeline (16 hashes, 4 bands) with the
+    portable md5 hash family: signature construction, banding, bucket
+    collision and pair generation are all reproduced by the SQL oracle, so
+    the flagship near-dup operator is hash-checked END TO END (the
+    xxhash64 twin `dedup_minhash_lsh` stays the engine-native fast path,
+    recall-pinned in tests). Same physical shape: shingle explode →
+    map-side partial mins → one signature shuffle → bucket grouping; the
+    portable bucket key is the band minima themselves rendered as a string
+    (exact, engine-independent) instead of a re-hash."""
+    d = load(spark, "documents", sf_dir)
+    return dedup.minhash_lsh_candidates(d, n_hashes=16, bands=4, portable=True)
+
+
 @query("dedup_simhash")  # hash-based fingerprint → rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 — 64-bit SimHash fingerprints (operators/dedup.py::simhash)."""
