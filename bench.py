@@ -174,6 +174,9 @@ EXTENDED = [
     "events_geo_neighbor_pairs",
     "dedup_minhash_lsh_md5",
     "stats_spearman_rho",
+    "multimodal_phash_dedup",
+    "dedup_lsh_recall_eval",
+    "events_bot_detection",
 ]
 
 

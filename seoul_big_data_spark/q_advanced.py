@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators import dedup
 from .operators.joins import interval_overlap_join
 from .registry import query
 from .sources.tables import load
@@ -1505,4 +1506,185 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)),
             6,
         ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), truth AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    ), mins AS (
+      SELECT doc_id, j.j AS j,
+             min(('0x' || substr(md5(j.j || ':' || shingle), 1, 8))::BIGINT)
+               AS mh
+      FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+      GROUP BY doc_id, j.j
+    ), bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ':' ORDER BY j) AS bucket
+      FROM mins GROUP BY doc_id, j // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), joined AS (
+      SELECT coalesce(c.id_a, t.id_a) AS id_a,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
+             CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+      FROM cand c FULL OUTER JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+           CAST(sum(is_true) AS BIGINT) AS n_true_pairs,
+           CAST(sum(is_cand * is_true) AS BIGINT) AS true_positives,
+           round(CAST(sum(is_cand * is_true) AS DOUBLE)
+                 / nullif(sum(is_cand), 0), 6) AS precision_,
+           round(CAST(sum(is_cand * is_true) AS DOUBLE)
+                 / nullif(sum(is_true), 0), 6) AS recall_
+    FROM joined
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-as-a-query: precision and recall of the portable
+    MinHash-LSH candidate generator against the exact-Jaccard ≥ 0.3 ground
+    truth — the measurement that justifies (or rejects) an LSH band/row
+    configuration before a 100 TB run, produced by the engine itself and,
+    because both the sketch and the truth are md5/shingle-deterministic,
+    verified hash-for-hash by the oracle.
+
+    Truth is the uncapped shingle self-join (oracle scale), candidates are
+    the banded signature buckets (the 100 TB scale path); both branches —
+    and every sub-consumer inside them — read ONE persisted 2-column
+    projection of the corpus, so the file scan runs once. The comparison
+    is a full outer join on the pair key reduced to three counters + P/R.
+    """
+    from pyspark import StorageLevel
+
+    d = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    truth = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    cand = dedup.minhash_lsh_candidates(d, n_hashes=16, bands=4, portable=True)
+    joined = (
+        cand.withColumn("is_cand", F.lit(1))
+        .join(
+            truth.withColumn("is_true", F.lit(1)),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("is_cand"), F.lit(0)).alias("is_cand"),
+            F.coalesce(F.col("is_true"), F.lit(0)).alias("is_true"),
+        )
+    )
+    return joined.agg(
+        F.sum("is_cand").cast("bigint").alias("n_candidates"),
+        F.sum("is_true").cast("bigint").alias("n_true_pairs"),
+        F.sum(F.col("is_cand") * F.col("is_true"))
+        .cast("bigint")
+        .alias("true_positives"),
+        F.round(
+            F.sum(F.col("is_cand") * F.col("is_true")).cast("double")
+            / F.nullif(F.sum("is_cand"), F.lit(0)),
+            6,
+        ).alias("precision_"),
+        F.round(
+            F.sum(F.col("is_cand") * F.col("is_true")).cast("double")
+            / F.nullif(F.sum("is_true"), F.lit(0)),
+            6,
+        ).alias("recall_"),
+    )
+
+
+@query(
+    "events_bot_detection",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_s
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(count(*) + 1 AS BIGINT) AS n_events,
+             CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+             CAST(sum(CASE WHEN gap_s <= 600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rapid_count
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n_events, min_gap_s, rapid_count,
+           round(CAST(rapid_count AS DOUBLE) / (n_events - 1), 6) AS burst_share
+    FROM per_user
+    ORDER BY rapid_count DESC, min_gap_s ASC, user_id LIMIT 20
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse screening heuristic: per-user interarrival profile — the
+    minimum gap, the count of rapid (≤10 min) successive events and their
+    share — ranked most-suspicious-first. Superhuman event cadence is the
+    first-line signal every ingestion pipeline screens before letting
+    traffic into training data.
+
+    One shuffle partitions events per user for the lag window; everything
+    after is a user-cardinality aggregate, and the top-20 is sort+limit
+    (TakeOrderedAndProject — no global window). Gaps are exact integer
+    seconds (floored epochs), so ranking and shares are deterministic.
+    """
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp("ts")
+    gaps = ev.select(
+        "user_id", (es - F.lag(es).over(w)).cast("bigint").alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        (F.count("*") + 1).cast("bigint").alias("n_events"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.sum((F.col("gap_s") <= 600).cast("int")).cast("bigint").alias(
+            "rapid_count"
+        ),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_events",
+            "min_gap_s",
+            "rapid_count",
+            F.round(
+                F.col("rapid_count").cast("double") / (F.col("n_events") - 1), 6
+            ).alias("burst_share"),
+        )
+        .orderBy(
+            F.col("rapid_count").desc(), F.col("min_gap_s").asc(), F.col("user_id")
+        )
+        .limit(20)
     )

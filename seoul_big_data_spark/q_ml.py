@@ -704,3 +704,59 @@ def similarity_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy"
         ),
     )
+
+
+@query("multimodal_phash_dedup")  # binary image hash → rows-only (no SQL codec)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 — image near-dup grouping via perceptual average-hash: every
+    document renders as a deterministic 16×16 BMP whose pixels encode its
+    (quantized) letter-frequency histogram — so documents with similar
+    content produce similar images — each image hashes to a 64-bit aHash
+    executor-side (sources/multimodal.py::perceptual_hash), and grouping
+    on the hash recovers clusters of perceptually-near images: the image
+    analogue of MinHash dedup, with the hash as the LSH bucket key.
+    Render + hash are both Arrow-batched ``mapInPandas``; nothing binary
+    touches the driver. Hash stability and near-dup Hamming locality are
+    pinned in tests/test_multimodal.py.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .session import ensure_package_shipped
+    from .sources.multimodal import encode_bmp, perceptual_hash
+
+    ensure_package_shipped(spark)
+    d = load(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                t = text.lower()
+                n = max(len(t), 1)
+                # letter frequency per mille, quantized to 32 levels — the
+                # content signature the image carries
+                hist = [
+                    min((t.count(chr(97 + c)) * 1000 // n) // 8, 31) * 8
+                    for c in range(26)
+                ]
+
+                def pix(x, y, hist=hist):
+                    i = y * 16 + x
+                    return (
+                        hist[i % 26],
+                        hist[(i + 7) % 26],
+                        hist[(i + 13) % 26],
+                    )
+
+                payloads.append(bytearray(encode_bmp(16, 16, pix)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = d.mapInPandas(_render, schema="doc_id bigint, payload binary")
+    hashed = perceptual_hash(blobs)
+    groups = hashed.groupBy("phash").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("survivor_doc_id"),
+    )
+    return groups.orderBy(F.col("n_docs").desc(), F.col("phash")).limit(50)

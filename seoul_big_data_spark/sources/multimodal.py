@@ -400,3 +400,91 @@ def encode_ppm(width: int, height: int, pixel_fn) -> bytes:
             r, g, b = pixel_fn(x, y)
             body += bytes((r, g, b))
     return b"P6\n%d %d\n255\n" % (width, height) + bytes(body)
+
+
+def _decode_bmp_pixels(payload: bytes):
+    """Full pixel array of a 24-bit BI_RGB BMP as an (h, w, 3) uint8 numpy
+    array in BGR sample order, rows in stored (bottom-up) order — the
+    decode path ``perceptual_hash`` consumes; header handling identical to
+    ``_decode_bmp``."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP variant (bpp={bpp}, compression={compression}) needs a real "
+            "codec; plug PIL here"
+        )
+    n_rows = abs(height)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    need = (n_rows - 1) * stride + row_bytes if n_rows else 0
+    buf = payload[data_offset:data_offset + need]
+    if len(buf) < need:
+        raise ValueError("truncated BMP pixel array")
+    return (
+        np.frombuffer(buf + b"\x00" * (n_rows * stride - need), dtype=np.uint8)
+        .reshape(n_rows, stride)[:, :row_bytes]
+        .reshape(n_rows, width, 3)
+    )
+
+
+def _ahash_bits(px, grid: int = 8) -> int:
+    """Average-hash of a pixel array: grayscale → ``grid``×``grid`` block
+    means → bit = block mean > global mean of block means. Integer/float64
+    numpy arithmetic in a fixed order — deterministic across runs and
+    partitionings."""
+    import numpy as np
+
+    gray = px.astype(np.int64).sum(axis=2)  # 3x gray, scale cancels in the
+    h, w = gray.shape  # threshold comparison
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    means = np.empty((grid, grid), dtype=np.float64)
+    for i in range(grid):
+        for j in range(grid):
+            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                         xs[j]:max(xs[j + 1], xs[j] + 1)]
+            means[i, j] = block.mean() if block.size else 0.0
+    thresh = means.mean()
+    bits = 0
+    for i in range(grid):
+        for j in range(grid):
+            bits = (bits << 1) | int(means[i, j] > thresh)
+    return bits
+
+
+def perceptual_hash(
+    df: DataFrame, payload_col: str = "payload", grid: int = 8
+) -> DataFrame:
+    """mapInPandas perceptual-hash stage: (doc_id, payload binary) →
+    64-bit average-hash (hex string) + dimensions. Near-duplicate images
+    (crops, brightness shifts, re-encodes) land within a small Hamming
+    distance, so an equality/bucket join on the hash (or its prefixes) is
+    the image analogue of MinHash-LSH — payloads decode executor-side,
+    Arrow-batched, never on the driver."""
+    import pandas as pd
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                px = _decode_bmp_pixels(bytes(payload))
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "phash": f"{_ahash_bits(px, grid):016x}",
+                        "width": int(px.shape[1]),
+                        "height": int(px.shape[0]),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        _hash, "doc_id long, phash string, width int, height int"
+    )

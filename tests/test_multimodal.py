@@ -197,3 +197,45 @@ def test_frame_sample_query_runs(spark, sf_dir):
             assert r["n_frames"] == n_frames
             # frame f is (f*40 % 256, ...) on the red channel
             assert r["mean_r"] == (r["frame_idx"] * 40) % 256
+
+
+def test_phash_stability_and_locality(spark):
+    from seoul_big_data_spark.sources.multimodal import (
+        _ahash_bits,
+        _decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    def img(perturb: int = 0):
+        def pix(x, y):
+            v = (x * 16 + y * 3) % 256
+            if perturb and x == 3 and y == 3:
+                v = (v + perturb) % 256
+            return (v, 255 - v, (v * 7) % 256)
+
+        return encode_bmp(16, 16, pix)
+
+    base = _ahash_bits(_decode_bmp_pixels(img()))
+    again = _ahash_bits(_decode_bmp_pixels(img()))
+    assert base == again  # deterministic across calls
+    near = _ahash_bits(_decode_bmp_pixels(img(perturb=40)))
+    hamming = bin(base ^ near).count("1")
+    assert hamming <= 8  # one-pixel change flips at most its own block bits
+
+
+def test_decode_bmp_pixels_roundtrip(spark):
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    def pix(x, y):
+        return (x * 10 % 256, y * 20 % 256, (x + y) % 256)
+
+    px = _decode_bmp_pixels(encode_bmp(5, 4, pix))
+    assert px.shape == (4, 5, 3)
+    # BMP stores bottom-up BGR; row 0 of the array is the BOTTOM image row
+    r, g, b = pix(2, 3)
+    assert tuple(px[0, 2]) == (b, g, r)
+    r, g, b = pix(4, 0)
+    assert tuple(px[3, 4]) == (b, g, r)
