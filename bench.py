@@ -177,6 +177,11 @@ EXTENDED = [
     "multimodal_phash_dedup",
     "dedup_lsh_recall_eval",
     "events_bot_detection",
+    "agg_boolean_family",
+    "agg_bitwise_family",
+    "dq_sequence_gaps",
+    "stats_empirical_bayes_shrinkage",
+    "text_textrank_keywords",
 ]
 
 

@@ -1688,3 +1688,286 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "agg_boolean_family",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)  AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_large
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: bool_and / bool_or (ANSI EVERY/ANY) and
+    count_if — the predicate-rollup family dashboards lean on. One
+    map-side-combinable hash aggregate; booleans and integer counts are
+    exactly deterministic."""
+    o = load(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("bigint").alias(
+            "n_finished"
+        ),
+        F.count_if(F.col("o_totalprice") > 200000).cast("bigint").alias(
+            "n_large"
+        ),
+    )
+
+
+@query(
+    "agg_bitwise_family",
+    """
+    SELECT l_returnflag,
+           CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_and,
+           CAST(bit_or(CAST(l_quantity AS BIGINT))  AS BIGINT) AS qty_bit_or,
+           CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface (bit_and / bit_or / bit_xor) — the
+    flag-mask rollup family; bit_xor doubles as an order-independent
+    set checksum (the same trick the driver's own hash compare relies
+    on). Exact integer semantics, any partitioning."""
+    li = load(spark, "lineitem", sf_dir)
+    q = F.col("l_quantity").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(q).cast("bigint").alias("qty_bit_and"),
+        F.bit_or(q).cast("bigint").alias("qty_bit_or"),
+        F.bit_xor(q).cast("bigint").alias("qty_bit_xor"),
+    )
+
+
+@query(
+    "dq_sequence_gaps",
+    """
+    WITH keys AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+    ), g AS (
+      SELECT k AS gap_start_after,
+             lead(k) OVER (ORDER BY k) AS next_k
+      FROM keys
+    )
+    SELECT gap_start_after, next_k,
+           CAST(next_k - gap_start_after - 1 AS BIGINT) AS missing
+    FROM g
+    WHERE next_k - gap_start_after > 1
+    ORDER BY missing DESC, gap_start_after LIMIT 20
+    """,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection over the order-key space: the largest holes
+    between consecutive keys — the DQ screen behind resume-by-ID ingestion
+    (the reference's START_IDX checkpoint, data_seoul_2_csv_noopenapi.py:79,
+    silently loses rows if the source skips ids; this measures that). Runs
+    over the finished-order key stream, whose holes are the open/pending
+    orders — a sequence with real gaps by construction.
+
+    The lead window over the bare key column is the textbook form; at
+    100 TB the same gaps fall out of `numbered_bucketed`'s range buckets
+    (per-bucket lead + bucket-boundary stitch), so the unpartitioned
+    window here is the small-scale convenience, not the design. Top-20
+    via sort+limit.
+    """
+    o = (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    w = Window.orderBy("k")
+    g = o.select(
+        F.col("k").alias("gap_start_after"), F.lead("k").over(w).alias("next_k")
+    )
+    return (
+        g.filter(F.col("next_k") - F.col("gap_start_after") > 1)
+        .select(
+            "gap_start_after",
+            "next_k",
+            (F.col("next_k") - F.col("gap_start_after") - 1)
+            .cast("bigint")
+            .alias("missing"),
+        )
+        .orderBy(F.col("missing").desc(), F.col("gap_start_after"))
+        .limit(20)
+    )
+
+
+@query(
+    "stats_empirical_bayes_shrinkage",
+    """
+    WITH g AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS s
+      FROM lineitem GROUP BY l_suppkey
+    ), prior AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn, sum(s) AS ts FROM g
+    )
+    SELECT l_suppkey, n,
+           round(CAST(s AS DOUBLE) / n, 2) AS raw_mean,
+           round((CAST(s AS DOUBLE) + 20.0e0 * (CAST(ts AS DOUBLE) / tn))
+                 / (n + 20.0e0), 2) AS shrunk_mean
+    FROM g CROSS JOIN prior
+    ORDER BY l_suppkey LIMIT 100
+    """,
+)
+def stats_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes mean shrinkage: each supplier's mean price pulled
+    toward the global prior with pseudo-count k=20 — the small-sample
+    stabilizer behind every leaderboard/target-encoding/CTR estimate
+    (shrunk = (Σx + k·prior)/(n + k)).
+
+    One hash aggregate to supplier cardinality; the prior rides as a
+    broadcast 1-row aggregate of the SAME reduction (no second fact
+    scan). Exact decimal sums; two double divisions at the end.
+    """
+    from pyspark import StorageLevel
+
+    li = load(spark, "lineitem", sf_dir)
+    g = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # prior + output both read this supplier-cardinality table
+    prior = g.agg(
+        F.sum("n").cast("bigint").alias("tn"), F.sum("s").alias("ts")
+    )
+    prior_mean = F.col("ts").cast("double") / F.col("tn")
+    return (
+        g.crossJoin(F.broadcast(prior))
+        .select(
+            "l_suppkey",
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), 2).alias("raw_mean"),
+            F.round(
+                (F.col("s").cast("double") + F.lit(20.0) * prior_mean)
+                / (F.col("n") + F.lit(20.0)),
+                2,
+            ).alias("shrunk_mean"),
+        )
+        .orderBy("l_suppkey")
+        .limit(100)
+    )
+
+
+def _textrank_oracle_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle for TextRank over the word-adjacency
+    graph (same expansion technique as q_text._pagerank_oracle_sql —
+    DuckDB recursive CTEs forbid aggregates in the recursive term)."""
+    edges_cte = """
+    WITH toks0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')
+               AS ws
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(ws) AS w,
+             unnest(generate_series(1, len(ws))) AS pos
+      FROM toks0
+    ), pairs AS (
+      SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb
+      FROM toks a
+      JOIN (SELECT unnest(generate_series(1, 2)) AS d) d ON true
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + d.d
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    ), edges AS (
+      SELECT wa AS src, wb AS dst FROM pairs
+      UNION ALL SELECT wb, wa FROM pairs
+    ), vx AS (
+      SELECT DISTINCT w AS id FROM toks
+    ), nn AS (
+      SELECT count(*) * 1.0 AS n FROM vx
+    ), outdeg AS (
+      SELECT src, count(*) AS deg FROM edges GROUP BY src
+    ), pr0 AS (
+      SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM vx
+    )"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""", pr{i} AS (
+      SELECT vx.id,
+             ({1.0 - damping:g} / (SELECT n FROM nn))
+               + {damping:g} * COALESCE(agg.s, 0.0) AS rank
+      FROM vx LEFT JOIN (
+        SELECT e.dst AS id, sum(p.rank / o.deg) AS s
+        FROM edges e
+        JOIN pr{i - 1} p ON p.id = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) agg ON vx.id = agg.id
+    )""")
+    return (
+        edges_cte
+        + "".join(steps)
+        + f"\n    SELECT id AS word, round(rank * 1000000, 4) AS rank_ppm"
+        f" FROM pr{iterations}"
+    )
+
+
+@query("text_textrank_keywords", _textrank_oracle_sql())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau): PageRank over the
+    word-adjacency graph — words co-occurring within a ±2 window (support
+    ≥ 3) vote for each other's importance. The graph-based complement to
+    RAKE's frequency/degree scores, composed entirely from existing
+    operators: the PMI adjacency equi-join builds the edges, then
+    ``operators/graph.py::pagerank`` (localCheckpoint-per-iteration) runs
+    10 damped power iterations.
+
+    The edge build is linear in tokens (exploded offsets, hash equi-join —
+    never Σ|doc|²); the iteration state is vocabulary-sized. The oracle
+    unrolls the identical power iteration, so every rank value
+    hash-matches at 0.0001 ppm.
+    """
+    from pyspark import StorageLevel
+
+    from .operators.graph import pagerank
+
+    d = load(spark, "documents", sf_dir)
+    # three consumers (both adjacency sides + the vertex set): persist the
+    # token table so the documents scan runs once
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = toks.select(
+        "doc_id",
+        F.col("w").alias("w_a"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("dd"),
+        (F.col("pos") + F.col("dd")).alias("pos_b"),
+    ).drop("dd")
+    b = toks.select(
+        F.col("doc_id"), F.col("w").alias("w_b"), F.col("pos").alias("pos_b")
+    )
+    pairs = (
+        a.join(b, ["doc_id", "pos_b"])
+        .groupBy(
+            F.least("w_a", "w_b").alias("wa"),
+            F.greatest("w_a", "w_b").alias("wb"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+        .select("wa", "wb")
+    )
+    edges = pairs.select(
+        F.col("wa").alias("src"), F.col("wb").alias("dst")
+    ).unionAll(pairs.select(F.col("wb").alias("src"), F.col("wa").alias("dst")))
+    vertices = toks.select(F.col("w").alias("id")).distinct()
+    ranks = pagerank(vertices, edges, iterations=10)
+    return ranks.select(
+        F.col("id").alias("word"),
+        F.round(F.col("rank") * 1000000, 4).alias("rank_ppm"),
+    )
