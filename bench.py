@@ -182,6 +182,9 @@ EXTENDED = [
     "dq_sequence_gaps",
     "stats_empirical_bayes_shrinkage",
     "text_textrank_keywords",
+    "events_forecast_seasonal_naive",
+    "mlprep_token_budget_allocation",
+    "text_compression_ratio",
 ]
 
 

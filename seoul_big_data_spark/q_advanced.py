@@ -1971,3 +1971,196 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("word"),
         F.round(F.col("rank") * 1000000, 4).alias("rank_ppm"),
     )
+
+
+@query(
+    "events_forecast_seasonal_naive",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), with_pred AS (
+      SELECT event_type, day, cnt,
+             lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(sum(abs(cnt - pred)) AS BIGINT) AS abs_err_total,
+           round(CAST(sum(abs(cnt - pred)) AS DOUBLE) / count(*), 4) AS mae,
+           round(sum(CAST(abs(cnt - pred) AS DOUBLE) / cnt) / count(*), 6)
+             AS mape,
+           round(CAST(sum(cnt - pred) AS DOUBLE) / count(*), 4) AS bias
+    FROM with_pred WHERE pred IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each day's event count
+    with the same weekday last week (the baseline every real forecaster
+    must beat) and score MAE / MAPE / bias per event type — the
+    backtesting harness as a query.
+
+    One shuffle to the (type, day) aggregate; the lag-7 prediction is a
+    window over that catalog-sized table; errors are exact integers until
+    the final divisions. Partitioned by event_type — no global window.
+    """
+    ev = load(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wp = daily.withColumn("pred", F.lag("cnt", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.col("cnt") - F.col("pred")
+    return wp.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days_scored"),
+        F.sum(F.abs(err)).cast("bigint").alias("abs_err_total"),
+        F.round(F.sum(F.abs(err)).cast("double") / F.count("*"), 4).alias("mae"),
+        F.round(
+            F.sum(F.abs(err).cast("double") / F.col("cnt")) / F.count("*"), 6
+        ).alias("mape"),
+        F.round(F.sum(err).cast("double") / F.count("*"), 4).alias("bias"),
+    )
+
+
+@query(
+    "mlprep_token_budget_allocation",
+    """
+    WITH src AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_src
+      FROM src
+    ), ordered AS (
+      SELECT source, tokens,
+             row_number() OVER (ORDER BY tokens, source) AS rk,
+             sum(tokens) OVER (ORDER BY tokens, source
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS csum
+      FROM src
+    ), caps AS (
+      SELECT o.source, o.tokens, o.rk, t.total, t.n_src,
+             (0.5e0 * t.total - (o.csum - o.tokens)) / (t.n_src - o.rk + 1)
+               AS cap_cand
+      FROM ordered o CROSS JOIN tot t
+    ), cap AS (
+      -- every prefix's candidate is <= the true cap (and the true prefix's
+      -- candidate equals it), so the solution is the max valid candidate
+      SELECT max(cap_cand) AS c FROM caps WHERE cap_cand <= tokens
+    )
+    SELECT source, tokens,
+           round(least(CAST(tokens AS DOUBLE), cap.c), 4) AS allocation,
+           round(least(CAST(tokens AS DOUBLE), cap.c) / tokens, 6)
+             AS keep_fraction
+    FROM src CROSS JOIN cap
+    """,
+)
+def mlprep_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation: given a 50%-of-corpus token
+    budget, allocate per source with a common cap c such that
+    Σ min(tokens_i, c) = budget — small sources keep everything, dominant
+    sources are clipped equally. This is the anti-dominance mixture rule
+    (per-source caps, proportional-fair) solved in closed form as a
+    query: sort sources by size, and for each prefix the candidate cap is
+    (budget − smaller-source mass)/(remaining sources); the true cap is
+    the smallest candidate not exceeding its own source size.
+
+    Everything after the per-source rollup is windows over ≤|sources|
+    rows; the solve is algebra on exact integer sums — no iteration, no
+    driver loop, deterministic.
+    """
+    from pyspark import StorageLevel
+
+    d = load(spark, "documents", sf_dir)
+    src = (
+        d.groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("tokens"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # ordered/caps/output all read this |sources|-row table
+    tot = src.agg(
+        F.sum("tokens").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_src"),
+    )
+    w_ord = Window.orderBy("tokens", "source")
+    ordered = src.select(
+        "source",
+        "tokens",
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum("tokens")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("csum"),
+    )
+    caps = ordered.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        (
+            (F.lit(0.5) * F.col("total") - (F.col("csum") - F.col("tokens")))
+            / (F.col("n_src") - F.col("rk") + 1)
+        ).alias("cap_cand"),
+    )
+    # every prefix's candidate is <= the true cap (equality at the true
+    # prefix), so the solution is the max candidate passing its own bound
+    cap = caps.filter(F.col("cap_cand") <= F.col("tokens")).agg(
+        F.max("cap_cand").alias("c")
+    )
+    return src.crossJoin(F.broadcast(cap)).select(
+        "source",
+        "tokens",
+        F.round(F.least(F.col("tokens").cast("double"), F.col("c")), 4).alias(
+            "allocation"
+        ),
+        F.round(
+            F.least(F.col("tokens").cast("double"), F.col("c")) / F.col("tokens"),
+            6,
+        ).alias("keep_fraction"),
+    )
+
+
+@query("text_compression_ratio")  # zlib bytes are library-version-specific → rows-only
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: deflate(text)/len(text) — the
+    classic corpus filter (highly repetitive or templated documents
+    compress far below prose; binary-ish noise compresses above it).
+    Quality suites (Gopher, FineWeb) gate on exactly this ratio.
+
+    Runs as Arrow-batched ``mapInPandas`` with stdlib zlib — the honest
+    Python path for a byte-level codec (no column expression can express
+    LZ77), batched so the per-row overhead is pandas-vectorized iteration,
+    not per-row task dispatch. Rows-only: compressed SIZE is stable for a
+    fixed zlib level but not a cross-engine contract; the monotonicity
+    property (repetition ⇒ lower ratio) is pinned in tests.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    d = load(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def _ratio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len).clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "compressed_bytes": comp.astype("int64"),
+                    "ratio": (comp / n).round(6),
+                }
+            )
+
+    return d.mapInPandas(
+        _ratio,
+        "doc_id long, n_bytes long, compressed_bytes long, ratio double",
+    )

@@ -167,3 +167,54 @@ def test_grid_neighbor_pairs_matches_bruteforce(spark, pts, radius):
         if i < j and (x1 - x2) ** 2 + (y1 - y2) ** 2 <= radius * radius
     )
     assert got == want  # every in-radius pair exactly once, incl. boundaries
+
+
+def test_token_budget_waterfill_invariants(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    # skewed sources: two tiny (stay uncapped), two dominant (clipped)
+    rows = (
+        [(i, "tiny_a", 10) for i in range(3)]
+        + [(100 + i, "tiny_b", 20) for i in range(3)]
+        + [(200 + i, "big_a", 1000) for i in range(10)]
+        + [(300 + i, "big_b", 3000) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    path = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(path)
+    import os
+    import shutil
+
+    sfdir = str(tmp_path)
+    shutil.move(path, os.path.join(sfdir, "documents.parquet"))
+    from seoul_big_data_spark.q_advanced import mlprep_token_budget_allocation
+
+    out = {
+        r["source"]: r
+        for r in mlprep_token_budget_allocation(spark, sfdir).collect()
+    }
+    total = sum(n for _, _, n in rows)
+    alloc = sum(r["allocation"] for r in out.values())
+    assert abs(alloc - 0.5 * total) < 1e-6  # sum hits the budget exactly
+    assert out["tiny_a"]["keep_fraction"] == 1.0  # below cap: kept fully
+    assert out["tiny_b"]["keep_fraction"] == 1.0
+    # dominant sources share one common cap
+    assert abs(out["big_a"]["allocation"] - out["big_b"]["allocation"]) < 1e-6
+    assert out["big_b"]["keep_fraction"] < 1.0
+
+
+def test_compression_ratio_monotone(spark, sf_dir):
+    from seoul_big_data_spark.q_advanced import text_compression_ratio
+
+    out = text_compression_ratio(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    again = {r["doc_id"]: r for r in text_compression_ratio(spark, sf_dir).collect()}
+    assert rows.keys() == again.keys()
+    assert all(rows[k]["ratio"] == again[k]["ratio"] for k in rows)  # stable
+    # repetitive text compresses harder than varied text (same formula as
+    # the operator)
+    import zlib
+    r1 = len(zlib.compress(("spam " * 200).encode(), 6)) / len("spam " * 200)
+    varied = " ".join(f"w{i}x{i * 7 % 13}" for i in range(200))
+    r2 = len(zlib.compress(varied.encode(), 6)) / len(varied)
+    assert r1 < r2
