@@ -185,6 +185,9 @@ EXTENDED = [
     "events_forecast_seasonal_naive",
     "mlprep_token_budget_allocation",
     "text_compression_ratio",
+    "pyds_custom_source",
+    "join_lateral_top3_per_customer",
+    "xml_roundtrip_load",
 ]
 
 

@@ -2164,3 +2164,146 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio,
         "doc_id long, n_bytes long, compressed_bytes long, ratio double",
     )
+
+
+@query(
+    "pyds_custom_source",
+    """
+    WITH r AS (
+      SELECT i AS reading_id, CAST(i % 10 AS INTEGER) AS sensor_id,
+             ('0x' || substr(md5('v:' || i), 1, 8))::BIGINT / 4294967296.0e0
+               AS value
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+    )
+    SELECT sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           round(sum(value), 6) AS value_sum,
+           round(min(value), 6) AS value_min,
+           round(max(value), 6) AS value_max
+    FROM r GROUP BY sensor_id
+    """,
+)
+def pyds_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``): the
+    engine's connector surface for systems without a native reader (the
+    reference's Tibero JDBC + OpenAPI collectors). The synthetic sensor
+    source plans 8 ``InputPartition`` ranges — 8 parallel executor-side
+    tasks, no driver loop — and its md5-deterministic rows let the oracle
+    recompute the exact dataset from ``generate_series``, so a
+    user-defined SOURCE is hash-checked end to end, not just rows-counted.
+    """
+    from .session import ensure_package_shipped
+    from .sources.pyds import SyntheticSensorDataSource
+
+    ensure_package_shipped(spark)
+    try:
+        spark.dataSource.register(SyntheticSensorDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    r = (
+        spark.read.format("synthetic_sensors")
+        .option("n", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    return r.groupBy("sensor_id").agg(
+        F.count("*").cast("bigint").alias("n_readings"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+    )
+
+
+@query(
+    "join_lateral_top3_per_customer",
+    """
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 3
+    ) t
+    WHERE c.c_custkey <= 30
+    """,
+)
+def join_lateral_top3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL (correlated) join surface — Spark 4's
+    ``DataFrame.lateralJoin``: for each customer row, the right side is a
+    per-row derived table (its top-3 orders by value) referencing the
+    outer row via ``.outer()`` markers. Completes the join family beside
+    equi/semi/anti/asof/range/interval/spatial.
+
+    The deterministic tie order (price desc, orderkey) is mirrored in the
+    oracle's LATERAL subquery. For fact-scale per-group top-k, the
+    windowed form (`window_topk_per_group`) remains the shuffle-once
+    plan; LATERAL is the expressiveness surface for per-row derived
+    tables that windows cannot state (per-row parameterized logic).
+    """
+    c = load(spark, "customer", sf_dir).filter(F.col("c_custkey") <= 30).select(
+        "c_custkey"
+    )
+    o = load(spark, "orders", sf_dir)
+    per_row = (
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(3)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(per_row).select(
+        "c_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+
+
+@query(
+    "xml_roundtrip_load",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_loaded,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS price_sum
+    FROM orders WHERE o_orderkey % 13 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def xml_roundtrip_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-adjacent source format: native XML sink + scan round trip
+    (Spark 4 ships the spark-xml reader built in — rowTag-based record
+    framing, schema inference off, explicit schema on read). A
+    deterministic orders subset is written as XML and read back; the
+    oracle aggregates the same subset straight from parquet, so the round
+    trip must be lossless. Completes the interchange-format family:
+    parquet, CSV, JSON, ORC, XML, binary payloads, JDBC, and the custom
+    Python DataSource."""
+    import os
+    import tempfile
+
+    o = load(spark, "orders", sf_dir)
+    sample = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), "seoul_xml_roundtrip")
+    (
+        sample.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey long, o_orderpriority string, o_totalprice double")
+        .load(path)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_loaded"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("price_sum"),
+    )

@@ -218,3 +218,31 @@ def test_compression_ratio_monotone(spark, sf_dir):
     varied = " ".join(f"w{i}x{i * 7 % 13}" for i in range(200))
     r2 = len(zlib.compress(varied.encode(), 6)) / len(varied)
     assert r1 < r2
+
+
+def test_custom_datasource_partitions_and_determinism(spark):
+    from seoul_big_data_spark.sources.pyds import SyntheticSensorDataSource
+
+    try:
+        spark.dataSource.register(SyntheticSensorDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("synthetic_sensors")
+        .option("n", 101)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # one task per InputPartition
+    rows = sorted(r["reading_id"] for r in df.collect())
+    assert rows == list(range(101))  # last partition absorbs the remainder
+    a = df.agg({"value": "sum"}).first()[0]
+    b = (
+        spark.read.format("synthetic_sensors")
+        .option("n", 101)
+        .option("partitions", 7)
+        .load()
+        .agg({"value": "sum"})
+        .first()[0]
+    )
+    assert abs(a - b) < 1e-9  # values are a pure function of reading_id
