@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class SyntheticSensorDataSource(DataSource):
@@ -60,3 +65,56 @@ class SyntheticSensorReader(DataSourceReader):
         for i in range(start, end):
             u = int(hashlib.md5(f"v:{i}".encode()).hexdigest()[:8], 16) / 2**32
             yield (i, i % 10, u)
+
+
+class SyntheticSensorStreamDataSource(DataSource):
+    """Streaming twin of :class:`SyntheticSensorDataSource`: the same
+    deterministic readings delivered as micro-batches through
+    ``SimpleDataSourceStreamReader`` — offset = next reading id, so
+    restart/replay (``readBetweenOffsets``) regenerates byte-identical
+    batches, which is exactly the replayable-source contract Structured
+    Streaming's exactly-once model assumes. Bounded by ``n``: the stream
+    idles (empty batches) once all readings are emitted, so
+    ``trigger(availableNow=True)`` drains it and terminates.
+
+    Options: ``n`` total rows (default 1000), ``batch`` rows per
+    micro-batch (default 100)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_sensors_stream"
+
+    def schema(self) -> str:
+        return "reading_id bigint, sensor_id int, value double"
+
+    def simpleStreamReader(self, schema) -> "SyntheticSensorStreamReader":
+        return SyntheticSensorStreamReader(self.options)
+
+
+def _sensor_row(i: int):
+    u = int(hashlib.md5(f"v:{i}".encode()).hexdigest()[:8], 16) / 2**32
+    return (i, i % 10, u)
+
+
+class SyntheticSensorStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.batch = max(int(options.get("batch", 100)), 1)
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = int(start["next"])
+        hi = min(lo + self.batch, self.n)
+        return iter([_sensor_row(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        # deterministic replay: the offset range IS the data (pure function
+        # of reading id) — the property that makes failure recovery exact
+        return iter(
+            [_sensor_row(i) for i in range(int(start["next"]), int(end["next"]))]
+        )
+
+    def commit(self, end) -> None:
+        pass  # nothing external to acknowledge; offsets live in the checkpoint

@@ -246,3 +246,61 @@ def test_custom_datasource_partitions_and_determinism(spark):
         .first()[0]
     )
     assert abs(a - b) < 1e-9  # values are a pure function of reading_id
+
+
+def test_custom_stream_datasource_drains_and_replays(spark, tmp_path):
+    from seoul_big_data_spark.sources.pyds import SyntheticSensorStreamDataSource
+
+    try:
+        spark.dataSource.register(SyntheticSensorStreamDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("synthetic_sensors_stream")
+        .option("n", 57)
+        .option("batch", 10)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) FROM pyds_stream_sink").first()[0] >= 57:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.sql("SELECT reading_id, sensor_id FROM pyds_stream_sink").collect()
+    ids = sorted(r["reading_id"] for r in got)
+    assert ids == list(range(57))  # drained exactly once, no gaps/dups
+    assert all(r["sensor_id"] == r["reading_id"] % 10 for r in got)
+
+
+def test_observe_pipeline_metrics(spark, sf_dir):
+    """df.observe(): in-flight pipeline metrics collected from the SAME
+    pass that computes the result — the Spark-native replacement for the
+    reference's driver-side row counters
+    (data_seoul_2_csv_noopenapi.py:127): no second scan, no accumulator
+    races."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum((F.col("l_quantity") > 25).cast("long")).alias("large_qty_rows"),
+        F.min("l_shipdate").alias("first_ship"),
+    )
+    out = observed.groupBy("l_returnflag").count().collect()
+    n_total = li.count()
+    m = obs.get
+    assert m["rows_seen"] == n_total  # metric saw every row of the one pass
+    assert 0 < m["large_qty_rows"] < n_total
+    assert sum(r["count"] for r in out) == n_total
