@@ -188,6 +188,7 @@ EXTENDED = [
     "pyds_custom_source",
     "join_lateral_top3_per_customer",
     "xml_roundtrip_load",
+    "events_markov_absorbing_conversion",
 ]
 
 

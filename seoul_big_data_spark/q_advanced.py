@@ -2307,3 +2307,98 @@ def xml_roundtrip_load(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2
         ).alias("price_sum"),
     )
+
+
+def _markov_oracle_sql(steps: int = 8) -> str:
+    """Unrolled absorbing-chain oracle: h_{k+1}(s) = [s='purchase'] +
+    (1-[s='purchase'])·Σ_t P(s,t)·h_k(t), expanded one CTE per step (same
+    technique as the PageRank / TextRank oracles)."""
+    base = """
+    WITH seq AS (
+      SELECT user_id, event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t
+      FROM events
+    ), trans AS (
+      SELECT s, t, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE t IS NOT NULL GROUP BY s, t
+    ), p AS (
+      SELECT s, t,
+             CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY s) AS p
+      FROM trans
+    ), states AS (
+      SELECT DISTINCT event_type AS s FROM events
+    ), h0 AS (
+      SELECT s, CASE WHEN s = 'purchase' THEN 1.0e0 ELSE 0.0e0 END AS h
+      FROM states
+    )"""
+    steps_sql = []
+    for k in range(1, steps + 1):
+        steps_sql.append(f""", h{k} AS (
+      SELECT st.s,
+             CASE WHEN st.s = 'purchase' THEN 1.0e0
+                  ELSE coalesce(agg.v, 0.0e0) END AS h
+      FROM states st LEFT JOIN (
+        SELECT p.s, sum(p.p * h.h) AS v
+        FROM p JOIN h{k - 1} h ON h.s = p.t
+        GROUP BY p.s
+      ) agg ON agg.s = st.s
+    )""")
+    return (
+        base
+        + "".join(steps_sql)
+        + f"\n    SELECT s AS start_state, round(h, 6) AS p_convert_within_{steps}"
+        f" FROM h{steps}"
+    )
+
+
+@query("events_markov_absorbing_conversion", _markov_oracle_sql())
+def events_markov_absorbing_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain conversion probability: from each starting event
+    type, the probability of reaching 'purchase' within 8 transitions
+    under the empirical user-journey Markov chain — the model-based
+    complement to the observed funnels (`events_funnel_conversion`) and
+    the transition matrix (`events_type_transition_matrix`).
+
+    The chain estimate is one lead-window pass + a row-normalized count
+    matrix (|types|² rows); the hitting probability is 8 fixed-point
+    iterations over a |types|-row vector — tiny joins, localCheckpoint
+    per step to keep plans constant-size (same discipline as PageRank).
+    The oracle unrolls the identical iteration; round(6) on both sides.
+    """
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    trans = seq.groupBy("s", "t").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("s")
+    p = trans.select(
+        "s", "t", (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p")
+    ).localCheckpoint()
+    states = ev.select(F.col("event_type").alias("s")).distinct().localCheckpoint()
+    h = states.select(
+        "s",
+        F.when(F.col("s") == "purchase", F.lit(1.0)).otherwise(0.0).alias("h"),
+    ).localCheckpoint()
+    for _ in range(8):
+        agg = (
+            p.join(h.select(F.col("s").alias("t"), "h"), "t")
+            .groupBy("s")
+            .agg(F.sum(F.col("p") * F.col("h")).alias("v"))
+        )
+        h = (
+            states.join(agg, "s", "left")
+            .select(
+                "s",
+                F.when(F.col("s") == "purchase", F.lit(1.0))
+                .otherwise(F.coalesce(F.col("v"), F.lit(0.0)))
+                .alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return h.select(
+        F.col("s").alias("start_state"),
+        F.round("h", 6).alias("p_convert_within_8"),
+    )
