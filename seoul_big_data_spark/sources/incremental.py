@@ -65,3 +65,82 @@ def commit_files(manifest_path: str, files: list[str]) -> None:
     with open(tmp, "w") as fh:
         json.dump({"processed": sorted(done)}, fh)
     os.replace(tmp, manifest_path)
+
+
+# --- versioned manifests: snapshot isolation + time travel -------------------
+
+
+def commit_files_versioned(manifest_dir: str, files: list[str]) -> int:
+    """Delta/Iceberg-style versioned commit: each batch writes a NEW
+    numbered manifest (``manifest-00000N.json``) holding the full
+    processed-file snapshot, committed via atomic rename. Old manifests
+    are never mutated, so every historical snapshot stays readable —
+    time travel falls out of the commit protocol for free. Returns the
+    committed version number.
+
+    The version counter is the manifest listing itself (max + 1): no
+    separate counter file to race with, and a crash before the rename
+    publishes nothing."""
+    os.makedirs(manifest_dir, exist_ok=True)
+    versions = sorted(_list_versions(manifest_dir))
+    prev = versions[-1] if versions else None
+    done = set(_read_snapshot(manifest_dir, prev)) if prev is not None else set()
+    done.update(files)
+    version = (prev + 1) if prev is not None else 0
+    path = os.path.join(manifest_dir, f"manifest-{version:06d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "processed": sorted(done)}, fh)
+    os.replace(tmp, path)
+    return version
+
+
+def _list_versions(manifest_dir: str) -> list[int]:
+    if not os.path.isdir(manifest_dir):
+        return []
+    out = []
+    for f in os.listdir(manifest_dir):
+        if f.startswith("manifest-") and f.endswith(".json"):
+            out.append(int(f[len("manifest-"):-len(".json")]))
+    return out
+
+
+def _read_snapshot(manifest_dir: str, version: int) -> list[str]:
+    path = os.path.join(manifest_dir, f"manifest-{version:06d}.json")
+    with open(path) as fh:
+        return json.load(fh)["processed"]
+
+
+def read_as_of(
+    spark: SparkSession, manifest_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """Time-travel read: the table AS OF a manifest version (default:
+    latest). Returns None for an empty snapshot. Because manifests are
+    immutable full snapshots, a historical read is exactly the file list
+    that version committed — no tombstone reconciliation needed."""
+    versions = _list_versions(manifest_dir)
+    if not versions:
+        return None
+    v = max(versions) if version is None else version
+    if v not in versions:
+        raise ValueError(f"no manifest version {v}; have {sorted(versions)}")
+    files = _read_snapshot(manifest_dir, v)
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
+def list_new_files_versioned(
+    data_dir: str, manifest_dir: str, suffix: str = ".parquet"
+) -> list[str]:
+    """Versioned twin of :func:`list_new_files`: subtract the LATEST
+    snapshot."""
+    versions = _list_versions(manifest_dir)
+    done = (
+        set(_read_snapshot(manifest_dir, max(versions))) if versions else set()
+    )
+    return sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(suffix) and os.path.join(data_dir, f) not in done
+    )

@@ -67,3 +67,46 @@ def test_crash_before_commit_replays_batch(spark, tmp_path):
     assert not os.path.exists(manifest + ".tmp")
     with open(manifest) as fh:
         assert json.load(fh)["processed"] == sorted(files)
+
+
+def test_versioned_manifest_time_travel(spark, tmp_path):
+    from seoul_big_data_spark.sources.incremental import (
+        commit_files_versioned,
+        list_new_files_versioned,
+        read_as_of,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    mdir = str(tmp_path / "_manifests")
+
+    def drop_batch(name, ids):
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        p = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        import glob
+        import shutil
+
+        src = glob.glob(p + "/part-*.parquet")[0]
+        shutil.copy(src, str(land / f"{name}.parquet"))
+
+    drop_batch("b0", range(0, 5))
+    v0 = commit_files_versioned(mdir, list_new_files_versioned(str(land), mdir))
+    drop_batch("b1", range(5, 12))
+    v1 = commit_files_versioned(mdir, list_new_files_versioned(str(land), mdir))
+    drop_batch("b2", range(12, 14))
+    v2 = commit_files_versioned(mdir, list_new_files_versioned(str(land), mdir))
+
+    assert (v0, v1, v2) == (0, 1, 2)
+    # latest sees everything; historical versions see exactly their snapshot
+    assert read_as_of(spark, mdir).count() == 14
+    assert sorted(
+        r["id"] for r in read_as_of(spark, mdir, version=0).collect()
+    ) == list(range(5))
+    assert read_as_of(spark, mdir, version=1).count() == 12
+    # nothing new after a commit -> next snapshot would be a no-op batch
+    assert list_new_files_versioned(str(land), mdir) == []
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        read_as_of(spark, mdir, version=9)
