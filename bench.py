@@ -189,6 +189,7 @@ EXTENDED = [
     "join_lateral_top3_per_customer",
     "xml_roundtrip_load",
     "events_markov_absorbing_conversion",
+    "dedup_jaccard_prefix_filter",
 ]
 
 

@@ -555,3 +555,114 @@ def incremental_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_new", "id_old", "jaccard")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """N2 — exact Jaccard pairs via PREFIX FILTERING (All-Pairs / PPJoin
+    candidate generation; Bayardo et al. WWW'07, Xiao et al. WWW'08).
+
+    Same semantics as ``ngram_jaccard_pairs`` — every (id_a < id_b) pair
+    with shingle-Jaccard ≥ threshold — but a fundamentally cheaper physical
+    plan at scale. The classic inverted-index self-join generates a
+    candidate for EVERY shared shingle; prefix filtering exploits a global
+    rarity order: sort each document's shingles by ascending document
+    frequency and keep only its first ``n - ceil(t*n) + 1`` (the "prefix").
+    Two sets with Jaccard ≥ t must share at least one PREFIX shingle (if
+    all shared shingles sat beyond both prefixes, the intersection would be
+    < ceil(t*n) on both sides — below what J ≥ t requires, since
+    J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|)). So joining on prefix
+    shingles alone is LOSSLESS, and prefixes are by construction each
+    document's RAREST shingles — exactly the ones with the fewest postings,
+    so the join fan-out collapses (the frequent shingles that dominate the
+    classic join's O(df²) pair blow-up never enter it).
+
+    Threshold arithmetic is exact: t is taken as a rational num/den and
+    every boundary comparison (prefix length, length filter, final Jaccard
+    test) is integer-only — no float-rounding can drop a boundary pair.
+
+    Stages (one persisted shingle scan feeds all consumers):
+      1. distinct (id, shingle) + global shingle df        — 1 shuffle
+      2. per-doc rank by (df, shingle), keep prefix        — doc-local window
+      3. prefix self-join on shingle + length filter
+         (min·den ≥ num·max, since J ≤ min/max)            — join on RARE keys
+      4. verify candidates against full sorted shingle
+         arrays: n_common = |array_intersect|, integer
+         Jaccard test n_common·den ≥ num·(na+nb−n_common)
+
+    Returns (id_a, id_b, jaccard) — identical to ``ngram_jaccard_pairs``,
+    which serves as its oracle twin.
+    """
+    from fractions import Fraction
+    from pyspark import StorageLevel
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("shingle"),
+        )
+        # One scan of the tokenize→shingle→explode subtree serves the df
+        # table, the prefix ranking, and the verification arrays.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    w_doc = Window.partitionBy("id").orderBy("sdf", "shingle")
+    ranked = (
+        sh.join(sdf, "shingle")
+        .withColumn("n", F.count("*").over(Window.partitionBy("id")))
+        .withColumn("pos", F.row_number().over(w_doc))
+    )
+    # prefix length = n - ceil(t*n) + 1, with ceil(num*n/den) as exact
+    # integer floordiv((num*n + den - 1), den) — DIV keeps it in longs.
+    prefix = ranked.filter(
+        F.col("pos") <= F.expr(f"n - ({num} * n + {den} - 1) DIV {den} + 1")
+    ).select("id", "shingle", "n")
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("shingle").alias("shingle"), F.col("n").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("shingle").alias("shingle"), F.col("n").alias("n_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J ≤ min/max, so J ≥ t needs min*den ≥ num*max.
+        .filter(
+            F.least("n_a", "n_b") * den >= F.greatest("n_a", "n_b") * num
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    docsets = sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("ss"),
+        F.count("*").alias("n_sh"),
+    )
+    da = docsets.select(
+        F.col("id").alias("id_a"), F.col("ss").alias("ss_a"), F.col("n_sh").alias("na")
+    )
+    db = docsets.select(
+        F.col("id").alias("id_b"), F.col("ss").alias("ss_b"), F.col("n_sh").alias("nb")
+    )
+    verified = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("ss_a", "ss_b")))
+        .filter(
+            F.col("n_common") * den
+            >= num * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified

@@ -1479,3 +1479,49 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("te").cast("bigint").alias("n_tokens_en"),
         F.max("tz").cast("bigint").alias("n_tokens_zh"),
     )
+
+
+@query(
+    "dedup_jaccard_prefix_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 10 >= 3 * (sa.n_sh + sb.n_sh - n_common)
+    """,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — the SAME exact-Jaccard contract as `dedup_ngram_jaccard`
+    (3-shingles, t=0.3) through the prefix-filtering candidate generator
+    (operators/dedup.py::prefix_filter_jaccard_pairs; All-Pairs/PPJoin,
+    public algorithms). The oracle is the full inverted-index self-join —
+    prefix filtering is lossless, so the outputs must be identical; the
+    physical plan joins only on each document's rarest shingles instead of
+    all of them. The oracle's threshold test is integer arithmetic
+    (n_common*10 >= 3*union) to mirror the operator's exact rational
+    boundary (a float `>= 0.3` can disagree on boundary pairs)."""
+    d = load(spark, "documents", sf_dir)
+    out = dedup.prefix_filter_jaccard_pairs(d, k_shingle=3, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -224,3 +224,107 @@ def test_incremental_jaccard_matches_full_pair_subset(spark, sf_dir):
             want.add((r["id_b"], r["id_a"], round(r["jaccard"], 6)))
     assert got == want
     assert all(n % 5 == 0 and o % 5 != 0 for n, o, _ in got)
+
+
+def test_prefix_filter_jaccard_equals_exact(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: pairs from
+    prefix_filter_jaccard_pairs must equal ngram_jaccard_pairs exactly
+    (same threshold, same shingling) — the whole point of the All-Pairs
+    candidate generator is identical output with far fewer candidates."""
+    d = load(spark, "documents", sf_dir)
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.prefix_filter_jaccard_pairs(
+            d, k_shingle=3, threshold=0.3
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.3).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_prefix_filter_jaccard_property_random(spark):
+    """Adversarial small corpora (tiny vocab → heavy overlap; includes
+    threshold-boundary pairs) — prefix-filter output must equal a pure
+    Python brute force at several thresholds, including ones whose
+    rational form exercises the integer boundary arithmetic."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = ["w%d" % i for i in range(12)]
+    for t in (0.3, 0.5, 0.8):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def sh3(text):
+            toks = text.lower().split()
+            if len(toks) <= 3:
+                return {" ".join(toks)}
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        want = set()
+        sets = {i: sh3(tx) for i, tx in rows}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            # same exact rational boundary the operator uses
+            num, den = {0.3: (3, 10), 0.5: (1, 2), 0.8: (4, 5)}[t]
+            if union and inter * den >= num * union:
+                want.add((a, b))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.prefix_filter_jaccard_pairs(
+                df, k_shingle=3, threshold=t
+            ).collect()
+        }
+        assert got == want, f"threshold {t}"
+
+
+def test_prefix_filter_candidates_fewer_than_inverted_join(spark, sf_dir):
+    """The efficiency claim, measured: candidate pairs generated from
+    prefix shingles must be a strict subset of (and materially fewer than)
+    the full inverted-index join's shared-shingle pairs."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, "documents", sf_dir)
+    from seoul_big_data_spark.functions.text import shingles
+
+    sh = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(shingles("text", 3))).alias("shingle"),
+    )
+    full_pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .count()
+    )
+    sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    ranked = (
+        sh.join(sdf, "shingle")
+        .withColumn("n", F.count("*").over(W.partitionBy("id")))
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("id").orderBy("sdf", "shingle")),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.expr("n - (3 * n + 9) DIV 10 + 1")
+    )
+    cand_pairs = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .count()
+    )
+    assert cand_pairs < full_pairs
