@@ -190,6 +190,10 @@ EXTENDED = [
     "xml_roundtrip_load",
     "events_markov_absorbing_conversion",
     "dedup_jaccard_prefix_filter",
+    "recsys_item_item_cosine",
+    "search_phrase_match",
+    "stats_mann_whitney_u",
+    "stats_theil_sen_slope",
 ]
 
 

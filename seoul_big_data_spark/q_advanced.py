@@ -2402,3 +2402,176 @@ def events_markov_absorbing_conversion(spark: SparkSession, sf_dir: str) -> Data
         F.col("s").alias("start_state"),
         F.round("h", 6).alias("p_convert_within_8"),
     )
+
+
+@query(
+    "stats_mann_whitney_u",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS g, l_quantity AS v,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na_v,
+             CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb_v
+      FROM lineitem
+      WHERE l_linestatus IN ('O', 'F')
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT g, v, na_v, nb_v, na_v + nb_v AS t,
+             2 * coalesce(sum(na_v + nb_v) OVER (
+                   PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (na_v + nb_v) + 1 AS r2
+      FROM cells
+    ), s AS (
+      SELECT g,
+             CAST(sum(na_v) AS BIGINT)          AS na,
+             CAST(sum(nb_v) AS BIGINT)          AS nb,
+             CAST(sum(na_v * r2) AS BIGINT)     AS ra2,
+             CAST(sum(t * t * t - t) AS BIGINT) AS ties
+      FROM ranked GROUP BY g
+    )
+    SELECT g AS l_returnflag, na AS n_o, nb AS n_f,
+           (CAST(ra2 AS DOUBLE) - na * (na + 1)) / 2 AS u_stat,
+           round(((CAST(ra2 AS DOUBLE) - na * (na + 1)) / 2
+                  - CAST(na AS DOUBLE) * nb / 2)
+                 / sqrt(CAST(na AS DOUBLE) * nb / 12
+                        * ((na + nb + 1)
+                           - CAST(ties AS DOUBLE)
+                             / ((na + nb) * (na + nb - 1.0)))),
+                 6) AS z_score
+    FROM s
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (per return flag: quantity distribution
+    of open vs fulfilled lines) with midrank tie handling and the tie-
+    corrected normal approximation — the nonparametric two-sample location
+    test beside the parametric z-test (`events_ab_test_ztest`) and the KS
+    distribution test (`stats_ks_two_sample`).
+
+    The textbook form ranks every row of the pooled sample — a global
+    sort. The variable is low-cardinality, so ranks come from the pooled
+    per-value marginals instead (same reduction as `stats_spearman_rho`):
+    doubled midranks off a window over the value-cardinality cell table,
+    never the fact. Every sum (rank sums, tie term Σ(t³−t)) is exact
+    BIGINT; only the final U/z combination is floating point — identical
+    on both engines, round(6)."""
+    li = load(spark, "lineitem", sf_dir).filter(
+        F.col("l_linestatus").isin("O", "F")
+    )
+    cells = (
+        li.groupBy(
+            F.col("l_returnflag").alias("g"), F.col("l_quantity").alias("v")
+        )
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+            .cast("bigint")
+            .alias("na_v"),
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("nb_v"),
+        )
+    )
+    w_prev = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = F.col("na_v") + F.col("nb_v")
+    ranked = cells.select(
+        "g",
+        "na_v",
+        "nb_v",
+        t.alias("t"),
+        (2 * F.coalesce(F.sum(t).over(w_prev), F.lit(0)) + t + 1).alias("r2"),
+    )
+    s = ranked.groupBy("g").agg(
+        F.sum("na_v").cast("bigint").alias("na"),
+        F.sum("nb_v").cast("bigint").alias("nb"),
+        F.sum(F.col("na_v") * F.col("r2")).cast("bigint").alias("ra2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    na, nb, ra2, ties = (F.col(c) for c in ("na", "nb", "ra2", "ties"))
+    u = (ra2.cast("double") - na * (na + 1)) / 2
+    mu = na.cast("double") * nb / 2
+    n = na + nb
+    var = (
+        na.cast("double")
+        * nb
+        / 12
+        * ((n + 1) - ties.cast("double") / (n * (n - F.lit(1.0))))
+    )
+    return s.select(
+        F.col("g").alias("l_returnflag"),
+        na.alias("n_o"),
+        nb.alias("n_f"),
+        u.alias("u_stat"),
+        F.round((u - mu) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+@query(
+    "stats_theil_sen_slope",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM lineitem GROUP BY 1
+    ), slopes AS (
+      SELECT (b.rev - a.rev) / (b.day - a.day) AS slope
+      FROM daily a JOIN daily b ON a.day < b.day
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT)  AS n_days,
+           CAST(count(*) AS BIGINT)                      AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6)           AS theil_sen_slope
+    FROM slopes
+    """,
+)
+def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over daily revenue: the median of
+    all pairwise slopes — outlier-resistant where OLS
+    (`stats_ols_price_vs_qty`) is not (breakdown point 29%).
+
+    The all-pairs slope set is quadratic ONLY in the number of days: the
+    fact collapses to a date-keyed aggregate first (one shuffle,
+    exact-decimal sums so the day values are engine-identical), and the
+    self-join runs on that calendar-sized table — at 100 TB the pair count
+    is still (|days| choose 2), independent of fact rows. Median via exact
+    interpolated percentile (both engines use the 1 + p·(n−1) rank
+    definition); day numbers and pair counts are exact integers, slopes
+    derive from exact decimals, so round(6) pins the result."""
+    li = load(spark, "lineitem", sf_dir)
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .select(
+            F.datediff(F.col("d"), F.lit("1992-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day"),
+            "rev",
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev")) / (F.col("b.day") - F.col("a.day"))
+        ).alias("slope")
+    )
+    n_days = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        slopes.agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "theil_sen_slope")
+    )

@@ -465,6 +465,7 @@ from . import q_mlprep  # noqa: E402,F401  (corpus hygiene: repetition, contamin
 from . import sql_interface  # noqa: E402,F401  (ad-hoc SQL surface, shared-dialect parity)
 from . import q_sketches  # noqa: E402,F401  (portable Count-Min / Bloom sketches)
 from . import q_advanced  # noqa: E402,F401  (skyline, survival, CUSUM, encoders, A-ES sampling, SNM blocking)
+from . import q_recsys  # noqa: E402,F401  (item-item collaborative filtering, phrase search)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's correctness gate runs queries in
