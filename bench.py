@@ -194,6 +194,8 @@ EXTENDED = [
     "search_phrase_match",
     "stats_mann_whitney_u",
     "stats_theil_sen_slope",
+    "agg_mean_family",
+    "agg_bottomk_sample_quantiles",
 ]
 
 

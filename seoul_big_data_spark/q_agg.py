@@ -646,3 +646,73 @@ def agg_filtered_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 6
         ).alias("avg_qty_finished"),
     )
+
+
+@query(
+    "agg_mean_family",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS g, l_quantity AS v, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), bounds AS (
+      SELECT l_returnflag AS g,
+             quantile_cont(l_quantity, 0.1) AS lo,
+             quantile_cont(l_quantity, 0.9) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT c.g AS l_returnflag,
+           round(sum(c.v * c.n) * 1.0 / sum(c.n), 6)        AS mean_arith,
+           round(exp(sum(ln(c.v) * c.n) / sum(c.n)), 6)     AS mean_geom,
+           round(sum(c.n) * 1.0 / sum(c.n * 1.0 / c.v), 6)  AS mean_harm,
+           round(sum(CASE WHEN c.v >= b.lo AND c.v <= b.hi
+                          THEN c.v * c.n ELSE 0 END) * 1.0
+                 / sum(CASE WHEN c.v >= b.lo AND c.v <= b.hi
+                            THEN c.n ELSE 0 END), 6)        AS mean_trimmed
+    FROM cells c JOIN bounds b ON b.g = c.g
+    GROUP BY c.g
+    """,
+)
+def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pythagorean + trimmed means per group (arithmetic, geometric,
+    harmonic, 10%-trimmed) — the summary-statistics family beside moments
+    (`agg_moments_builtin`) and exact percentiles.
+
+    All four reduce through the VALUE-CARDINALITY cell table (l_quantity
+    has ≤ 50 distinct values): one hash aggregate over the fact, then the
+    log/reciprocal sums run over ≤ 50 cells with exact integer weights —
+    the floating-point terms are per-cell deterministic products, so
+    cross-engine summation-order ulps are bounded by cell count, not fact
+    rows (round(6) absorbs them). Trim bounds are exact interpolated
+    percentiles (engine-identical, see `agg_percentile_exact`) joined back
+    onto the cells — the fact is scanned once."""
+    li = load(spark, "lineitem", sf_dir)
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("g"), F.col("l_quantity").alias("v")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    bounds = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.expr("percentile(l_quantity, 0.1)").alias("lo"),
+        F.expr("percentile(l_quantity, 0.9)").alias("hi"),
+    )
+    in_trim = (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    return (
+        cells.join(bounds, "g")
+        .groupBy("g")
+        .agg(
+            F.round(
+                F.sum(F.col("v") * F.col("n")) / F.sum("n"), 6
+            ).alias("mean_arith"),
+            F.round(
+                F.exp(F.sum(F.log(F.col("v")) * F.col("n")) / F.sum("n")), 6
+            ).alias("mean_geom"),
+            F.round(
+                F.sum("n") / F.sum(F.col("n") / F.col("v")), 6
+            ).alias("mean_harm"),
+            F.round(
+                F.sum(F.when(in_trim, F.col("v") * F.col("n")).otherwise(0))
+                / F.sum(F.when(in_trim, F.col("n")).otherwise(0)),
+                6,
+            ).alias("mean_trimmed"),
+        )
+        .select(F.col("g").alias("l_returnflag"), "mean_arith", "mean_geom",
+                "mean_harm", "mean_trimmed")
+    )

@@ -498,3 +498,83 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+@query(
+    "agg_bottomk_sample_quantiles",
+    """
+    WITH ranked AS (
+      SELECT l_extendedprice AS v,
+             md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                 CAST(l_linenumber AS VARCHAR)) AS r
+      FROM lineitem
+    ), sample AS (
+      SELECT v FROM ranked ORDER BY r ASC LIMIT 1000
+    ), est AS (
+      SELECT quantile_cont(v, 0.5) AS p50_est,
+             quantile_cont(v, 0.9) AS p90_est,
+             CAST(count(*) AS BIGINT) AS k
+      FROM sample
+    ), truth AS (
+      SELECT quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+             quantile_cont(l_extendedprice, 0.9) AS p90_exact
+      FROM lineitem
+    )
+    SELECT k,
+           round(p50_est, 2)   AS p50_est,
+           round(p90_est, 2)   AS p90_est,
+           round(p50_exact, 2) AS p50_exact,
+           round(p90_exact, 2) AS p90_exact,
+           round(abs(p50_est - p50_exact) / p50_exact, 4) AS p50_rel_err,
+           round(abs(p90_est - p90_exact) / p90_exact, 4) AS p90_rel_err
+    FROM est, truth
+    """,
+)
+def agg_bottomk_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sample quantile sketch: estimate percentiles from the k
+    rows with the smallest md5 rank — a deterministic, MERGEABLE uniform
+    sample (the bottom-k of a union is the bottom-k of the per-partition
+    bottom-k's, the same algebra as the KMV distinct sketch in
+    `agg_kmv_theta_setops`).
+
+    Scale shape: Spark plans orderBy(rank).limit(k) as
+    TakeOrderedAndProject — each partition keeps its local top-k and only
+    k·n_partitions rows reach the driver-side merge, never a global sort.
+    The md5 rank is engine-portable, so DuckDB draws the IDENTICAL sample
+    and the estimates match exactly, with exact-percentile truth and
+    relative error pinned beside (honesty columns: the sketch's error is
+    part of the contract, same convention as the HLL/KMV queries)."""
+    li = load(spark, "lineitem", sf_dir)
+    ranked = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("r"),
+    )
+    sample = ranked.orderBy("r").limit(1000)
+    est = sample.agg(
+        F.expr("percentile(v, 0.5)").alias("p50_est"),
+        F.expr("percentile(v, 0.9)").alias("p90_est"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    truth = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_exact"),
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        "k",
+        F.round("p50_est", 2).alias("p50_est"),
+        F.round("p90_est", 2).alias("p90_est"),
+        F.round("p50_exact", 2).alias("p50_exact"),
+        F.round("p90_exact", 2).alias("p90_exact"),
+        F.round(
+            F.abs(F.col("p50_est") - F.col("p50_exact")) / F.col("p50_exact"), 4
+        ).alias("p50_rel_err"),
+        F.round(
+            F.abs(F.col("p90_est") - F.col("p90_exact")) / F.col("p90_exact"), 4
+        ).alias("p90_rel_err"),
+    )
