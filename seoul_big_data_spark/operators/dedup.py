@@ -614,10 +614,15 @@ def prefix_filter_jaccard_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    docsets = sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("ss"),
+        F.count("*").alias("n_sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # reused: sizes + both verify sides
+    sizes = docsets.select("id", F.col("n_sh").alias("n"))
     w_doc = Window.partitionBy("id").orderBy("sdf", "shingle")
     ranked = (
         sh.join(sdf, "shingle")
-        .withColumn("n", F.count("*").over(Window.partitionBy("id")))
+        .join(sizes, "id")  # doc sizes from the aggregate, not a 2nd window
         .withColumn("pos", F.row_number().over(w_doc))
     )
     # prefix length = n - ceil(t*n) + 1, with ceil(num*n/den) as exact
@@ -640,10 +645,6 @@ def prefix_filter_jaccard_pairs(
         )
         .select("id_a", "id_b")
         .distinct()
-    )
-    docsets = sh.groupBy("id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("ss"),
-        F.count("*").alias("n_sh"),
     )
     da = docsets.select(
         F.col("id").alias("id_a"), F.col("ss").alias("ss_a"), F.col("n_sh").alias("na")

@@ -258,3 +258,64 @@ def label_centroid(
     for r in rows:
         out[r["i"]] = float(r["cx"])
     return out
+
+
+def brute_force_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k with Arrow-batched BLAS scoring — the fast twin
+    of ``brute_force_topk`` for when the probe set is catalog-sized.
+
+    The expression-based form evaluates the dot product as a per-element
+    higher-order function — correct, engine-native, but interpreted (HOFs
+    sit outside whole-stage codegen). Here the (|Q|×dim) probe matrix rides
+    the closure (same catalog-sized-state convention as IVF centroids and
+    PQ codebooks) and every corpus batch scores against ALL probes with one
+    ``C @ Q.T`` matmul — the 10-100x Arrow/numpy win the PQ kernels
+    already use. The corpus still streams exactly once, nothing
+    corpus-sized is collected, and ranking/tie-breaks stay identical to
+    ``brute_force_topk`` (score desc, neighbor_id asc).
+    """
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()  # |Q| × dim only
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(cm, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            s = (cm / norms) @ qm.T  # (batch × |Q|) in one BLAS call
+            nb = pdf["neighbor_id"].to_numpy()
+            b, nq = s.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, b),
+                    "neighbor_id": np.repeat(nb, nq),
+                    "score": s.ravel(),
+                }
+            )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.mapInPandas(
+        _score, schema="query_id long, neighbor_id long, score double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )

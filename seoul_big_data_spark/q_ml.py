@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 from .functions.vector import cosine, dot, norm
 from .operators.ivf import ivf_topk, kmeans_fit, semantic_dedup_pairs
 from .operators.pq import pq_decode, pq_encode, pq_fit
-from .operators.similarity import brute_force_topk, lsh_topk
+from .operators.similarity import brute_force_topk, brute_force_topk_np, lsh_topk
 from .registry import query
 from .sources.tables import load
 
@@ -658,8 +658,9 @@ def similarity_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (if labels aren't recoverable from neighbors, the embedding space is
     noise).
 
-    Probes broadcast, corpus streams once through
-    ``operators/similarity.py::brute_force_topk``; the vote is a per-query
+    Probes ride the scoring closure as a matrix, corpus streams once
+    through ``operators/similarity.py::brute_force_topk_np`` (one BLAS
+    matmul per Arrow batch); the vote is a per-query
     aggregate over k rows with deterministic tie-breaks (count desc, then
     smallest label — mirrored in the oracle). Label lookup joins the
     corpus-sized id→label table as a broadcast. At scale the probe side
@@ -675,7 +676,7 @@ def similarity_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(_SL.MEMORY_AND_DISK)
     )
     probes = emb.filter(F.col("vec_id") < 100)
-    top5 = brute_force_topk(emb, probes, k=5)
+    top5 = brute_force_topk_np(emb, probes, k=5)
     labels = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
     )

@@ -1509,12 +1509,12 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_common * 10 >= 3 * (sa.n_sh + sb.n_sh - n_common)
+    WHERE n_common * 5 >= 4 * (sa.n_sh + sb.n_sh - n_common)
     """,
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N2 — the SAME exact-Jaccard contract as `dedup_ngram_jaccard`
-    (3-shingles, t=0.3) through the prefix-filtering candidate generator
+    """N2 — the exact-Jaccard contract (3-shingles, t=0.8 — the near-dup
+    regime where prefixes are short) through the prefix-filtering generator
     (operators/dedup.py::prefix_filter_jaccard_pairs; All-Pairs/PPJoin,
     public algorithms). The oracle is the full inverted-index self-join —
     prefix filtering is lossless, so the outputs must be identical; the
@@ -1523,5 +1523,5 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_common*10 >= 3*union) to mirror the operator's exact rational
     boundary (a float `>= 0.3` can disagree on boundary pairs)."""
     d = load(spark, "documents", sf_dir)
-    out = dedup.prefix_filter_jaccard_pairs(d, k_shingle=3, threshold=0.3)
+    out = dedup.prefix_filter_jaccard_pairs(d, k_shingle=3, threshold=0.8)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

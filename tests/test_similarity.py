@@ -174,3 +174,26 @@ def test_mmr_rerank_matches_reference_greedy(spark, sf_dir):
     assert [i for (_, i, _, _) in got] == [int(pool_ids[s]) for s in sel]
     # first pick is the most relevant candidate by construction
     assert got[0][1] == int(pool_ids[0])
+
+
+def test_brute_force_topk_np_matches_expression_form(spark, sf_dir):
+    """The BLAS-batched scorer must reproduce the expression-based
+    brute-force top-k exactly: same neighbors, same ranks (tie-breaks are
+    score desc then neighbor_id asc on both paths)."""
+    from seoul_big_data_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_np,
+    )
+    from seoul_big_data_spark.sources.tables import load
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 20)
+    want = {
+        (r["query_id"], r["rk"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["rk"], r["neighbor_id"])
+        for r in brute_force_topk_np(emb, probes, k=5).collect()
+    }
+    assert got == want and len(got) == 20 * 5
