@@ -724,11 +724,18 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
+    import numpy as np
+
     from .session import ensure_package_shipped
-    from .sources.multimodal import encode_bmp, perceptual_hash
+    from .sources.multimodal import encode_bmp_array, perceptual_hash
 
     ensure_package_shipped(spark)
     d = load(spark, "documents", sf_dir).select("doc_id", "text")
+
+    # channel index maps are render-constants: pixel (x, y) reads
+    # hist[(y*16+x + off) % 26] for offsets (0, 7, 13)
+    _i = np.arange(256)
+    _CH = np.stack([(_i + off) % 26 for off in (0, 7, 13)], axis=1)  # 256×3
 
     def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -738,20 +745,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = max(len(t), 1)
                 # letter frequency per mille, quantized to 32 levels — the
                 # content signature the image carries
-                hist = [
-                    min((t.count(chr(97 + c)) * 1000 // n) // 8, 31) * 8
-                    for c in range(26)
-                ]
-
-                def pix(x, y, hist=hist):
-                    i = y * 16 + x
-                    return (
-                        hist[i % 26],
-                        hist[(i + 7) % 26],
-                        hist[(i + 13) % 26],
-                    )
-
-                payloads.append(bytearray(encode_bmp(16, 16, pix)))
+                hist = np.array(
+                    [
+                        min((t.count(chr(97 + c)) * 1000 // n) // 8, 31) * 8
+                        for c in range(26)
+                    ],
+                    dtype=np.uint8,
+                )
+                arr = hist[_CH].reshape(16, 16, 3)  # one gather, no pix() loop
+                payloads.append(bytearray(encode_bmp_array(arr)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     blobs = d.mapInPandas(_render, schema="doc_id bigint, payload binary")

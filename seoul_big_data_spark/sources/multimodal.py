@@ -191,6 +191,31 @@ def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
     return header + bytes(body)
 
 
+def encode_bmp_array(arr) -> bytes:
+    """Vectorized 24-bit BMP writer: ``arr`` is (height, width, 3) uint8 in
+    RGB, y=0 at top. Byte-identical to ``encode_bmp`` with the equivalent
+    pixel function (pinned in tests), but the pixel sweep is one numpy
+    slice-reverse + reshape instead of a per-pixel Python callback — the
+    same frombuffer/reshape treatment the decoders got."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    bgr = arr[::-1, :, ::-1].reshape(h, row_bytes)  # bottom-up rows, BGR
+    if stride != row_bytes:
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, :row_bytes] = bgr
+        body = padded.tobytes()
+    else:
+        body = np.ascontiguousarray(bgr).tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + body
+
+
 def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas decode stage: (doc_id, payload binary) → typed metadata +
     content statistics. Arrow moves each partition's batch into pandas once;

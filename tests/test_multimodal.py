@@ -239,3 +239,25 @@ def test_decode_bmp_pixels_roundtrip(spark):
     assert tuple(px[0, 2]) == (b, g, r)
     r, g, b = pix(4, 0)
     assert tuple(px[3, 4]) == (b, g, r)
+
+
+def test_encode_bmp_array_byte_identical_to_callback_form():
+    """encode_bmp_array must be byte-for-byte the encode_bmp output for the
+    same pixel function — including bottom-up row order, BGR byte order,
+    and row padding (a 3-wide image forces a non-trivial stride)."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        encode_bmp,
+        encode_bmp_array,
+    )
+
+    for w, h in ((16, 16), (3, 5), (1, 1)):
+        rng = np.random.default_rng(42)
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+        def pix(x, y, arr=arr):
+            r, g, b = arr[y, x]
+            return int(r), int(g), int(b)
+
+        assert encode_bmp_array(arr) == encode_bmp(w, h, pix), (w, h)
