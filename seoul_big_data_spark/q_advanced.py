@@ -2542,6 +2542,8 @@ def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated percentile (both engines use the 1 + p·(n−1) rank
     definition); day numbers and pair counts are exact integers, slopes
     derive from exact decimals, so round(6) pins the result."""
+    from pyspark import StorageLevel
+
     li = load(spark, "lineitem", sf_dir)
     daily = (
         li.groupBy(F.to_date("l_shipdate").alias("d"))
@@ -2556,6 +2558,9 @@ def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day"),
             "rev",
         )
+        # three consumers (both self-join sides + n_days) read the
+        # calendar-sized reduction, not the fact: one lineitem scan total
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = daily.alias("a")
     b = daily.alias("b")
