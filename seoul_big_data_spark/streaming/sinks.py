@@ -190,3 +190,50 @@ def rollup_merge_fn(state_path: str, keys: list[str], value_col: str = "value"):
         shutil.rmtree(old, ignore_errors=True)
 
     return _merge
+
+
+def clicks_left_outer_attribution(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    join_key: str = "user_id",
+    max_delay: str = "30 minutes",
+    wm: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: every click emits, with
+    its attributed impression where one exists and NULLs where none does —
+    the "unattributed traffic" feed an ads pipeline needs beside the inner
+    match (``enriched_stream_stream_join``).
+
+    The outer semantics are only well-defined BECAUSE of the watermark +
+    interval bound: a click can be declared unmatched (NULL impression)
+    only once the watermark has passed its entire candidate window, i.e.
+    no straggler impression can still arrive. Spark therefore holds each
+    unmatched click in state until ``wm`` expires it, then emits the NULL
+    row — so outer results trail the watermark by design, and state stays
+    bounded at (rate × horizon) exactly like the inner join. The batch
+    left-join over the same interval predicate is the parity oracle in
+    tests/test_streaming_sinks.py.
+    """
+    imp = impressions.select(
+        F.col(join_key).alias("i_key"),
+        F.col("ts").alias("imp_ts"),
+        F.col("event_id").alias("imp_id"),
+    ).withWatermark("imp_ts", wm)
+    clk = clicks.select(
+        F.col(join_key).alias("c_key"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", wm)
+    return clk.join(
+        imp,
+        (F.col("i_key") == F.col("c_key"))
+        & (F.col("imp_ts") < F.col("click_ts"))
+        & (F.col("imp_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_delay}")),
+        "leftOuter",
+    ).select(
+        F.col("c_key").alias(join_key),
+        "click_id",
+        "click_ts",
+        "imp_id",
+        "imp_ts",
+    )

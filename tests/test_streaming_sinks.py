@@ -128,3 +128,92 @@ def test_stream_stream_join_matches_batch_interval_join(spark, sf_dir, tmp_path)
     }
     assert got == expect
     assert expect  # non-degenerate: the batch oracle itself found matches
+
+
+def test_stream_stream_left_outer_emits_unmatched_clicks(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join parity vs the batch left join.
+
+    Outer (NULL) results flush only on a trigger AFTER the watermark has
+    passed a click's candidate window — so each side is written as an
+    early/late file pair and processed one file per trigger: the late
+    batch advances the watermark and flushes the early batch's unmatched
+    clicks. Clicks within (wm + delay) of the split or in the late batch
+    may legitimately still be buffered at query end; everything else must
+    appear, matched rows exactly as the batch oracle says."""
+    from seoul_big_data_spark.streaming.sinks import clicks_left_outer_attribution
+
+    events = load(spark, "events", sf_dir).limit(2000).cache()
+    split = events.agg(
+        F.expr("percentile(CAST(ts AS DOUBLE), 0.5)")
+    ).first()[0]
+    split_ts = F.lit(split).cast("timestamp")
+    imps = events.filter(F.col("event_type") == "view")
+    clicks = events.filter(F.col("event_type") == "click")
+    for side, df in (("imp", imps), ("clk", clicks)):
+        df.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(
+            str(tmp_path / side / "t=0")
+        )
+        df.filter(F.col("ts") >= split_ts).coalesce(1).write.parquet(
+            str(tmp_path / side / "t=1")
+        )
+    opts = {"maxFilesPerTrigger": "1"}
+    s_imp = (
+        spark.readStream.schema(EVENTS_DDL)
+        .options(**opts)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "imp"))
+    )
+    s_clk = (
+        spark.readStream.schema(EVENTS_DDL)
+        .options(**opts)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "clk"))
+    )
+    joined = clicks_left_outer_attribution(s_imp, s_clk, max_delay="30 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["click_id"], r["imp_id"]) for r in spark.table("ss_left").collect()
+    }
+    expect = {
+        (r["click_id"], r["imp_id"])
+        for r in clicks.alias("c")
+        .join(
+            imps.alias("i"),
+            (F.col("i.user_id") == F.col("c.user_id"))
+            & (F.col("i.ts") < F.col("c.ts"))
+            & (F.col("i.ts") >= F.col("c.ts") - F.expr("INTERVAL 30 minutes")),
+            "leftOuter",
+        )
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("i.event_id").alias("imp_id"),
+        )
+        .collect()
+    }
+    matched = {p for p in expect if p[1] is not None}
+    unmatched = {p for p in expect if p[1] is None}
+    assert matched and unmatched  # fixture exercises both paths
+    # every inner match present, nothing fabricated
+    assert {p for p in got if p[1] is not None} == matched
+    # emitted NULL rows are exactly batch-unmatched clicks
+    null_ids = {c for (c, i) in got if i is None}
+    assert null_ids <= {c for (c, i) in unmatched}
+    assert null_ids  # the late trigger flushed early unmatched clicks
+    # anything still missing must have been legitimately bufferable:
+    # in the late batch, or within the (wm + delay) horizon of the split
+    still_open = {
+        r["event_id"]
+        for r in clicks.filter(
+            F.col("ts") >= split_ts - F.expr("INTERVAL 90 minutes")
+        ).collect()
+    }
+    missing = {c for (c, i) in unmatched if (c, None) not in got}
+    assert missing <= still_open
