@@ -196,6 +196,7 @@ EXTENDED = [
     "stats_theil_sen_slope",
     "agg_mean_family",
     "agg_bottomk_sample_quantiles",
+    "join_shuffle_hash_hint",
 ]
 
 

@@ -1166,3 +1166,41 @@ def hierarchy_flatten_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     raise ValueError(
         "hierarchy deeper than 64 levels — cycle in parent relation?"
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS segment_revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit physical-strategy control: the customer side carries a
+    SHUFFLE_HASH hint, so Catalyst builds a hash map from the smaller
+    (but not broadcast-small) side instead of sort-merging both.
+
+    When it matters at 100 TB: a dimension that outgrew
+    autoBroadcastJoinThreshold but still fits a per-task hash map joins
+    cheaper as shuffled-hash (no sort of the 100 TB fact side; SMJ pays
+    O(n log n) on both). The hint changes ONLY the physical operator —
+    results are plan-invariant (oracle is the plain SQL join), and
+    tests/test_joins.py asserts ShuffledHashJoin (and that the unhinted
+    plan at this size picks a different strategy) from the explain output.
+    Decimal sum → double keeps the aggregate engine-exact."""
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir).hint("shuffle_hash")
+    return (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("segment_revenue"),
+        )
+    )

@@ -81,3 +81,26 @@ def test_banded_range_join_matches_nested_loop(spark):
     assert sorted(map(key, got.collect())) == sorted(map(key, expect.collect()))
     # exactly-once: no pair duplicated by the replication
     assert got.count() == got.select("i", "name").distinct().count()
+
+
+def test_join_strategy_hints_control_physical_operator(spark, sf_dir):
+    """Join hints must actually steer the physical strategy: shuffle_hash
+    → ShuffledHashJoin, merge → SortMergeJoin, broadcast → BroadcastHash.
+    Same logical join all three ways; results identical."""
+    from seoul_big_data_spark.sources.tables import load
+
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    cond = F.col("c_custkey") == F.col("o_custkey")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    sh = o.join(c.hint("shuffle_hash"), cond).groupBy("c_mktsegment").count()
+    mg = o.join(c.hint("merge"), cond).groupBy("c_mktsegment").count()
+    bc = o.join(F.broadcast(c), cond).groupBy("c_mktsegment").count()
+    assert "ShuffledHashJoin" in plan(sh)
+    assert "SortMergeJoin" in plan(mg)
+    assert "BroadcastHashJoin" in plan(bc)
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(sh) == rows(mg) == rows(bc)
