@@ -197,6 +197,10 @@ EXTENDED = [
     "agg_mean_family",
     "agg_bottomk_sample_quantiles",
     "join_shuffle_hash_hint",
+    "sql_parameterized_query",
+    "sql_lateral_column_alias",
+    "udf_arrow_token_count",
+    "udf_grouped_agg_trimmed_mean",
 ]
 
 

@@ -62,3 +62,43 @@ def zscore_pandas(
     return df.groupBy(group_col).applyInPandas(
         _per_group, schema=f"{id_col} long, {group_col} string, zscore double"
     )
+
+
+def arrow_scalar_udf_tokens():
+    """Scalar Python UDF on the Arrow serialization path (Spark 4
+    ``useArrow=True``): same per-row semantics as a classic pickled UDF,
+    but batches move through Arrow columnar buffers — the modern default
+    for scalar Python logic that can't be expressed declaratively. The
+    parity query (`udf_arrow_token_count`) pins it against the pure
+    Catalyst expression, so the UDF surface itself is what's under test,
+    not the logic."""
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def _n_tokens(text: str) -> int:
+        if text is None:
+            return 0
+        return len([t for t in text.split() if t])
+
+    return _n_tokens
+
+
+def grouped_agg_trimmed_mean():
+    """GROUPED_AGG pandas UDF (vectorized UDAF): each group's column
+    arrives as ONE pandas Series and reduces to a scalar — the Arrow
+    analogue of a custom Catalyst aggregate, for reductions with no
+    built-in form. Partial aggregation does NOT apply (whole groups
+    shuffle to one task), which is exactly the documented trade-off
+    versus the declarative twin in `agg_mean_family` — the parity query
+    keeps both honest."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _trimmed_mean(v: pd.Series) -> float:
+        lo, hi = v.quantile(0.1), v.quantile(0.9)
+        kept = v[(v >= lo) & (v <= hi)]
+        return float(kept.mean())
+
+    return _trimmed_mean

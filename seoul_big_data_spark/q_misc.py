@@ -1204,3 +1204,58 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("segment_revenue"),
         )
     )
+
+
+@query(
+    "udf_arrow_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def udf_arrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — scalar Python UDF on the Arrow path (Spark 4
+    `udf(..., useArrow=True)`), pinned against the declarative token
+    count the oracle computes: the UDF transport, not the logic, is what
+    this certifies. Python `str.split()` and the regex tokenizer agree by
+    construction (split on any whitespace, drop empties)."""
+    from .operators.grouped_map import arrow_scalar_udf_tokens
+
+    n_tokens = arrow_scalar_udf_tokens()
+    return load(spark, "documents", sf_dir).select(
+        "doc_id", n_tokens(F.col("text")).alias("n_tokens")
+    )
+
+
+@query(
+    "udf_grouped_agg_trimmed_mean",
+    """
+    WITH bounds AS (
+      SELECT l_returnflag AS g,
+             quantile_cont(l_quantity, 0.1) AS lo,
+             quantile_cont(l_quantity, 0.9) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           round(avg(CASE WHEN l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+                          THEN l.l_quantity END), 6) AS trimmed_mean
+    FROM lineitem l JOIN bounds b ON b.g = l.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def udf_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — GROUPED_AGG pandas UDF (vectorized custom aggregate): the
+    whole group's column reduces in one pandas call. pandas' linear
+    quantile interpolation matches quantile_cont/percentile, so the
+    declarative oracle (and the cell-reduction twin in `agg_mean_family`)
+    pins the result. The trade-off this surface documents: a GROUPED_AGG
+    UDF shuffles FULL groups (no partial aggregation) — use it for
+    reductions Catalyst can't express, not ones it can."""
+    from .operators.grouped_map import grouped_agg_trimmed_mean
+
+    tm = grouped_agg_trimmed_mean()
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(tm(F.col("l_quantity")), 6).alias("trimmed_mean")
+    )

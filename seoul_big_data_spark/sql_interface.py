@@ -71,3 +71,68 @@ def sql_window_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rk <= 2
         """,
     )
+
+
+@query(
+    "sql_parameterized_query",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 4 `spark.sql(query, args={...})`):
+    parameter markers bind server-side as literals in the plan — the
+    injection-safe ad-hoc surface. Constant folding then treats them
+    exactly like inline literals (the filter still pushes to the scan),
+    so the oracle is the same query with the values folded in."""
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 1000.0},
+    )
+
+
+@query(
+    "sql_lateral_column_alias",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS net,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DOUBLE)      AS gross
+    FROM lineitem
+    WHERE l_quantity >= 48
+    """,
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): `gross` references the `net`
+    alias defined earlier in the SAME select list — no subquery nesting.
+    DuckDB lacks the construct, so the oracle re-expands the alias. The
+    intermediate is an exact decimal cast to double; gross is then one
+    IEEE double multiply on both engines — deterministic per row, no
+    accumulation order in play."""
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS net,
+               net * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DOUBLE)    AS gross
+        FROM lineitem
+        WHERE l_quantity >= 48
+        """
+    )
