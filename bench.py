@@ -201,6 +201,8 @@ EXTENDED = [
     "sql_lateral_column_alias",
     "udf_arrow_token_count",
     "udf_grouped_agg_trimmed_mean",
+    "sql_pipe_syntax",
+    "sql_scripting_block",
 ]
 
 

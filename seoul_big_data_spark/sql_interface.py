@@ -136,3 +136,68 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_quantity >= 48
         """
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the same logical plan as
+    the nested form, written as a linear dataflow — FROM, then WHERE, then
+    AGGREGATE ... GROUP BY, then a post-aggregation WHERE standing in for
+    HAVING. Catalyst compiles both spellings identically (filters still
+    push down), so the oracle is the classic formulation."""
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                       AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n > 10
+        |> SELECT o_orderpriority, n, revenue
+        """
+    )
+
+
+@query(
+    "sql_scripting_block",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above
+    FROM orders
+    WHERE o_totalprice >= 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END blocks): a session variable
+    declared and referenced inside the script parameterizes the final
+    statement, whose result set is the block's result. The variable binds
+    as a foldable literal (the filter still reaches the scan), so the
+    oracle is the statement with the value folded in."""
+    register_tables(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE price_floor DOUBLE DEFAULT 150000.0;
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_above
+          FROM orders
+          WHERE o_totalprice >= price_floor
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
