@@ -203,6 +203,7 @@ EXTENDED = [
     "udf_grouped_agg_trimmed_mean",
     "sql_pipe_syntax",
     "sql_scripting_block",
+    "timeseries_holt_forecast",
 ]
 
 

@@ -1883,3 +1883,90 @@ def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("rn_last") == 1).cast("long")).cast("bigint").alias("last_touch"),
         F.round(F.sum(1.0 / F.col("n_touch")), 4).alias("linear_credit"),
     )
+
+
+@query(
+    "timeseries_holt_forecast",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), seq AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily
+    ), n AS (
+      SELECT event_type, count(*) AS nmax FROM seq GROUP BY 1
+    ), rec AS (
+      SELECT s1.event_type, 2 AS rn,
+             0.5 * s2.v + (1 - 0.5) * (s1.v + (s2.v - s1.v)) AS level,
+             0.3 * ((0.5 * s2.v + (1 - 0.5) * (s1.v + (s2.v - s1.v))) - s1.v)
+               + (1 - 0.3) * (s2.v - s1.v) AS trend,
+             s1.v AS prev_level
+      FROM seq s1
+      JOIN seq s2 ON s2.event_type = s1.event_type AND s2.rn = 2
+      WHERE s1.rn = 1
+      UNION ALL
+      SELECT r.event_type, r.rn + 1,
+             0.5 * s.v + (1 - 0.5) * (r.level + r.trend),
+             0.3 * ((0.5 * s.v + (1 - 0.5) * (r.level + r.trend)) - r.level)
+               + (1 - 0.3) * r.trend,
+             r.level
+      FROM rec r
+      JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    ), final AS (
+      SELECT r.event_type, r.level, r.trend
+      FROM rec r JOIN n ON n.event_type = r.event_type AND r.rn = n.nmax
+    )
+    SELECT f.event_type, CAST(h.h AS INTEGER) AS h,
+           round(f.level + h.h * f.trend, 6) AS forecast
+    FROM final f
+    CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) h
+    """,
+)
+def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α=0.5, β=0.3) per
+    event type, forecasting 7 days past the observed window — the
+    inherently SEQUENTIAL recursion SQL window frames cannot express,
+    run as an Arrow grouped-map (`applyInPandas`) over each type's daily
+    series. The oracle unwinds the identical recursion with WITH
+    RECURSIVE; both sides spell every float expression in the same
+    order/associativity (e.g. `(1 - 0.3)` computed, never a folded 0.7
+    literal — the two doubles differ by 1 ulp), so the trajectories are
+    bit-identical and round(6) is cosmetic.
+
+    Scale shape: the fact reduces to (type × day) cells first — one
+    shuffle — and only the calendar-sized series enters Python; each
+    group's recursion is O(days). State never outgrows (types × days)."""
+    import pandas as pd
+
+    ev = load(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("v"))
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        v = pdf["v"].tolist()
+        level = v[0]
+        trend = v[1] - v[0]
+        for t in range(1, len(v)):
+            new_level = 0.5 * v[t] + (1 - 0.5) * (level + trend)
+            trend = 0.3 * (new_level - level) + (1 - 0.3) * trend
+            level = new_level
+        et = pdf["event_type"].iloc[0]
+        return pd.DataFrame(
+            {
+                "event_type": [et] * 7,
+                "h": list(range(1, 8)),
+                "forecast": [level + h * trend for h in range(1, 8)],
+            }
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(
+        _holt, "event_type string, h int, forecast double"
+    )
+    return out.select(
+        "event_type", "h", F.round("forecast", 6).alias("forecast")
+    )
