@@ -204,6 +204,7 @@ EXTENDED = [
     "sql_pipe_syntax",
     "sql_scripting_block",
     "timeseries_holt_forecast",
+    "events_sliding_window_topk",
 ]
 
 

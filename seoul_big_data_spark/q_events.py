@@ -1970,3 +1970,79 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "h", F.round("forecast", 6).alias("forecast")
     )
+
+
+@query(
+    "events_sliding_window_topk",
+    """
+    WITH starts AS (
+      SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (h) HOUR AS ws
+      FROM (SELECT unnest(generate_series(0, 24 * 30 - 1)) AS h)
+    ), cells AS (
+      SELECT date_trunc('hour', ts) AS hr, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT s.ws, c.event_type, CAST(sum(c.n) AS BIGINT) AS n
+      FROM starts s
+      JOIN cells c ON c.hr >= s.ws - INTERVAL 5 HOUR AND c.hr <= s.ws
+      GROUP BY s.ws, c.event_type
+    ), ranked AS (
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_end_hour,
+             event_type, n,
+             row_number() OVER (PARTITION BY ws
+                                ORDER BY n DESC, event_type) AS rk
+      FROM win
+    )
+    SELECT window_end_hour, event_type, n FROM ranked WHERE rk = 1
+    """,
+)
+def events_sliding_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant event type per TRAILING 6-hour window, sliding hourly (the
+    anchor is the window's last hour) — the trending-now query. Events pre-aggregate to (hour × type) cells first
+    (one fact shuffle, calendar-sized output); each cell then replicates
+    into the ≤6 sliding windows containing it — constant fan-out on the
+    reduction, never on the fact, the same replicate-the-small-side trick
+    as the banded range join. The oracle generates window starts
+    explicitly and interval-joins the same cells; ranking ties break on
+    event_type so the winner is deterministic. Windows anchored on the
+    fixture's [2024-01-01, +30d) span; only windows ending at an hour
+    with ≥1 event appear (inner join semantics on both sides)."""
+    ev = load(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    # replicate each hourly cell into the 6 windows that contain it
+    win = (
+        cells.select(
+            "event_type",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("back"),
+            F.col("hr"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("hr") + F.make_interval(hours=F.col("back"))).alias("ws"),
+        )
+        # windows must start within the fixture span the oracle generates
+        .filter(
+            (F.col("ws") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            & (
+                F.col("ws")
+                < F.lit("2024-01-31 00:00:00").cast("timestamp")
+            )
+        )
+        .groupBy("ws", "event_type")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("ws").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        win.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_end_hour"),
+            "event_type",
+            "n",
+        )
+    )
