@@ -205,6 +205,9 @@ EXTENDED = [
     "sql_scripting_block",
     "timeseries_holt_forecast",
     "events_sliding_window_topk",
+    "stats_anova_oneway",
+    "text_ngram_novelty",
+    "events_bounce_rate_daily",
 ]
 
 

@@ -2046,3 +2046,63 @@ def events_sliding_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "events_bounce_rate_daily",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events
+    ), g AS (
+      SELECT user_id, tss,
+             CASE WHEN tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss)
+                       > 1800
+                  OR lag(tss) OVER (PARTITION BY user_id ORDER BY tss) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM t
+    ), s AS (
+      SELECT user_id, tss,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ), sess AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(tss) AS start_tss
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT strftime(to_timestamp(start_tss), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS bounce_rate
+    FROM sess GROUP BY 1
+    """,
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the fraction of sessions (30-min gap rule, same
+    sessionization as `events_sessionization`) containing exactly one
+    event, keyed by the session's start day — the engagement headline
+    beside DAU/WAU stickiness. One window pass builds sessions, then two
+    tiny aggregates; integer counts, round(6) on the ratio."""
+    e = load(spark, "events", sf_dir)
+    sess = session_stats(e, gap_minutes=30).select(
+        "user_id", "session_id", "n_events", "start_tss"
+    )
+    return (
+        sess.groupBy(
+            F.date_format(F.to_timestamp("start_tss"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long"))
+            .cast("bigint")
+            .alias("n_bounces"),
+            F.round(
+                F.sum((F.col("n_events") == 1).cast("long")) / F.count("*"), 6
+            ).alias("bounce_rate"),
+        )
+    )

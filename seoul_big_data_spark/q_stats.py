@@ -1235,3 +1235,70 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("rk") == 96, F.col("m"))), 4).alias("ci_hi"),
     )
     return point.crossJoin(F.broadcast(ci))
+
+
+@query(
+    "stats_anova_oneway",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS g,
+             CAST(count(*) AS BIGINT)                          AS n,
+             CAST(sum(l_quantity) AS BIGINT)                   AS s1,
+             CAST(sum(l_quantity * l_quantity) AS BIGINT)      AS s2
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s1) AS BIGINT) AS t1,
+             CAST(sum(s2) AS BIGINT) AS t2,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(s1 AS DOUBLE) * s1 / n) AS gsum
+      FROM cells
+    )
+    SELECT k, nn AS n_total,
+           round((gsum - CAST(t1 AS DOUBLE) * t1 / nn) / (k - 1), 6)
+             AS ms_between,
+           round((t2 - gsum) / (nn - k), 6) AS ms_within,
+           round(((gsum - CAST(t1 AS DOUBLE) * t1 / nn) / (k - 1))
+                 / ((t2 - gsum) / (nn - k)), 6) AS f_stat
+    FROM tot
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic (quantity across return flags) — the
+    classical k-group mean-difference test completing the inference shelf
+    beside the two-sample z/U/KS tests.
+
+    Sufficient statistics only: per-group (n, Σx, Σx²) from ONE hash
+    aggregate over the fact (exact BIGINT — quantities are integers),
+    then SSB/SSW assemble group-side. The only floats are the final
+    divisions, identical on both engines. The F here is huge ↔ flags
+    differ, ≈1 ↔ same distribution; the fixture's uniform flags land
+    near 1 and round(6) pins it."""
+    li = load(spark, "lineitem", sf_dir)
+    cells = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("l_quantity").cast("bigint").alias("s1"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s1").cast("bigint").alias("t1"),
+        F.sum("s2").cast("bigint").alias("t2"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("s1").cast("double") * F.col("s1") / F.col("n")).alias(
+            "gsum"
+        ),
+    )
+    ssb = F.col("gsum") - F.col("t1").cast("double") * F.col("t1") / F.col("nn")
+    ssw = F.col("t2") - F.col("gsum")
+    return tot.select(
+        "k",
+        F.col("nn").alias("n_total"),
+        F.round(ssb / (F.col("k") - 1), 6).alias("ms_between"),
+        F.round(ssw / (F.col("nn") - F.col("k")), 6).alias("ms_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )

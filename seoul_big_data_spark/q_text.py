@@ -1525,3 +1525,66 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, "documents", sf_dir)
     out = dedup.prefix_filter_jaccard_pairs(d, k_shingle=3, threshold=0.8)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "text_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), df AS (
+      SELECT shingle, count(*) AS sdf FROM ex GROUP BY 1
+    )
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_sh,
+           CAST(sum(CASE WHEN d.sdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN d.sdf = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS novelty
+    FROM ex e JOIN df d ON d.shingle = e.shingle
+    GROUP BY e.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score: the fraction of a document's 3-shingles that
+    appear NOWHERE else in the corpus — the inverse signal of boilerplate
+    density, used to up-weight genuinely original documents in curation
+    (a near-zero score means the document is assembled from corpus-common
+    fragments even if no single near-duplicate exists).
+
+    One explode feeds both the document-frequency table and the per-doc
+    reduction; the df join is shingle-keyed (the same shuffle key), and
+    everything after the explode is integer counting — round(6) on the
+    final ratio only."""
+    from pyspark import StorageLevel
+
+    d = load(spark, "documents", sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.shingles("text", 3))).alias("shingle"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    return (
+        sh.join(sdf, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sh"),
+            F.sum((F.col("sdf") == 1).cast("long")).cast("bigint").alias(
+                "n_novel"
+            ),
+            F.round(
+                F.sum((F.col("sdf") == 1).cast("long")) / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -43,4 +43,5 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
             "duration_sec"
         ),
+        F.min(F.col("ts").cast("long")).alias("start_tss"),
     )
