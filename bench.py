@@ -208,6 +208,7 @@ EXTENDED = [
     "stats_anova_oneway",
     "text_ngram_novelty",
     "events_bounce_rate_daily",
+    "ivm_join_incremental",
 ]
 
 

@@ -51,3 +51,27 @@ def merge_rollups(*rollups: DataFrame) -> DataFrame:
     return unioned.groupBy(*keys).agg(
         *[fn(c).alias(c) for c, fn in _MERGE.items()]
     )
+
+
+def incremental_join_delta(
+    old_a: DataFrame,
+    delta_a: DataFrame,
+    old_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Incremental view maintenance for an inner join: the DELTA of A ⋈ B
+    when A grows by ΔA and B grows by ΔB is
+
+        Δ(A ⋈ B) = ΔA ⋈ (B ∪ ΔB)  ∪  A_old ⋈ ΔB
+
+    (insert-only IVM; the two terms are disjoint because every pair in
+    the first has its A-row in ΔA and every pair in the second has its
+    A-row in A_old). Appending this delta to the materialized A_old ⋈
+    B_old reproduces the full join of the new states without re-joining
+    the old sides — at 100 TB the maintained view costs O(|Δ| ⋈ ...) per
+    refresh instead of O(|A| ⋈ |B|). The decomposition (disjointness +
+    completeness) is property-tested in tests/test_rollup.py and the
+    registered query's oracle is the plain full join."""
+    b_new = old_b.unionByName(delta_b)
+    return delta_a.join(b_new, on).unionByName(old_a.join(delta_b, on))

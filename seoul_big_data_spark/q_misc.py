@@ -1259,3 +1259,48 @@ def udf_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(tm(F.col("l_quantity")), 6).alias("trimmed_mean")
     )
+
+
+@query(
+    "ivm_join_incremental",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def ivm_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over a join: the fact/dim tables are
+    split into base + delta (deterministic mod splits standing in for a
+    CDC batch), the maintained view = materialized base join PLUS the
+    IVM delta (`operators/rollup.py::incremental_join_delta`), and the
+    aggregate over that union must equal the plain full join the oracle
+    runs — proving the refresh algebra loses and duplicates nothing.
+    At scale only the delta terms are computed per refresh; the base
+    join is the stored view."""
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    old_o, d_o = (
+        o.filter(F.col("o_orderkey") % 7 != 0),
+        o.filter(F.col("o_orderkey") % 7 == 0),
+    )
+    old_c, d_c = (
+        c.filter(F.col("c_custkey") % 11 != 0),
+        c.filter(F.col("c_custkey") % 11 == 0),
+    )
+    from .operators.rollup import incremental_join_delta
+
+    o2 = old_o.withColumn("c_custkey", F.col("o_custkey"))
+    d_o2 = d_o.withColumn("c_custkey", F.col("o_custkey"))
+    base = o2.join(old_c, "c_custkey")
+    delta = incremental_join_delta(o2, d_o2, old_c, d_c, "c_custkey")
+    full = base.unionByName(delta)
+    return full.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

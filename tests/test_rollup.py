@@ -47,3 +47,28 @@ def test_empty_increment_is_identity(spark, sf_dir):
     p = partial_rollup(e, KEYS, "value")
     empty = partial_rollup(e.filter(F.lit(False)), KEYS, "value")
     assert _rows(merge_rollups(p, empty)) == _rows(p)
+
+
+def test_incremental_join_delta_disjoint_and_complete(spark, sf_dir):
+    """IVM decomposition property: base ∪ delta == full join of new
+    states, with base and delta disjoint — across several split choices
+    (including empty ΔA and empty ΔB edges)."""
+    from seoul_big_data_spark.operators.rollup import incremental_join_delta
+    from seoul_big_data_spark.sources.tables import load
+
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    o = o.withColumn("c_custkey", F.col("o_custkey"))
+    for mod_a, mod_b in ((7, 11), (2, 1), (1, 3)):
+        old_a = o.filter(F.col("o_orderkey") % mod_a != 0)
+        d_a = o.filter(F.col("o_orderkey") % mod_a == 0)
+        old_b = c.filter(F.col("c_custkey") % mod_b != 0)
+        d_b = c.filter(F.col("c_custkey") % mod_b == 0)
+        base = old_a.join(old_b, "c_custkey")
+        delta = incremental_join_delta(old_a, d_a, old_b, d_b, "c_custkey")
+        key = lambda r: (r["o_orderkey"], r["c_custkey"])  # noqa: E731
+        got_base = {key(r) for r in base.collect()}
+        got_delta = {key(r) for r in delta.collect()}
+        want = {key(r) for r in o.join(c, "c_custkey").collect()}
+        assert got_base.isdisjoint(got_delta), (mod_a, mod_b)
+        assert got_base | got_delta == want, (mod_a, mod_b)
