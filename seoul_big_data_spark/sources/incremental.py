@@ -144,3 +144,66 @@ def list_new_files_versioned(
         for f in os.listdir(data_dir)
         if f.endswith(suffix) and os.path.join(data_dir, f) not in done
     )
+
+
+# --- multi-table transactions: one commit spanning N tables ------------------
+
+
+def commit_transaction(
+    txn_dir: str, table_files: dict[str, list[str]]
+) -> int:
+    """Atomic MULTI-TABLE commit: one numbered transaction manifest holds
+    the full post-commit file snapshot of EVERY table it touches (tables
+    not named keep their previous snapshot). Readers resolve all tables
+    through a single manifest version, so a cross-table invariant (e.g.
+    fact rows and their audit rows land together) can never be observed
+    half-applied — the multi-table guarantee single-table manifests
+    (``commit_files_versioned``) cannot give.
+
+    Same crash-safe protocol: the version counter IS the manifest listing
+    (max+1, no counter file to race), the manifest writes to a temp file
+    and publishes via atomic rename; a crash before the rename publishes
+    nothing for ANY table. Returns the committed version."""
+    os.makedirs(txn_dir, exist_ok=True)
+    versions = sorted(_list_versions(txn_dir))
+    prev = versions[-1] if versions else None
+    tables: dict[str, list[str]] = {}
+    if prev is not None:
+        path = os.path.join(txn_dir, f"manifest-{prev:06d}.json")
+        with open(path) as fh:
+            tables = {
+                k: list(v) for k, v in json.load(fh)["tables"].items()
+            }
+    for name, files in table_files.items():
+        cur = set(tables.get(name, []))
+        cur.update(files)
+        tables[name] = sorted(cur)
+    version = (prev + 1) if prev is not None else 0
+    path = os.path.join(txn_dir, f"manifest-{version:06d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "tables": tables}, fh)
+    os.replace(tmp, path)
+    return version
+
+
+def read_table_as_of(
+    spark: SparkSession,
+    txn_dir: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame | None:
+    """Read one table at a transaction version (default latest) — every
+    table read at the same version is mutually consistent."""
+    versions = _list_versions(txn_dir)
+    if not versions:
+        return None
+    v = max(versions) if version is None else version
+    if v not in versions:
+        raise ValueError(f"no transaction version {v}; have {sorted(versions)}")
+    path = os.path.join(txn_dir, f"manifest-{v:06d}.json")
+    with open(path) as fh:
+        files = json.load(fh)["tables"].get(table, [])
+    if not files:
+        return None
+    return spark.read.parquet(*files)

@@ -110,3 +110,54 @@ def test_versioned_manifest_time_travel(spark, tmp_path):
 
     with _pt.raises(ValueError):
         read_as_of(spark, mdir, version=9)
+
+
+def test_multi_table_transaction_is_all_or_nothing(spark, sf_dir, tmp_path):
+    """A transaction spanning fact + audit tables must be observed fully
+    or not at all: a crash before the manifest rename (simulated by the
+    orphaned .tmp) leaves BOTH tables at the prior version; the commit
+    advances both together; historical versions stay readable."""
+    import json
+    import os
+
+    from seoul_big_data_spark.sources.incremental import (
+        commit_transaction,
+        read_table_as_of,
+    )
+    from seoul_big_data_spark.sources.tables import load
+
+    txn = str(tmp_path / "txn")
+    o = load(spark, "orders", sf_dir).limit(100).select("o_orderkey")
+    batch1 = str(tmp_path / "fact1")
+    audit1 = str(tmp_path / "audit1")
+    o.write.parquet(batch1)
+    spark.createDataFrame([(1, 100)], "batch int, n int").write.parquet(audit1)
+    files = lambda d: [  # noqa: E731
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    ]
+    v0 = commit_transaction(txn, {"fact": files(batch1), "audit": files(audit1)})
+    assert v0 == 0
+    n_fact_0 = read_table_as_of(spark, txn, "fact").count()
+    assert read_table_as_of(spark, txn, "audit").count() == 1
+
+    # simulated crash: second batch written, manifest tmp left unrenamed
+    batch2 = str(tmp_path / "fact2")
+    o.limit(10).write.parquet(batch2)
+    stale_tmp = os.path.join(txn, "manifest-000001.json.tmp")
+    with open(stale_tmp, "w") as fh:
+        json.dump({"version": 1, "tables": {}}, fh)
+    assert read_table_as_of(spark, txn, "fact").count() == n_fact_0
+    assert read_table_as_of(spark, txn, "audit").count() == 1
+
+    # real commit: both tables advance in one version
+    audit2 = str(tmp_path / "audit2")
+    spark.createDataFrame([(2, 10)], "batch int, n int").write.parquet(audit2)
+    v1 = commit_transaction(
+        txn, {"fact": files(batch2), "audit": files(audit2)}
+    )
+    assert v1 == 1
+    assert read_table_as_of(spark, txn, "fact").count() == n_fact_0 + 10
+    assert read_table_as_of(spark, txn, "audit").count() == 2
+    # time travel to v0 still consistent
+    assert read_table_as_of(spark, txn, "fact", 0).count() == n_fact_0
+    assert read_table_as_of(spark, txn, "audit", 0).count() == 1
