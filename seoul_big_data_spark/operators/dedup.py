@@ -591,9 +591,10 @@ def prefix_filter_jaccard_pairs(
       2. per-doc rank by (df, shingle), keep prefix        — doc-local window
       3. prefix self-join on shingle + length filter
          (min·den ≥ num·max, since J ≤ min/max)            — join on RARE keys
-      4. verify candidates against full sorted shingle
-         arrays: n_common = |array_intersect|, integer
-         Jaccard test n_common·den ≥ num·(na+nb−n_common)
+      4. verify via the posting table restricted to candidate
+         docs (no per-doc arrays): n_common from a (doc, shingle)
+         equi-join, integer Jaccard test
+         n_common·den ≥ num·(na+nb−n_common)
 
     Returns (id_a, id_b, jaccard) — identical to ``ngram_jaccard_pairs``,
     which serves as its oracle twin.
@@ -614,11 +615,7 @@ def prefix_filter_jaccard_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
-    docsets = sh.groupBy("id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("ss"),
-        F.count("*").alias("n_sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # reused: sizes + both verify sides
-    sizes = docsets.select("id", F.col("n_sh").alias("n"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     w_doc = Window.partitionBy("id").orderBy("sdf", "shingle")
     ranked = (
         sh.join(sdf, "shingle")
@@ -646,16 +643,23 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    da = docsets.select(
-        F.col("id").alias("id_a"), F.col("ss").alias("ss_a"), F.col("n_sh").alias("na")
+    # Verification: intersections come from the exploded posting table
+    # restricted to candidate docs — the first join discards every
+    # non-candidate document's shingles before the (id_b, shingle) match,
+    # so only candidate shingle rows ever shuffle (nothing materializes
+    # per-doc arrays, and the verify cost tracks |candidates|, not |corpus|).
+    pa = sh.join(cand, sh.id == cand.id_a).select("id_a", "id_b", "shingle")
+    shb = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pa.join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
     )
-    db = docsets.select(
-        F.col("id").alias("id_b"), F.col("ss").alias("ss_b"), F.col("n_sh").alias("nb")
-    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     verified = (
-        cand.join(da, "id_a")
-        .join(db, "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("ss_a", "ss_b")))
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(
             F.col("n_common") * den
             >= num * (F.col("na") + F.col("nb") - F.col("n_common"))
