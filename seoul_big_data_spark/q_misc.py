@@ -1281,8 +1281,13 @@ def ivm_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs — proving the refresh algebra loses and duplicates nothing.
     At scale only the delta terms are computed per refresh; the base
     join is the stored view."""
-    o = load(spark, "orders", sf_dir)
-    c = load(spark, "customer", sf_dir)
+    from pyspark import StorageLevel
+
+    # In production base and delta are DISTINCT inputs (stored view +
+    # CDC batch); here both derive from one table, so persist the source
+    # once rather than re-scanning it per split term.
+    o = load(spark, "orders", sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    c = load(spark, "customer", sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     old_o, d_o = (
         o.filter(F.col("o_orderkey") % 7 != 0),
         o.filter(F.col("o_orderkey") % 7 == 0),
