@@ -1950,7 +1950,10 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("d").reset_index(drop=True)
         v = pdf["v"].tolist()
         level = v[0]
-        trend = v[1] - v[0]
+        # single-observation group: no trend information (fixtures always
+        # have >=2 days; this guards the operator, the oracle's base case
+        # needs rn=2 and would emit nothing for such a group)
+        trend = v[1] - v[0] if len(v) > 1 else 0.0
         for t in range(1, len(v)):
             new_level = 0.5 * v[t] + (1 - 0.5) * (level + trend)
             trend = 0.3 * (new_level - level) + (1 - 0.3) * trend
