@@ -209,6 +209,7 @@ EXTENDED = [
     "text_ngram_novelty",
     "events_bounce_rate_daily",
     "ivm_join_incremental",
+    "dq_corpus_health_report",
 ]
 
 

@@ -868,3 +868,97 @@ def dq_pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("tok"), F.col("otok") == F.col("tok")
     ).agg(F.count("*").cast("bigint").alias("n_joined_pseudo"))
     return nc.crossJoin(F.broadcast(raw)).crossJoin(F.broadcast(pseudo))
+
+
+@query(
+    "dq_corpus_health_report",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != '')) AS n_tok
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex0 AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), ex AS (
+      SELECT * FROM ex0 WHERE shingle NOT IN (
+        SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 25
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), near AS (
+      SELECT count(*) AS n_near_pairs FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 5 >= 4 * (sa.n_sh + sb.n_sh - n_common)
+    ), flat AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dup_rows,
+             round(avg(n_tok), 2) AS avg_tokens,
+             round(sum(CASE WHEN n_tok < 5 THEN 1 ELSE 0 END) * 1.0
+                   / count(*), 6) AS pct_short
+      FROM base
+    )
+    SELECT f.n_docs, f.n_exact_dup_rows,
+           CAST(n.n_near_pairs AS BIGINT) AS n_near_dup_pairs,
+           f.avg_tokens, f.pct_short
+    FROM flat f, near n
+    """,
+)
+def dq_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health dashboard in one row: document count, exact-duplicate
+    rows, skew-safe near-duplicate pairs (3-shingle Jaccard ≥ 0.8,
+    stop-shingle cap 25 — the `dedup_ngram_jaccard_skewsafe` kernel),
+    average token length, and the short-document fraction — the summary a
+    curation pipeline gates on before training.
+
+    One persisted 2-column projection feeds the flat statistics, the
+    exact-dup distinct count, and the shingle kernel; everything reduces
+    to broadcast 1-row aggregates combined without a collect."""
+    from pyspark import StorageLevel
+
+    from .operators import dedup as dd
+
+    d = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_tok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    flat = d.select(n_tok.alias("n_tok"), "text").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.count("*") - F.count_distinct("text"))
+        .cast("bigint")
+        .alias("n_exact_dup_rows"),
+        F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+        F.round(
+            F.sum((F.col("n_tok") < 5).cast("long")) / F.count("*"), 6
+        ).alias("pct_short"),
+    )
+    near = (
+        dd.ngram_jaccard_pairs(
+            d, k_shingle=3, threshold=0.8, max_shingle_df=25
+        )
+        .agg(F.count("*").cast("bigint").alias("n_near_dup_pairs"))
+    )
+    return flat.crossJoin(F.broadcast(near)).select(
+        "n_docs", "n_exact_dup_rows", "n_near_dup_pairs", "avg_tokens",
+        "pct_short",
+    )
