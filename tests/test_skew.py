@@ -26,3 +26,45 @@ def test_salted_join_left_outer_preserves_unmatched(spark):
     got = {r["k"]: r["name"] for r in out}
     assert got == {1: "one", 2: "two", 99: None}
     assert len(out) == 3  # no duplication from the salt explode
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew handling must actually engage: a join with one
+    hot key, run with broadcast disabled and tiny advisory sizes, shows
+    skew=true on the SortMergeJoin in the final adaptive plan — the
+    runtime complement of the explicit salting operator."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        )
+        tail = spark.range(2_000).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("payload")
+        )
+        left = hot.unionAll(tail)
+        right = spark.range(51).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("dim")
+        )
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's own QueryExecution (count() would plan a
+        # separate query and leave this one's adaptive plan unfinalized)
+        assert len(joined.collect()) == 202_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
