@@ -311,3 +311,62 @@ def ivf_pq_topk(
     ).select("query_id", "neighbor_id", cosine("q_vec", "pq_vec").alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+# --- index persistence: centroids/codebooks as tables ------------------------
+
+
+def save_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """Persist a fitted vector index (IVF centroids, optionally PQ
+    codebooks) as plain parquet tables — the index artifact OUTLIVES the
+    session, so a nightly fit job and many probe jobs share one index
+    instead of each session re-running Lloyd (the in-session memoization
+    only helps within one process). Layout:
+
+      <path>/centroids/  rows (cell, centroid array<double>)
+      <path>/codebooks/  rows (subspace, code, vec array<double>)
+
+    Tiny catalog-sized state; written through the normal parquet writer so
+    it inherits atomic job commit."""
+    spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    if codebooks is not None:
+        rows = [
+            (s, c, list(vec))
+            for s, cb in enumerate(codebooks)
+            for c, vec in enumerate(cb)
+        ]
+        spark.createDataFrame(
+            rows, "subspace int, code int, vec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+
+
+def load_index(
+    spark, path: str
+) -> tuple[list[list[float]], list[list[list[float]]] | None]:
+    """Load a persisted index; returns (centroids, codebooks-or-None),
+    reconstructed in fit order so probes are bit-identical to the session
+    that wrote it (pinned in tests/test_ivf.py)."""
+    import os
+
+    c_rows = spark.read.parquet(path + "/centroids").collect()
+    centroids = [None] * len(c_rows)
+    for r in c_rows:
+        centroids[r["cell"]] = list(r["centroid"])
+    codebooks = None
+    cb_dir = path + "/codebooks"
+    if os.path.isdir(cb_dir):
+        cb_rows = spark.read.parquet(cb_dir).collect()
+        n_sub = max(r["subspace"] for r in cb_rows) + 1
+        n_code = max(r["code"] for r in cb_rows) + 1
+        codebooks = [[None] * n_code for _ in range(n_sub)]
+        for r in cb_rows:
+            codebooks[r["subspace"]][r["code"]] = list(r["vec"])
+    return centroids, codebooks
