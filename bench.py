@@ -210,6 +210,7 @@ EXTENDED = [
     "events_bounce_rate_daily",
     "ivm_join_incremental",
     "dq_corpus_health_report",
+    "orders_cohort_ltv_curve",
 ]
 
 

@@ -2580,3 +2580,81 @@ def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_days))
         .select("n_days", "n_pairs", "theil_sen_slope")
     )
+
+
+@query(
+    "orders_cohort_ltv_curve",
+    """
+    WITH first_order AS (
+      SELECT o_custkey,
+             date_trunc('month', min(o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ), sized AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first_order GROUP BY 1
+    ), aged AS (
+      SELECT f.cohort,
+             (year(date_trunc('month', o.o_orderdate)) * 12
+              + month(date_trunc('month', o.o_orderdate)))
+             - (year(f.cohort) * 12 + month(f.cohort)) AS age_months,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DECIMAL(20,2))
+               AS rev
+      FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT strftime(a.cohort, '%Y-%m') AS cohort_month,
+           CAST(a.age_months AS INTEGER) AS age_months,
+           s.cohort_size,
+           CAST(CAST(sum(a.rev) OVER (
+                  PARTITION BY a.cohort ORDER BY a.age_months
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) / s.cohort_size AS DOUBLE) AS ltv_per_customer
+    FROM aged a JOIN sized s ON s.cohort = a.cohort
+    """,
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month; cumulative revenue per cohort member at each age — the
+    retention economics readout beside `events_cohort_retention`.
+
+    Two scans of orders by necessity (first-order derivation + the
+    cohort join), then everything is (cohort × age)-sized: the running
+    sum windows over a table bounded by months², and revenue accumulates
+    as exact decimals so the cumulative division is engine-identical
+    without rounding."""
+    o = load(spark, "orders", sf_dir)
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sized = first.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    month_idx = (
+        F.year(F.date_trunc("month", F.col("o_orderdate"))) * 12
+        + F.month(F.date_trunc("month", F.col("o_orderdate")))
+    ) - (F.year(F.col("cohort")) * 12 + F.month(F.col("cohort")))
+    aged = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort", month_idx.alias("age_months"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("decimal(20,2)")
+            .alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        aged.join(sized, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            F.col("age_months").cast("int").alias("age_months"),
+            "cohort_size",
+            (
+                F.sum("rev").over(w).cast("double") / F.col("cohort_size")
+            ).alias("ltv_per_customer"),
+        )
+    )
