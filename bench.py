@@ -211,6 +211,8 @@ EXTENDED = [
     "ivm_join_incremental",
     "dq_corpus_health_report",
     "orders_cohort_ltv_curve",
+    "stats_wilson_proportion_ci",
+    "text_hashing_collision_rate",
 ]
 
 

@@ -2658,3 +2658,111 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_customer"),
         )
     )
+
+
+@query(
+    "stats_wilson_proportion_ci",
+    """
+    WITH t AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY 1
+    ), n AS (
+      SELECT CAST(sum(k) AS BIGINT) AS n FROM t
+    )
+    SELECT t.event_type, t.k, n.n,
+           round(t.k * 1.0 / n.n, 6) AS p_hat,
+           round((t.k * 1.0 / n.n + 1.959963985 * 1.959963985 / (2 * n.n)
+                  - 1.959963985 * sqrt((t.k * 1.0 / n.n)
+                        * (1 - t.k * 1.0 / n.n) / n.n
+                        + 1.959963985 * 1.959963985 / (4.0 * n.n * n.n)))
+                 / (1 + 1.959963985 * 1.959963985 / n.n), 6) AS ci_lo,
+           round((t.k * 1.0 / n.n + 1.959963985 * 1.959963985 / (2 * n.n)
+                  + 1.959963985 * sqrt((t.k * 1.0 / n.n)
+                        * (1 - t.k * 1.0 / n.n) / n.n
+                        + 1.959963985 * 1.959963985 / (4.0 * n.n * n.n)))
+                 / (1 + 1.959963985 * 1.959963985 / n.n), 6) AS ci_hi
+    FROM t, n
+    """,
+)
+def stats_wilson_proportion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for each event type's traffic
+    share — the proportion CI that behaves at the boundaries where the
+    Wald interval collapses (the right default for rates near 0 or 1,
+    e.g. error shares). Counts are exact BIGINTs; the z constant is
+    spelled identically on both engines so every float op matches;
+    round(6) output only. One aggregate + a broadcast 1-row total."""
+    z = 1.959963985
+    ev = load(spark, "events", sf_dir)
+    t = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("k"))
+    n = t.agg(F.sum("k").cast("bigint").alias("n"))
+    p = F.col("k") * 1.0 / F.col("n")
+    half = z * F.sqrt(
+        p * (1 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    center = p + z * z / (2 * F.col("n"))
+    denom = 1 + z * z / F.col("n")
+    return t.crossJoin(F.broadcast(n)).select(
+        "event_type",
+        "k",
+        "n",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "text_hashing_collision_rate",
+    """
+    WITH toks AS (
+      SELECT DISTINCT unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'), x -> x != ''))
+               AS w
+      FROM documents
+    ), hashed AS (
+      SELECT w,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS bucket
+      FROM toks
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets_used,
+           CAST(count(*) - count(DISTINCT bucket) AS BIGINT) AS n_collisions,
+           round((count(*) - count(DISTINCT bucket)) * 1.0 / count(*), 6)
+             AS collision_rate
+    FROM hashed
+    """,
+)
+def text_hashing_collision_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-as-a-query for the hashing trick: how many distinct
+    vocabulary terms share a bucket at 256 dimensions (the signed
+    feature-hashing operator's quality knob, `text_feature_hashing`).
+    Portable md5 bucketing so the oracle draws identical buckets; the
+    collision count is (terms − used buckets) — exact integers, one
+    distinct-vocabulary reduction."""
+    d = load(spark, "documents", sf_dir)
+    toks = (
+        d.select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .distinct()
+    )
+    hashed = toks.select(
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 256
+        ).alias("bucket")
+    )
+    return hashed.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.count_distinct("bucket").cast("bigint").alias("n_buckets_used"),
+        (F.count("*") - F.count_distinct("bucket"))
+        .cast("bigint")
+        .alias("n_collisions"),
+        F.round(
+            (F.count("*") - F.count_distinct("bucket")) / F.count("*"), 6
+        ).alias("collision_rate"),
+    )
