@@ -213,6 +213,7 @@ EXTENDED = [
     "orders_cohort_ltv_curve",
     "stats_wilson_proportion_ci",
     "text_hashing_collision_rate",
+    "sample_neyman_allocation",
 ]
 
 

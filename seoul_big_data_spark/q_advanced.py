@@ -2766,3 +2766,67 @@ def text_hashing_collision_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count_distinct("bucket")) / F.count("*"), 6
         ).alias("collision_rate"),
     )
+
+
+@query(
+    "sample_neyman_allocation",
+    """
+    WITH s AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))
+                      * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS s2
+      FROM customer GROUP BY 1
+    ), sd AS (
+      SELECT c_mktsegment, n_h,
+             sqrt((s2 - s1 * s1 / n_h) / (n_h - 1)) AS sd_h
+      FROM s
+    ), tot AS (
+      SELECT sum(n_h * sd_h) AS denom FROM sd
+    )
+    SELECT sd.c_mktsegment, sd.n_h,
+           round(sd.sd_h, 4) AS sd_h,
+           round(sd.n_h * sd.sd_h / t.denom, 6) AS alloc_frac,
+           round(1000 * sd.n_h * sd.sd_h / t.denom, 2) AS n_alloc_1000
+    FROM sd, tot t
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation for stratified sampling: sample size per
+    stratum proportional to N_h·σ_h — the survey-design complement of the
+    proportional per-source caps and weighted reservoir already in the
+    sampling family (minimizes estimator variance for a fixed budget;
+    here a 1000-row budget across market segments).
+
+    σ_h comes from exact decimal power sums (Σx, Σx² are exact — acctbal
+    is a 2-decimal value), so the only floats are final per-stratum
+    combinations, identical on both engines. One aggregate over customer;
+    the denominator rides as a broadcast 1-row aggregate."""
+    c = load(spark, "customer", sf_dir)
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    s = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.sum(bal).cast("double").alias("s1"),
+        F.sum(bal * bal).cast("double").alias("s2"),
+    )
+    sd = s.select(
+        "c_mktsegment",
+        "n_h",
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_h"))
+            / (F.col("n_h") - 1)
+        ).alias("sd_h"),
+    )
+    tot = sd.agg(F.sum(F.col("n_h") * F.col("sd_h")).alias("denom"))
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "n_h",
+        F.round("sd_h", 4).alias("sd_h"),
+        F.round(F.col("n_h") * F.col("sd_h") / F.col("denom"), 6).alias(
+            "alloc_frac"
+        ),
+        F.round(
+            1000 * F.col("n_h") * F.col("sd_h") / F.col("denom"), 2
+        ).alias("n_alloc_1000"),
+    )
