@@ -214,6 +214,7 @@ EXTENDED = [
     "stats_wilson_proportion_ci",
     "text_hashing_collision_rate",
     "sample_neyman_allocation",
+    "dedup_cluster_size_histogram",
 ]
 
 

@@ -1588,3 +1588,73 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingles
+      FROM toks
+    ), ex0 AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), ex AS (
+      SELECT * FROM ex0 WHERE shingle NOT IN (
+        SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 25
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), walk AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.id
+    ), comp AS (
+      SELECT id, CAST(min(label) AS BIGINT) AS component FROM walk GROUP BY id
+    ), csize AS (
+      SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM csize GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 reporting — the near-dup cluster size distribution (how much of
+    the corpus sits in singletons vs duplicate blobs), the histogram a
+    dedup run reports before choosing survivors. Two tiny aggregates on
+    top of the `dedup_clusters` component labels; the iterative CC loop
+    is still checked against the recursive-CTE oracle end to end."""
+    d = load(spark, "documents", sf_dir)
+    edges = dedup.ngram_jaccard_pairs(
+        d, k_shingle=3, threshold=0.3, max_shingle_df=25
+    )
+    comp = dedup.connected_components(
+        d.select("doc_id"), edges, id_col="doc_id"
+    )
+    csize = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return csize.groupBy(
+        F.col("cluster_size").cast("bigint").alias("cluster_size")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
