@@ -237,3 +237,63 @@ def clicks_left_outer_attribution(
         "imp_id",
         "imp_ts",
     )
+
+
+def txn_sink_fn(txn_dir: str, data_dir: str):
+    """foreachBatch sink committing each micro-batch's FACT rows and a
+    1-row AUDIT record through one multi-table transaction
+    (sources/incremental.py::commit_transaction) — the streaming face of
+    the atomic manifest: downstream readers either see a batch's data AND
+    its audit row, or neither.
+
+    Exactly-once across replays: the applied batch id is recorded INSIDE
+    the same transaction (a synthetic ``_applied_batches`` table), so
+    - crash AFTER the commit → the replayed batch id short-circuits;
+    - crash BEFORE the commit → the replay overwrites the batch-keyed
+      staging dirs and commits once (uncommitted files were never
+      referenced by any manifest, so the overwrite is invisible).
+
+    Returns the (batch_df, batch_id) function for ``foreachBatch``."""
+    import json
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from ..sources.incremental import _list_versions, commit_transaction
+
+    def _applied(batch_id: int) -> bool:
+        versions = _list_versions(txn_dir)
+        if not versions:
+            return False
+        path = os.path.join(txn_dir, f"manifest-{max(versions):06d}.json")
+        with open(path) as fh:
+            return f"batch-{batch_id}" in json.load(fh)["tables"].get(
+                "_applied_batches", []
+            )
+
+    def _write(batch_df, batch_id: int) -> None:
+        if _applied(batch_id):
+            return  # replay of an already-committed batch
+        fact_dir = os.path.join(data_dir, f"fact_batch_{batch_id}")
+        audit_dir = os.path.join(data_dir, f"audit_batch_{batch_id}")
+        batch_df.write.mode("overwrite").parquet(fact_dir)
+        spark = batch_df.sparkSession
+        n = spark.read.parquet(fact_dir).count()
+        spark.createDataFrame(
+            [(batch_id, n)], "batch_id long, n_rows long"
+        ).coalesce(1).write.mode("overwrite").parquet(audit_dir)
+        files = lambda d: [  # noqa: E731
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+        commit_transaction(
+            txn_dir,
+            {
+                "fact": files(fact_dir),
+                "audit": files(audit_dir),
+                "_applied_batches": [f"batch-{batch_id}"],
+            },
+        )
+
+    return _write

@@ -217,3 +217,59 @@ def test_stream_stream_left_outer_emits_unmatched_clicks(spark, sf_dir, tmp_path
     }
     missing = {c for (c, i) in unmatched if (c, None) not in got}
     assert missing <= still_open
+
+
+def test_txn_sink_atomic_and_replay_safe(spark, sf_dir, tmp_path):
+    """Streaming foreachBatch through the multi-table transaction: fact
+    rows and the audit record commit atomically per batch; a replayed
+    batch id is a no-op; a crash-before-commit replay (staged files
+    written, no manifest) commits exactly once."""
+    import os
+
+    from seoul_big_data_spark.streaming.sinks import txn_sink_fn
+    from seoul_big_data_spark.sources.incremental import read_table_as_of
+
+    events = load(spark, "events", sf_dir).limit(300).cache()
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+    txn = str(tmp_path / "txn")
+    data = str(tmp_path / "data")
+    sink = txn_sink_fn(txn, data)
+    q = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fact = read_table_as_of(spark, txn, "fact")
+    audit = read_table_as_of(spark, txn, "audit")
+    assert fact.count() == events.count()
+    n_batches = audit.count()
+    assert n_batches >= 2  # one-file triggers → multiple commits
+    # audit reconciles with fact per batch id — the cross-table invariant
+    assert audit.agg(F.sum("n_rows")).first()[0] == events.count()
+
+    # replay an already-committed batch id → nothing changes
+    sink(events.limit(50), 0)
+    assert read_table_as_of(spark, txn, "fact").count() == events.count()
+    assert read_table_as_of(spark, txn, "audit").count() == n_batches
+
+    # crash-before-commit: stage a new batch's files manually (simulating
+    # a run that died pre-commit), then deliver the batch → exactly once
+    replay_df = events.limit(20)
+    bid = 999
+    replay_df.write.mode("overwrite").parquet(
+        os.path.join(data, f"fact_batch_{bid}")
+    )
+    sink(replay_df, bid)
+    assert (
+        read_table_as_of(spark, txn, "fact").count() == events.count() + 20
+    )
+    sink(replay_df, bid)  # second delivery: short-circuits
+    assert (
+        read_table_as_of(spark, txn, "fact").count() == events.count() + 20
+    )
