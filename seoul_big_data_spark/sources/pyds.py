@@ -23,8 +23,10 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -118,3 +120,80 @@ class SyntheticSensorStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end) -> None:
         pass  # nothing external to acknowledge; offsets live in the checkpoint
+
+
+# --- custom WRITER: two-phase commit through the Python DataSource API -------
+
+
+class AuditedJsonlCommit(WriterCommitMessage):
+    """Per-task commit message: which file the task wrote and how many
+    rows it holds (picklable; travels executor → driver)."""
+
+    def __init__(self, file: str, rows: int) -> None:
+        self.file = file
+        self.rows = rows
+
+
+class AuditedJsonlDataSource(DataSource):
+    """Custom Python DataSource WRITER (Spark 4): JSON-lines sink with a
+    driver-side audit manifest — the two-phase commit surface. Each task
+    streams its partition to ``part-<pid>.jsonl`` and returns a commit
+    message; ``commit()`` runs once on the driver with ALL messages and
+    publishes ``_manifest.json`` (files + per-file and total row counts)
+    via write-temp-then-rename. Readers that resolve through the manifest
+    never see files from an uncommitted (failed/aborted) job — the same
+    visibility contract as sources/incremental.py, now behind the
+    standard ``df.write.format("audited_jsonl")`` call site. ``abort()``
+    removes the orphaned task files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "audited_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> "AuditedJsonlWriter":
+        return AuditedJsonlWriter(self.options)
+
+
+class AuditedJsonlWriter(DataSourceWriter):
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> AuditedJsonlCommit:
+        import json as js
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        rows = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(js.dumps(row.asDict(), default=str) + "\n")
+                rows += 1
+        return AuditedJsonlCommit(fname, rows)
+
+    def commit(self, messages) -> None:
+        import json as js
+        import os
+
+        manifest = {
+            "files": [
+                {"file": m.file, "rows": m.rows} for m in messages
+            ],
+            "total_rows": sum(m.rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "_manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            js.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.file)
+            except OSError:
+                pass

@@ -383,3 +383,36 @@ def test_holt_forecast_matches_python_recursion(spark, sf_dir):
             level = nl
         for h in range(1, 8):
             assert abs(got[(et, h)] - round(level + h * trend, 6)) < 1e-9, (et, h)
+
+
+def test_audited_jsonl_writer_two_phase_commit(spark, sf_dir, tmp_path):
+    """Custom Python DataSource WRITER: per-task jsonl files + a
+    driver-side audit manifest published at commit. Round trip must
+    reproduce the rows; the manifest must reconcile with both the file
+    count and the row totals."""
+    import json
+    import os
+
+    from seoul_big_data_spark.sources.pyds import AuditedJsonlDataSource
+    from seoul_big_data_spark.sources.tables import load
+
+    spark.dataSource.register(AuditedJsonlDataSource)
+    out = str(tmp_path / "out")
+    src = (
+        load(spark, "nation", sf_dir)
+        .select("n_nationkey", "n_name")
+        .repartition(3)
+    )
+    src.write.format("audited_jsonl").mode("append").option(
+        "path", out
+    ).save()
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["total_rows"] == src.count()
+    assert len(manifest["files"]) == 3
+    for f in manifest["files"]:
+        assert os.path.exists(f["file"])
+    back = spark.read.json([f["file"] for f in manifest["files"]])
+    assert {
+        (r["n_nationkey"], r["n_name"]) for r in back.collect()
+    } == {(r["n_nationkey"], r["n_name"]) for r in src.collect()}
