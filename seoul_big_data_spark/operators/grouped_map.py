@@ -102,3 +102,32 @@ def grouped_agg_trimmed_mean():
         return float(kept.mean())
 
     return _trimmed_mean
+
+
+def arrow_batch_normalizer():
+    """``mapInArrow`` kernel: operate on raw ``pyarrow.RecordBatch``es —
+    the lowest-overhead Python boundary Spark offers (no pandas
+    conversion at all; columns arrive as Arrow buffers and results return
+    as Arrow). The right tier when the logic is expressible in
+    ``pyarrow.compute`` kernels: here min-max normalization of a numeric
+    column against batch-local bounds computed ONCE per batch.
+
+    Tier guide (all parity-pinned): Catalyst expression > mapInArrow
+    (pyarrow.compute, zero-copy) > pandas UDF (columnar + pandas
+    semantics) > row UDF (never in the hot path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _normalize(batches):
+        for batch in batches:
+            v = batch.column("v")
+            lo = pc.min(v).as_py()
+            hi = pc.max(v).as_py()
+            span = (hi - lo) or 1.0
+            norm = pc.divide(pc.subtract(v, pa.scalar(float(lo))),
+                             pa.scalar(float(span)))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("id"), norm], names=["id", "v_norm"]
+            )
+
+    return _normalize
