@@ -215,6 +215,7 @@ EXTENDED = [
     "text_hashing_collision_rate",
     "sample_neyman_allocation",
     "dedup_cluster_size_histogram",
+    "scalar_try_function_family",
 ]
 
 

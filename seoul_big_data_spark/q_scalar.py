@@ -184,3 +184,45 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_decile"),
         (F.col("l_quantity").cast("int") % 7).alias("qty_mod7"),
     )
+
+
+@query(
+    "scalar_try_function_family",
+    """
+    SELECT doc_id,
+           TRY_CAST(lang AS INTEGER)                      AS lang_as_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER)  AS chars_as_int,
+           TRY_CAST(source AS DATE) IS NULL               AS bad_date,
+           CAST(n_chars AS DOUBLE)
+             / nullif(len(list_filter(
+                 string_split_regex(trim(text), '\\s+'), x -> x != '')), 0)
+             AS chars_per_token,
+           list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x != '')[1000] AS token_1000
+    FROM documents
+    """,
+)
+def scalar_try_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-robust scalar surface: the ``try_*`` family turns would-be
+    runtime errors into NULLs — the difference between a 100 TB job that
+    quarantines bad rows and one that dies at hour nine. try_cast on
+    non-numeric and non-date strings, try_divide (NULL on zero
+    denominator, mirrored as nullif in the oracle), and
+    try_element_at past the end of the token array (NULL, mirrored as
+    DuckDB's out-of-bounds list extract)."""
+    d = load(spark, "documents", sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("lang_as_int"),
+        F.col("n_chars").cast("string").try_cast("int").alias(
+            "chars_as_int"
+        ),
+        F.col("source").try_cast("date").isNull().alias("bad_date"),
+        F.try_divide(
+            F.col("n_chars").cast("double"), F.size(toks)
+        ).alias("chars_per_token"),
+        F.try_element_at(toks, F.lit(1000)).alias("token_1000"),
+    )
