@@ -229,12 +229,20 @@ def main() -> None:
     # file-listing caches), then the timed run. Cold-start costs are a
     # per-JVM constant, not a per-query property — at 100 TB they amortize
     # to zero, so timing them would just add noise to the comparison.
+    # Headline timings are min-of-2 (one warm run, two timed, keep the
+    # faster): the host VM's throughput drifts 20-40% between identical
+    # runs, and min-of-N is the standard low-noise estimator when the
+    # quantity of interest is the code's cost, not the machine's mood.
+    # Extended entries stay single-timed (they are trend indicators).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
 
     extended: dict[str, float] = {}
     for name in EXTENDED:
