@@ -216,6 +216,7 @@ EXTENDED = [
     "sample_neyman_allocation",
     "dedup_cluster_size_histogram",
     "scalar_try_function_family",
+    "mv_answer_from_rollup",
 ]
 
 

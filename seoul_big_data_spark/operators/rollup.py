@@ -53,6 +53,22 @@ def merge_rollups(*rollups: DataFrame) -> DataFrame:
     )
 
 
+def answer_from_rollup(rollup: DataFrame, keys: list[str]) -> DataFrame:
+    """Materialized-view ANSWERING: re-aggregate a stored partial rollup
+    to any SUBSET of its group keys — count/sum/min/max are algebraically
+    closed under key coarsening, so a (flag, status) rollup answers
+    "by flag", "by status", and the grand total without touching the
+    fact. This is the query-rewrite half of the continuous-aggregate
+    pattern (`partial_rollup`/`merge_rollups` are the maintenance half):
+    at 100 TB the rollup is bucket-cardinality-sized, so an answered
+    query costs O(buckets) instead of a fact scan. avg derives at read
+    time (sum/count — storing it would break both mergeability and
+    coarsening)."""
+    return rollup.groupBy(*keys).agg(
+        *[fn(c).alias(c) for c, fn in _MERGE.items()]
+    )
+
+
 def incremental_join_delta(
     old_a: DataFrame,
     delta_a: DataFrame,

@@ -1309,3 +1309,43 @@ def ivm_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "mv_answer_from_rollup",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_qty,
+           CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def mv_answer_from_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view answering: the per-returnflag statistics are
+    computed FROM a stored (returnflag × linestatus) partial rollup —
+    never from the fact — by coarsening the key set
+    (operators/rollup.py::answer_from_rollup). The oracle aggregates the
+    fact directly: the MV answer must be indistinguishable. Count/sum are
+    closed under coarsening (sums of exact decimals, so no association
+    drift); avg derives at read time; min/max coarsen as min-of-min /
+    max-of-max. The fact is scanned ONCE to build the rollup; the
+    answered query touches only bucket-cardinality rows."""
+    from .operators.rollup import answer_from_rollup, partial_rollup
+
+    li = load(spark, "lineitem", sf_dir)
+    mv = partial_rollup(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+    ans = answer_from_rollup(mv, ["l_returnflag"])
+    return ans.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_qty"),
+        F.round(
+            F.col("sum_value").cast("double") / F.col("n"), 6
+        ).alias("avg_qty"),
+        F.col("min_value").cast("double").alias("min_qty"),
+        F.col("max_value").cast("double").alias("max_qty"),
+    )
