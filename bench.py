@@ -217,6 +217,8 @@ EXTENDED = [
     "dedup_cluster_size_histogram",
     "scalar_try_function_family",
     "mv_answer_from_rollup",
+    "sql_collation_case_insensitive",
+    "agg_listagg_ordered",
 ]
 
 

@@ -201,3 +201,73 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "sql_collation_case_insensitive",
+    """
+    WITH m AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                  ELSE p_name END AS nm
+      FROM part
+    )
+    SELECT lower(nm) AS name_ci, CAST(count(*) AS BIGINT) AS n
+    FROM m GROUP BY lower(nm)
+    """,
+)
+def sql_collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): grouping on a UTF8_LCASE-collated key
+    folds case variants into one group WITHOUT rewriting the expression —
+    the engine-level answer to scattering lower() through every
+    comparison (and, unlike lower(), collation-aware joins/sorts keep
+    pushdown and codegen). The fixture is all-lowercase, so half the rows
+    are upper-cased first; the projection lowers the representative so
+    the output is deterministic whichever variant each group surfaces.
+    The oracle is the classic lower() rewrite."""
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                      ELSE p_name END COLLATE UTF8_LCASE AS nm
+          FROM part
+        )
+        SELECT lower(nm) AS name_ci, CAST(count(*) AS BIGINT) AS n
+        FROM m GROUP BY nm
+        """
+    )
+
+
+@query(
+    "agg_listagg_ordered",
+    """
+    SELECT p_brand,
+           string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types_csv,
+           CAST(len(string_split(
+             string_agg(DISTINCT p_type, ',' ORDER BY p_type), ','))
+             AS BIGINT) AS n_types
+    FROM part GROUP BY p_brand
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG (SQL:2016, Spark 4) with WITHIN GROUP ordering — the
+    standard spelling of the deterministic string aggregation that
+    `agg_collect_sorted` builds manually from sort_array+array_join;
+    DuckDB's equivalent is ordered string_agg. The explicit ORDER BY is
+    what makes the result partitioning-stable. (n_types derives from the
+    CSV: Spark 4.1 rejects listagg(DISTINCT) WITHIN GROUP mixed with a
+    second distinct aggregate in one SELECT — SortOrder cast error in the
+    distinct-expand rewrite.)"""
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, types_csv,
+               CAST(size(split(types_csv, ',')) AS BIGINT) AS n_types
+        FROM (
+          SELECT p_brand,
+                 listagg(DISTINCT p_type, ',')
+                   WITHIN GROUP (ORDER BY p_type) AS types_csv
+          FROM part GROUP BY p_brand
+        )
+        """
+    )
