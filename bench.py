@@ -219,6 +219,8 @@ EXTENDED = [
     "mv_answer_from_rollup",
     "sql_collation_case_insensitive",
     "agg_listagg_ordered",
+    "sql_group_by_all",
+    "events_session_gap_sensitivity",
 ]
 
 

@@ -2109,3 +2109,74 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bounce_rate"),
         )
     )
+
+
+@query(
+    "events_session_gap_sensitivity",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(1 + sum(CASE WHEN gap_s > 300 THEN 1 ELSE 0 END) AS BIGINT)
+               AS s_5m,
+             CAST(1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+               AS s_30m,
+             CAST(1 + sum(CASE WHEN gap_s > 7200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS s_2h,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id
+    )
+    SELECT CAST(sum(s_5m) AS BIGINT)  AS sessions_5m,
+           CAST(sum(s_30m) AS BIGINT) AS sessions_30m,
+           CAST(sum(s_2h) AS BIGINT)  AS sessions_2h,
+           round(sum(n_events) * 1.0 / sum(s_5m), 6)  AS events_per_session_5m,
+           round(sum(n_events) * 1.0 / sum(s_30m), 6) AS events_per_session_30m,
+           round(sum(n_events) * 1.0 / sum(s_2h), 6)  AS events_per_session_2h
+    FROM per_user
+    """,
+)
+def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap parameter sensitivity: total sessions and mean session
+    length at 5-minute / 30-minute / 2-hour inactivity thresholds — the
+    tuning readout that justifies a sessionization gap BEFORE committing
+    a pipeline to it. Sessions-at-threshold needs no per-threshold
+    sessionization: a user's session count is 1 + #(gaps > t), so ONE lag
+    pass over the fact feeds all thresholds as conditional sums — adding
+    a threshold costs one more column, never another shuffle."""
+    e = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tss = F.floor(F.col("ts").cast("double")).cast("bigint")
+    g = e.select(
+        "user_id", (tss - F.lag(tss).over(w)).alias("gap_s")
+    )
+    per_user = g.groupBy("user_id").agg(
+        (1 + F.sum(F.when(F.col("gap_s") > 300, 1).otherwise(0)))
+        .cast("bigint")
+        .alias("s_5m"),
+        (1 + F.sum(F.when(F.col("gap_s") > 1800, 1).otherwise(0)))
+        .cast("bigint")
+        .alias("s_30m"),
+        (1 + F.sum(F.when(F.col("gap_s") > 7200, 1).otherwise(0)))
+        .cast("bigint")
+        .alias("s_2h"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    return per_user.agg(
+        F.sum("s_5m").cast("bigint").alias("sessions_5m"),
+        F.sum("s_30m").cast("bigint").alias("sessions_30m"),
+        F.sum("s_2h").cast("bigint").alias("sessions_2h"),
+        F.round(F.sum("n_events") / F.sum("s_5m"), 6).alias(
+            "events_per_session_5m"
+        ),
+        F.round(F.sum("n_events") / F.sum("s_30m"), 6).alias(
+            "events_per_session_30m"
+        ),
+        F.round(F.sum("n_events") / F.sum("s_2h"), 6).alias(
+            "events_per_session_2h"
+        ),
+    )

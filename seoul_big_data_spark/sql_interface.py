@@ -271,3 +271,33 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "sql_group_by_all",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+/SQL sugar): every non-aggregate select
+    item becomes a group key — kills the classic edit hazard of adding a
+    projection column and forgetting the GROUP BY (silent wrong answer in
+    engines that allow it, analysis error otherwise). Compiles to the
+    identical plan the explicit form produces; the oracle spells it out."""
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        GROUP BY ALL
+        """
+    )
