@@ -221,6 +221,7 @@ EXTENDED = [
     "agg_listagg_ordered",
     "sql_group_by_all",
     "events_session_gap_sensitivity",
+    "dq_dup_rate_by_source",
 ]
 
 
