@@ -44,3 +44,37 @@ def test_hll_merge_equals_direct_global_sketch(spark, sf_dir):
         .collect()[0]["e"]
     )
     assert merged == direct
+
+
+def test_bottomk_sample_union_mergeable(spark, sf_dir):
+    """Bottom-k algebra: the k smallest md5 ranks of A ∪ B equal the k
+    smallest of (bottom-k(A) ∪ bottom-k(B)) — the property that lets the
+    sample sketch merge across partitions/days without re-reading data
+    (same algebra as KMV)."""
+    from seoul_big_data_spark.sources.tables import load
+
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    r = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    ranked = li.select(F.col("l_extendedprice").alias("v"), r.alias("r"))
+    a = ranked.filter(F.col("r") < F.lit("8"))
+    b = ranked.filter(F.col("r") >= F.lit("8"))
+    k = 500
+    direct = [row["r"] for row in ranked.orderBy("r").limit(k).collect()]
+    merged = [
+        row["r"]
+        for row in a.orderBy("r")
+        .limit(k)
+        .unionByName(b.orderBy("r").limit(k))
+        .orderBy("r")
+        .limit(k)
+        .collect()
+    ]
+    assert merged == direct and len(direct) == k
