@@ -161,6 +161,60 @@ def merge_upsert_partitioned(
     return parts
 
 
+def delete_where_partitioned(
+    spark,
+    path: str,
+    predicate: F.Column,
+    partition_col: str,
+    partition_values: list | None = None,
+) -> list:
+    """Partition-pruned DELETE over a parquet table partitioned by
+    ``partition_col``: rewrite ONLY the partitions that can contain
+    matching rows, keep every other partition's files untouched — the
+    DELETE-FROM-WHERE shape on plain parquet (the simpler cousin of
+    ``merge_upsert_partitioned``; an open table format swaps the
+    directory rewrite for a commit-log entry, same call site).
+
+    ``partition_values`` scopes the rewrite (the caller usually knows the
+    affected partitions — e.g. a GDPR purge keyed by ingest date); when
+    omitted, the affected set is discovered with one partition-pruned
+    aggregate over the predicate itself. Partitions left empty by the
+    delete are removed explicitly. Returns the rewritten partition
+    values."""
+    import os
+    import shutil
+
+    if partition_values is None:
+        partition_values = [
+            r[0]
+            for r in spark.read.parquet(path)
+            .filter(predicate)
+            .select(partition_col)
+            .distinct()
+            .collect()  # affected-partition list: catalog-sized
+        ]
+    if not partition_values:
+        return []
+    target = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(partition_values)
+    )
+    kept = target.filter(~predicate).localCheckpoint(eager=True)
+    survived = {
+        r[0] for r in kept.select(partition_col).distinct().collect()
+    }
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    for p in set(partition_values) - survived:
+        shutil.rmtree(
+            os.path.join(path, f"{partition_col}={p}"), ignore_errors=True
+        )
+    return partition_values
+
+
 def cdc_apply(
     target: DataFrame,
     changes: DataFrame,

@@ -374,3 +374,50 @@ def test_scd2_apply_invariants_random_walk(spark):
             .filter(F.col("count") > 1).count()
         )
         assert n_cur == 0
+
+
+def test_delete_where_partitioned_prunes_untouched_partitions(
+    spark, sf_dir, tmp_path
+):
+    """Pruned DELETE: rows matching the predicate disappear, untouched
+    partitions' files keep their mtimes (never rewritten), emptied
+    partitions vanish, and the surviving data equals the unpartitioned
+    filter."""
+    import os
+
+    from seoul_big_data_spark.sources.writers import delete_where_partitioned
+    from seoul_big_data_spark.sources.tables import load
+
+    path = str(tmp_path / "t")
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    o.write.partitionBy("o_orderstatus").parquet(path)
+    # delete every high-price F order; P/O partitions must not be touched
+    pred = (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)
+    before = {
+        p: os.path.getmtime(os.path.join(path, p))
+        for p in os.listdir(path)
+        if p.startswith("o_orderstatus=")
+    }
+    n_expected = o.filter(~pred).count()
+    affected = delete_where_partitioned(
+        spark, path, pred, "o_orderstatus", ["F"]
+    )
+    assert affected == ["F"]
+    after = spark.read.parquet(path)
+    assert after.count() == n_expected
+    assert after.filter(pred).count() == 0
+    for p, mtime in before.items():
+        if p != "o_orderstatus=F":
+            assert os.path.getmtime(os.path.join(path, p)) == mtime, p
+
+    # emptied partition disappears entirely
+    affected = delete_where_partitioned(
+        spark, path, F.col("o_orderstatus") == "P", "o_orderstatus"
+    )
+    assert affected == ["P"]
+    assert not os.path.isdir(os.path.join(path, "o_orderstatus=P"))
+    assert spark.read.parquet(path).filter(
+        F.col("o_orderstatus") == "P"
+    ).count() == 0
