@@ -222,6 +222,7 @@ EXTENDED = [
     "sql_group_by_all",
     "events_session_gap_sensitivity",
     "dq_dup_rate_by_source",
+    "stats_cohens_d_effect_size",
 ]
 
 

@@ -2830,3 +2830,70 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             1000 * F.col("n_h") * F.col("sd_h") / F.col("denom"), 2
         ).alias("n_alloc_1000"),
     )
+
+
+@query(
+    "stats_cohens_d_effect_size",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS g,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)
+                  AS BIGINT) AS s1_a,
+             CAST(sum(CASE WHEN l_linestatus = 'O'
+                           THEN l_quantity * l_quantity ELSE 0 END)
+                  AS BIGINT) AS s2_a,
+             CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END)
+                  AS BIGINT) AS s1_b,
+             CAST(sum(CASE WHEN l_linestatus = 'F'
+                           THEN l_quantity * l_quantity ELSE 0 END)
+                  AS BIGINT) AS s2_b
+      FROM lineitem WHERE l_linestatus IN ('O', 'F')
+      GROUP BY 1
+    )
+    SELECT g AS l_returnflag, n_a, n_b,
+           round(CAST(s1_a AS DOUBLE) / n_a
+                 - CAST(s1_b AS DOUBLE) / n_b, 6) AS mean_diff,
+           round((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
+                 / sqrt(((s2_a - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+                         + (s2_b - CAST(s1_b AS DOUBLE) * s1_b / n_b))
+                        / (n_a + n_b - 2)), 6) AS cohens_d
+    FROM s
+    """,
+)
+def stats_cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference, open vs
+    fulfilled quantity per return flag) — the MAGNITUDE companion to the
+    significance battery (z-test, Mann-Whitney, ANOVA): at 100 TB sample
+    sizes everything is "significant"; d says whether anyone should
+    care. One conditional-sum aggregate; all power sums exact BIGINT,
+    only the final combination floats (identical cross-engine)."""
+    li = load(spark, "lineitem", sf_dir).filter(
+        F.col("l_linestatus").isin("O", "F")
+    )
+    q = F.col("l_quantity")
+    is_a = F.col("l_linestatus") == "O"
+    is_b = F.col("l_linestatus") == "F"
+    s = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_a, q).otherwise(0)).cast("bigint").alias("s1_a"),
+        F.sum(F.when(is_a, q * q).otherwise(0)).cast("bigint").alias("s2_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_b, q).otherwise(0)).cast("bigint").alias("s1_b"),
+        F.sum(F.when(is_b, q * q).otherwise(0)).cast("bigint").alias("s2_b"),
+    )
+    mean_a = F.col("s1_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s1_b").cast("double") / F.col("n_b")
+    ss_a = F.col("s2_a") - F.col("s1_a").cast("double") * F.col("s1_a") / F.col("n_a")
+    ss_b = F.col("s2_b") - F.col("s1_b").cast("double") * F.col("s1_b") / F.col("n_b")
+    pooled = F.sqrt((ss_a + ss_b) / (F.col("n_a") + F.col("n_b") - 2))
+    return s.select(
+        F.col("g").alias("l_returnflag"),
+        "n_a",
+        "n_b",
+        F.round(mean_a - mean_b, 6).alias("mean_diff"),
+        F.round((mean_a - mean_b) / pooled, 6).alias("cohens_d"),
+    )
