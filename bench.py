@@ -223,6 +223,7 @@ EXTENDED = [
     "events_session_gap_sensitivity",
     "dq_dup_rate_by_source",
     "stats_cohens_d_effect_size",
+    "events_slo_burn_rate",
 ]
 
 

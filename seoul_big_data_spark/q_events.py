@@ -2180,3 +2180,65 @@ def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
             "events_per_session_2h"
         ),
     )
+
+
+@query(
+    "events_slo_burn_rate",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM events GROUP BY 1
+    ), windows AS (
+      SELECT hr, n, n_err,
+             CAST(sum(n) OVER w6 AS BIGINT)     AS n_6h,
+             CAST(sum(n_err) OVER w6 AS BIGINT) AS err_6h
+      FROM hourly
+      WINDOW w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           round(n_err * 1.0 / n, 6) AS err_rate_1h,
+           round(err_6h * 1.0 / n_6h, 6) AS err_rate_6h,
+           round((n_err * 1.0 / n) / 0.25, 6) AS burn_1h,
+           round((err_6h * 1.0 / n_6h) / 0.25, 6) AS burn_6h,
+           CAST((n_err * 1.0 / n) / 0.25 > 1.5
+                AND (err_6h * 1.0 / n_6h) / 0.25 > 1.2 AS BOOLEAN) AS paging
+    FROM windows
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate (Google SRE workbook alerting shape): the
+    error-budget consumption speed over a fast (1h) and slow (6h) window,
+    with the page condition = BOTH windows burning hot — the fast window
+    catches the spike, the slow one suppresses flappy pages. Error budget
+    here is a 25% error-rate objective against the fixture's ~20% uniform
+    error share. Fact reduces to hourly cells in one shuffle; the 6h
+    window runs on the calendar-sized table. At 100 TB the same query is
+    the streaming continuous-rollup's read side."""
+    ev = load(spark, "events", sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+    windows = hourly.select(
+        "hr",
+        "n",
+        "n_err",
+        F.sum("n").over(w6).cast("bigint").alias("n_6h"),
+        F.sum("n_err").over(w6).cast("bigint").alias("err_6h"),
+    )
+    r1 = F.col("n_err") / F.col("n")
+    r6 = F.col("err_6h") / F.col("n_6h")
+    return windows.select(
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.round(r1, 6).alias("err_rate_1h"),
+        F.round(r6, 6).alias("err_rate_6h"),
+        F.round(r1 / 0.25, 6).alias("burn_1h"),
+        F.round(r6 / 0.25, 6).alias("burn_6h"),
+        ((r1 / 0.25 > 1.5) & (r6 / 0.25 > 1.2)).alias("paging"),
+    )
