@@ -224,6 +224,7 @@ EXTENDED = [
     "dq_dup_rate_by_source",
     "stats_cohens_d_effect_size",
     "events_slo_burn_rate",
+    "text_lexical_diversity",
 ]
 
 

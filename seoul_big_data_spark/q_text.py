@@ -1658,3 +1658,55 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_clusters"),
         F.sum("cluster_size").cast("bigint").alias("n_docs"),
     )
+
+
+@query(
+    "text_lexical_diversity",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ), wc AS (
+      SELECT doc_id, w, count(*) AS c FROM ex GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(count(*) * 1.0 / sum(c), 6) AS ttr,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS hapax_rate
+    FROM wc GROUP BY doc_id
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio and hapax-legomenon
+    rate — the corpus-linguistics quality signals that separate generative
+    word-salad and template boilerplate (low TTR, low hapax) from natural
+    prose. One explode + two nested integer aggregates; complements the
+    repetition metrics (`text_repetition_metrics`) and Zipf slope."""
+    d = load(spark, "documents", sf_dir)
+    wc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower("text")), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("ttr"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")) / F.count("*"), 6
+        ).alias("hapax_rate"),
+    )

@@ -72,3 +72,35 @@ def test_incremental_join_delta_disjoint_and_complete(spark, sf_dir):
         want = {key(r) for r in o.join(c, "c_custkey").collect()}
         assert got_base.isdisjoint(got_delta), (mod_a, mod_b)
         assert got_base | got_delta == want, (mod_a, mod_b)
+
+
+def test_answer_from_rollup_every_key_subset(spark, sf_dir):
+    """MV answering must hold for EVERY subset of the stored rollup's
+    keys (including the grand total): coarsened answers equal direct
+    aggregation of the fact."""
+    from itertools import combinations
+
+    from seoul_big_data_spark.operators.rollup import (
+        answer_from_rollup,
+        partial_rollup,
+    )
+    from seoul_big_data_spark.sources.tables import load
+
+    li = load(spark, "lineitem", sf_dir)
+    keys = ["l_returnflag", "l_linestatus"]
+    mv = partial_rollup(li, keys, "l_quantity").cache()
+    for r in range(0, len(keys) + 1):
+        for subset in combinations(keys, r):
+            got = {
+                tuple(row[k] for k in subset)
+                + (row["n"], float(row["sum_value"]), row["min_value"],
+                   row["max_value"])
+                for row in answer_from_rollup(mv, list(subset)).collect()
+            }
+            want = {
+                tuple(row[k] for k in subset)
+                + (row["n"], float(row["sum_value"]), row["min_value"],
+                   row["max_value"])
+                for row in partial_rollup(li, list(subset), "l_quantity").collect()
+            }
+            assert got == want, subset
