@@ -225,6 +225,7 @@ EXTENDED = [
     "stats_cohens_d_effect_size",
     "events_slo_burn_rate",
     "text_lexical_diversity",
+    "events_funnel_step_latency",
 ]
 
 

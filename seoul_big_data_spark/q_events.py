@@ -2242,3 +2242,90 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r6 / 0.25, 6).alias("burn_6h"),
         ((r1 / 0.25 > 1.5) & (r6 / 0.25 > 1.2)).alias("paging"),
     )
+
+
+@query(
+    "events_funnel_step_latency",
+    """
+    WITH v AS (
+      SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id,
+             min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id,
+             min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t_buy
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) > c.t_click
+      GROUP BY e.user_id
+    ), j AS (
+      SELECT v.user_id, v.t_view, c.t_click, p.t_buy
+      FROM v LEFT JOIN c ON c.user_id = v.user_id
+             LEFT JOIN p ON p.user_id = v.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT)       AS n_viewers,
+           CAST(count(t_click) AS BIGINT) AS n_clickers,
+           CAST(count(t_buy) AS BIGINT)   AS n_buyers,
+           round(quantile_cont(t_click - t_view, 0.5), 2)
+             AS median_view_to_click_s,
+           round(quantile_cont(t_buy - t_click, 0.5), 2)
+             AS median_click_to_buy_s
+    FROM j
+    """,
+)
+def events_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step LATENCY: median seconds from first view to first
+    subsequent click, and from that click to first subsequent purchase —
+    the time dimension the conversion-rate funnels
+    (`events_funnel_conversion`, `events_funnel_time_bounded`) don't
+    carry (a funnel can convert well but take days). Three ordered
+    first-occurrence reductions chained by strictly-after joins (each one
+    shuffle on user), then exact interpolated medians over the
+    user-cardinality table; epoch seconds keep the deltas integral."""
+    from pyspark import StorageLevel
+
+    tss = F.floor(F.col("ts").cast("double")).cast("bigint")
+    # three step filters read the same 3-column reduction: one fact scan
+    ev = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", tss.alias("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_buy"))
+    )
+    j = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_viewers"),
+        F.count("t_click").cast("bigint").alias("n_clickers"),
+        F.count("t_buy").cast("bigint").alias("n_buyers"),
+        F.round(
+            F.expr("percentile(t_click - t_view, 0.5)"), 2
+        ).alias("median_view_to_click_s"),
+        F.round(
+            F.expr("percentile(t_buy - t_click, 0.5)"), 2
+        ).alias("median_click_to_buy_s"),
+    )
