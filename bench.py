@@ -226,6 +226,7 @@ EXTENDED = [
     "events_slo_burn_rate",
     "text_lexical_diversity",
     "events_funnel_step_latency",
+    "dq_timestamp_sanity",
 ]
 
 

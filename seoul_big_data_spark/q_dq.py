@@ -994,3 +994,54 @@ def dq_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count_distinct("text")) / F.count("*"), 6
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "dq_timestamp_sanity",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_ts,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2000-01-01 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_before_2000,
+           CAST(sum(CASE WHEN ts > TIMESTAMP '2030-01-01 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after_2030,
+           CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_epoch_zero,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+    FROM events
+    """,
+)
+def dq_timestamp_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp sanity screen: nulls, epoch-zero sentinels (the classic
+    1970-01-01 default-value bug), and values outside a plausible
+    [2000, 2030) horizon — the first rule any event pipeline runs,
+    because clock bugs silently poison every window, watermark, and
+    retention metric downstream. One conditional-sum aggregate over one
+    scan; the fixture is clean, so the screen's zero counts are
+    themselves the assertion."""
+    ev = load(spark, "events", sf_dir)
+    lo = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("2030-01-01 00:00:00").cast("timestamp")
+    return ev.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("ts").isNull().cast("long"))
+        .cast("bigint")
+        .alias("n_null_ts"),
+        F.sum((F.col("ts") < lo).cast("long"))
+        .cast("bigint")
+        .alias("n_before_2000"),
+        F.sum((F.col("ts") > hi).cast("long"))
+        .cast("bigint")
+        .alias("n_after_2030"),
+        F.sum(
+            (F.floor(F.col("ts").cast("double")).cast("bigint") == 0).cast(
+                "long"
+            )
+        )
+        .cast("bigint")
+        .alias("n_epoch_zero"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    )
