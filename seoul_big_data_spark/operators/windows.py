@@ -42,6 +42,7 @@ def bucketed_cumsum(
     val_col: str,
     sum_cols: list[str],
     n_buckets: int = 1024,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Global ordered cumulative sums WITHOUT the single-reducer window.
 
@@ -56,7 +57,10 @@ def bucketed_cumsum(
 
     Requires one row per distinct ``val_col`` (aggregate first): with ties
     the within-bucket inclusive frame would make tied rows' cumsums
-    order-dependent.
+    order-dependent. Alternatively pass ``order_cols`` — a unique composite
+    ordering whose LEADING column is ``val_col`` — and rows may repeat a
+    ``val_col`` value: ties of the bucketing key stay inside one bucket, so
+    the composite within-bucket order keeps the global cumsum exact.
     """
     mm = df.agg(
         F.min(val_col).cast("double").alias("_lo"),
@@ -85,13 +89,131 @@ def bucketed_cumsum(
             for c in sum_cols
         ],
     )
-    w_in = Window.partitionBy("_b").orderBy(val_col).rowsBetween(
+    w_in = Window.partitionBy("_b").orderBy(*(order_cols or [val_col])).rowsBetween(
         Window.unboundedPreceding, 0
     )
     out = d.join(F.broadcast(offsets), "_b")
     for c in sum_cols:
         out = out.withColumn(f"cum_{c}", F.col(f"_o_{c}") + F.sum(c).over(w_in))
     return out.drop("_b", *[f"_o_{c}" for c in sum_cols])
+
+
+def lead_scalable(
+    df: DataFrame,
+    key_col: str,
+    out: str = "next_key",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """``lead(key) OVER (ORDER BY key)`` WITHOUT the single-reducer window.
+
+    Same two-level shape as :func:`bucketed_cumsum`: range buckets from a
+    broadcast min/max probe, within-bucket ``lead`` partitioned by the
+    bucket id, and the bucket-boundary stitch — the last key of a bucket
+    takes the NEXT bucket's minimum key (a lead over the bucket-cardinality
+    table, bounded by construction; empty buckets simply hold no rows). The
+    globally-last key gets NULL, matching the window form.
+
+    Requires distinct, non-null, numeric keys (aggregate first).
+    """
+    mm = df.agg(
+        F.min(F.col(key_col).cast("double")).alias("_lo"),
+        F.max(F.col(key_col).cast("double")).alias("_hi"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_buckets
+    bucket = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(key_col).cast("double") - F.col("_lo")) / width),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("bigint")
+    )
+    d = df.crossJoin(F.broadcast(mm)).withColumn("_b", bucket).drop("_lo", "_hi")
+    bmin = d.groupBy("_b").agg(F.min(key_col).alias("_bmin"))
+    nxt = bmin.select(
+        "_b", F.lead("_bmin").over(Window.orderBy("_b")).alias("_next_bmin")
+    )
+    w_in = Window.partitionBy("_b").orderBy(key_col)
+    return (
+        d.join(F.broadcast(nxt), "_b")
+        .withColumn(
+            out, F.coalesce(F.lead(key_col).over(w_in), F.col("_next_bmin"))
+        )
+        .drop("_b", "_next_bmin")
+    )
+
+
+def ntile_scalable(
+    df: DataFrame,
+    k: int,
+    order_by: list[str],
+    out: str = "ntile",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY order_by)`` WITHOUT the single-reducer
+    global window — the 100 TB form of quantile bucketing.
+
+    Same two-level shape as :func:`bucketed_cumsum`: fixed-width range
+    buckets on the leading key from one broadcast min/max aggregate (no
+    eager collect), per-bucket counts cumulated over the bucket-cardinality
+    table (n_buckets rows — the only unpartitioned window, bounded by
+    construction), then a within-bucket ``row_number`` partitioned by the
+    bucket id. The global rank is ``bucket_offset + local_rank`` — exact,
+    because the bucket id is monotone in the leading key and ties of the
+    leading key share a bucket — and ntile's size rule (first N%k buckets
+    get one extra row) is applied as an expression on that rank.
+
+    Preconditions: the leading order column is non-null and numeric
+    (castable to double); callers express DESC by negating into a temp
+    column. Ties must be broken by trailing ``order_by`` columns for a
+    deterministic result (same requirement as the window form).
+    """
+    lead = order_by[0]
+    mm = df.agg(
+        F.min(F.col(lead).cast("double")).alias("_lo"),
+        F.max(F.col(lead).cast("double")).alias("_hi"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_buckets
+    bucket = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(lead).cast("double") - F.col("_lo")) / width),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("bigint")
+    )
+    d = df.crossJoin(F.broadcast(mm)).withColumn("_b", bucket).drop("_lo", "_hi")
+    partials = d.groupBy("_b").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = partials.select(
+        "_b",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_n").over(w_all).alias("_N"),
+    )
+    w_in = Window.partitionBy("_b").orderBy(*order_by)
+    d = (
+        d.join(F.broadcast(offsets), "_b")
+        .withColumn("_r", F.col("_off") + F.row_number().over(w_in))
+        .withColumn("_q", F.expr(f"_N div {k}"))
+        .withColumn("_rem", F.col("_N") % k)
+    )
+    # ntile: the first (N % k) buckets hold (N div k)+1 rows, the rest
+    # (N div k). CaseWhen short-circuits, so the q==0 small-N case never
+    # reaches the `div _q` branch.
+    score = F.when(
+        F.col("_r") <= F.col("_rem") * (F.col("_q") + F.lit(1)),
+        F.expr("(_r - 1) div (_q + 1) + 1"),
+    ).otherwise(F.col("_rem") + F.expr("(_r - _rem * (_q + 1) - 1) div _q + 1"))
+    return d.withColumn(out, score.cast("int")).drop(
+        "_b", "_off", "_N", "_r", "_q", "_rem"
+    )
 
 
 def sessionize(

@@ -1768,20 +1768,21 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the finished-order key stream, whose holes are the open/pending
     orders — a sequence with real gaps by construction.
 
-    The lead window over the bare key column is the textbook form; at
-    100 TB the same gaps fall out of `numbered_bucketed`'s range buckets
-    (per-bucket lead + bucket-boundary stitch), so the unpartitioned
-    window here is the small-scale convenience, not the design. Top-20
-    via sort+limit.
+    Scale shape (r4): the next-key lookup is ``windows.lead_scalable`` —
+    range buckets on the key from a broadcast min/max probe, within-bucket
+    lead partitioned by bucket, boundary stitched with the next bucket's
+    minimum (a lead over the bounded bucket table) — no unpartitioned
+    window over the key stream. Top-20 via sort+limit.
     """
+    from .operators.windows import lead_scalable
+
     o = (
         load(spark, "orders", sf_dir)
         .filter(F.col("o_orderstatus") == "F")
         .select(F.col("o_orderkey").alias("k"))
     )
-    w = Window.orderBy("k")
-    g = o.select(
-        F.col("k").alias("gap_start_after"), F.lead("k").over(w).alias("next_k")
+    g = lead_scalable(o, "k", out="next_k").select(
+        F.col("k").alias("gap_start_after"), "next_k"
     )
     return (
         g.filter(F.col("next_k") - F.col("gap_start_after") > 1)

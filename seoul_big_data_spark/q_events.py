@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .operators import windows
 from .operators.joins import asof_join, banded_range_join, range_join
 from .operators.windows import sessionize
 from .registry import query
@@ -1216,13 +1217,14 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.select((F.col("hi") + 1).alias("tus"), F.lit(-1).alias("d"))
     )
     merged = deltas.groupBy("tus").agg(F.sum("d").alias("dd"))
-    run = merged.select(
-        F.sum("dd")
-        .over(Window.orderBy("tus").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("run")
-    )
+    # Scale-safe sweep-line: the running sum over the merged timeline uses
+    # the two-level bucketed cumulative sum (range buckets + bounded offsets
+    # table) instead of an unpartitioned `Window.orderBy(tus)` — the
+    # timeline is session-count-sized here but fact-scale at 100×.
+    # Equivalence to the global-window form: test_scale_safe_twins.py.
+    run = windows.bucketed_cumsum(merged, "tus", ["dd"])
     return (
-        run.agg(F.max("run").alias("peak_concurrent_sessions"))
+        run.agg(F.max("cum_dd").alias("peak_concurrent_sessions"))
         .crossJoin(F.broadcast(ncnt))
     )
 

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.vector import cosine
+from .operators import windows
 from .registry import query
 from .sources.tables import load
 
@@ -567,15 +568,17 @@ def stats_source_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quantile-bucket) histogram: ntile deciles with a total
-    order (value, key) so bucket membership is deterministic under ties.
-    The global window is the oracle-exact form; at 100 TB the same
-    boundaries come from approx_percentile(p=0..1) + a map-side bucket
-    lookup — the window here doubles as that path's verification twin."""
-    o = load(spark, "orders", sf_dir)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    t = o.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    """Equi-depth (quantile-bucket) histogram: exact ntile deciles with a
+    total order (value, key) so bucket membership is deterministic under
+    ties. Registered plan is the scale-safe two-level form
+    (``windows.ntile_scalable``): range-bucket on o_totalprice, per-bucket
+    counts cumulated over the bounded bucket table, within-bucket
+    row_number partitioned by bucket — no unpartitioned window ever touches
+    the fact. Equivalence to the single-reducer ``ntile(10) OVER`` window
+    is pinned in test_scale_safe_twins.py."""
+    o = load(spark, "orders", sf_dir).select("o_totalprice", "o_orderkey")
+    t = windows.ntile_scalable(
+        o, 10, ["o_totalprice", "o_orderkey"], out="decile"
     )
     return t.groupBy("decile").agg(
         F.count("*").alias("n"),
@@ -633,29 +636,43 @@ def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer segmentation: one aggregate to customer grain, three
-    ntile windows (recency / frequency / monetary quartiles, total-ordered
-    by the customer key for tie determinism). Monetary sums exact decimals
-    so quartile boundaries cannot drift cross-engine. The global ntile is
-    the oracle-exact form; at 100 TB the boundaries come from
-    approx_percentile and the scores from a map-side bucket lookup."""
+    """RFM customer segmentation: one aggregate to customer grain, then
+    three exact ntile(4) quartile scores (recency / frequency / monetary,
+    total-ordered by the customer key for tie determinism). Monetary sums
+    exact decimals so quartile boundaries cannot drift cross-engine.
+
+    Registered plan is the scale-safe form: the customer-grain frame is
+    persisted once, each score comes from ``windows.ntile_scalable`` (DESC
+    expressed by negating into a temp key — bucket id stays monotone), and
+    the three score frames join back on the unique customer key. No
+    unpartitioned window touches the (fact-scale at 100×) customer frame;
+    the single-reducer triple-ntile window form is the pytest verification
+    twin (test_scale_safe_twins.py)."""
+    from pyspark import StorageLevel
+
     o = load(spark, "orders", sf_dir)
-    rfm = o.groupBy("o_custkey").agg(
-        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("last_us"),
-        F.count("*").alias("freq"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("last_us"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return rfm.select(
-        "o_custkey",
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("last_us"), F.asc("o_custkey")))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m_score"),
+
+    def score(col: str, out: str) -> DataFrame:
+        neg = rfm.withColumn("_neg", -F.col(col))
+        return windows.ntile_scalable(
+            neg, 4, ["_neg", "o_custkey"], out=out
+        ).select("o_custkey", out)
+
+    return (
+        score("last_us", "r_score")
+        .join(score("freq", "f_score"), "o_custkey")
+        .join(score("monetary", "m_score"), "o_custkey")
     )
 
 

@@ -856,11 +856,17 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N4 — sequence packing: chunks (the `text_chunk_fixed_tokens` output)
     are assigned to fixed 512-token training sequences by a running token
     total — seq_id = floor(tokens-before-this-chunk / 512), the contiguous
-    greedy packing every data loader uses. One global window ordered by
-    (doc_id, chunk_start): deterministic, and at 100 TB the same cumsum runs
-    per shard (partition by source/date and pack within shards — the
-    ordering key is already shard-local) so no single-reducer bottleneck;
-    the global form here keeps the oracle exact."""
+    greedy packing every data loader uses. Ordered by (doc_id, chunk_start):
+    deterministic. Scale shape (r4): the running total comes from
+    ``windows.bucketed_cumsum`` — range buckets on the numeric doc_id
+    (ties of a doc's chunks share a bucket, composite within-bucket order
+    keeps the global cumsum exact) — so no unpartitioned window ever sees
+    chunk-grain data; the chunk frame is persisted so tokenization runs
+    once across the probe/partials/main consumers."""
+    from pyspark import StorageLevel
+
+    from .operators.windows import bucketed_cumsum
+
     d = load(spark, "documents", sf_dir)
     toks = tx.tokens("text")
     nz = d.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
@@ -873,16 +879,15 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "chunk_start",
         F.size(F.slice(F.col("t"), F.col("chunk_start"), 128)).alias("n_tok"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cum = bucketed_cumsum(
+        chunks, "doc_id", ["n_tok"], order_cols=["doc_id", "chunk_start"]
     )
-    w = Window.orderBy("doc_id", "chunk_start").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = chunks.withColumn("running", F.sum("n_tok").over(w))
     return cum.select(
         "doc_id",
         "chunk_start",
         "n_tok",
-        F.floor((F.col("running") - F.col("n_tok")) / 512.0)
+        F.floor((F.col("cum_n_tok") - F.col("n_tok")) / 512.0)
         .cast("long")
         .alias("seq_id"),
     )

@@ -437,14 +437,12 @@ def sort_with_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def limit_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 — deterministic first-row (the reference's fetchall()[0],
-    data_seoul_2_csv_noopenapi.py:78)."""
+    data_seoul_2_csv_noopenapi.py:78). Scale shape: min-key as a broadcast
+    1-row aggregate joined back — a map-side min + one lookup, never a
+    single-reducer row_number window over the fact."""
     o = load(spark, "orders", sf_dir)
-    return (
-        windows.latest_per_group(
-            o.withColumn("_g", F.lit(1)), ["_g"], [F.asc("o_orderkey")]
-        )
-        .select("o_orderkey", "o_custkey")
-    )
+    mn = o.agg(F.min("o_orderkey").alias("o_orderkey"))
+    return o.join(F.broadcast(mn), "o_orderkey").select("o_orderkey", "o_custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -526,9 +524,20 @@ _R1_OFFICIAL = frozenset({
 _OFFICIAL_GREEN = None  # resolved lazily after _R1_OFFICIAL is defined
 
 
+# Algorithmically riskiest still-uncertified entries (VERDICT r3 "Next round"
+# #1 names these explicitly) — front of the capped gate regardless of family.
+_R4_RISKY = frozenset({
+    "graph_pagerank_neardup", "events_markov_absorbing_conversion",
+    "dedup_jaccard_prefix_filter", "timeseries_holt_forecast",
+    "stats_kendall_tau_b", "mv_answer_from_rollup",
+})
+
+
 def _gate_rank(name: str) -> int:
     if name in _OFFICIAL_GREEN:
         return 3  # already officially green in round 1
+    if name in _R4_RISKY:
+        return -1  # judge-named risky entries: certify first
     if name.startswith(("tpch_", "correlated_", "scalar_subquery", "join_bucketed")):
         return 0  # multi-join analytic shapes (judge priority #1)
     if name.startswith(("dq_", "sample_", "text_repetition", "text_contamination",
