@@ -716,9 +716,13 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side (sources/multimodal.py::perceptual_hash), and grouping
     on the hash recovers clusters of perceptually-near images: the image
     analogue of MinHash dedup, with the hash as the LSH bucket key.
-    Render + hash are both Arrow-batched ``mapInPandas``; nothing binary
-    touches the driver. Hash stability and near-dup Hamming locality are
-    pinned in tests/test_multimodal.py.
+    The corpus is MIXED-FORMAT — even doc_ids render as BMP, odd as PNG
+    (r4: the stdlib-zlib PNG codec) — and the hash is container-invariant,
+    so identical content dedups across formats, which is the property a
+    real image-dedup pipeline needs. Render + hash are both Arrow-batched
+    ``mapInPandas``; nothing binary touches the driver. Hash stability,
+    near-dup Hamming locality, and BMP/PNG hash parity are pinned in
+    tests/test_multimodal.py.
     """
     from collections.abc import Iterator
 
@@ -727,7 +731,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from .session import ensure_package_shipped
-    from .sources.multimodal import encode_bmp_array, perceptual_hash
+    from .sources.multimodal import encode_bmp_array, encode_png, perceptual_hash
 
     ensure_package_shipped(spark)
     d = load(spark, "documents", sf_dir).select("doc_id", "text")
@@ -740,7 +744,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for text in pdf["text"]:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 t = text.lower()
                 n = max(len(t), 1)
                 # letter frequency per mille, quantized to 32 levels — the
@@ -753,7 +757,8 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dtype=np.uint8,
                 )
                 arr = hist[_CH].reshape(16, 16, 3)  # one gather, no pix() loop
-                payloads.append(bytearray(encode_bmp_array(arr)))
+                enc = encode_bmp_array if int(doc_id) % 2 == 0 else encode_png
+                payloads.append(bytearray(enc(arr)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     blobs = d.mapInPandas(_render, schema="doc_id bigint, payload binary")

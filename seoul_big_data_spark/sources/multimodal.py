@@ -6,13 +6,15 @@ batched ``mapInPandas`` — per-partition, vectorized, no driver involvement —
 which is the correct 100 TB shape: decode cost scales with executors, and the
 payload bytes never leave the executor that scanned them.
 
-Decoding is REAL for the two uncompressed raster formats a pure-Python
-decoder can handle exactly — BMP (24-bit BI_RGB) and PPM (P6 binary / P3
-ascii) — producing true content-derived width/height/channel statistics.
-Compressed formats (JPEG/PNG/MP3/...) raise ``NotImplementedError`` at the
-clearly-marked codec slot (plug PIL/cv2/ffmpeg there when the environment
-has them); payloads tagged ``fake/*`` fall back to a deterministic fake so
-plumbing tests don't depend on any codec.
+Decoding is REAL for the raster formats a pure-Python decoder can handle
+exactly — BMP (24-bit BI_RGB), PPM (P6 binary / P3 ascii), and PNG (8-bit
+gray/RGB/RGBA, non-interlaced: stdlib ``zlib`` inflate + the five per-row
+unfilters) — producing true content-derived width/height/channel statistics.
+Formats needing an entropy codec the stdlib lacks (JPEG/MP3/...) raise
+``NotImplementedError`` at the clearly-marked codec slot (plug PIL/cv2/
+ffmpeg there when the environment has them); payloads tagged ``fake/*``
+fall back to a deterministic fake so plumbing tests don't depend on any
+codec.
 """
 
 from __future__ import annotations
@@ -137,6 +139,182 @@ def _decode_ppm(payload: bytes) -> dict:
     }
 
 
+# --- PNG (stdlib-zlib codec: inflate IDAT + per-row unfilter) ---------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Iterate (type, data) over a PNG byte stream (public spec layout:
+    4-byte big-endian length, 4-byte type, data, 4-byte CRC)."""
+    pos = 8
+    while pos + 8 <= len(payload):
+        length = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4:pos + 8]
+        yield ctype, payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IEND":
+            break
+
+
+def _decode_png_pixels(payload: bytes):
+    """Full pixel array of an 8-bit non-interlaced PNG (grayscale / RGB /
+    RGBA) as an (h, w, channels) uint8 numpy array, y=0 at top. Pure
+    stdlib: concatenated IDAT is one ``zlib.decompress``, then the five
+    per-row filters (None/Sub/Up/Average/Paeth, spec §9) are reversed —
+    Sub via a mod-256 cumulative sum, Up as a wrapped row add, Average and
+    Paeth as the per-byte recurrences the spec defines. 16-bit, palette,
+    and Adam7-interlaced variants hit the NotImplementedError codec slot
+    like JPEG does."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr, idat = None, bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace}) needs a real codec; plug PIL here"
+        )
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).copy()
+        pos += stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: + left — a per-channel mod-256 prefix sum
+            row = (
+                np.cumsum(row.reshape(w, bpp).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up: + above (uint8 add wraps mod 256 by design)
+            row += prev
+        elif ftype == 3:  # Average: + floor((left + above) / 2)
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, channels)
+
+
+def _decode_png(payload: bytes) -> dict:
+    """PNG → the same typed-metadata dict as ``_decode_bmp``/``_decode_ppm``
+    (content-derived channel means; alpha excluded from feat_mean)."""
+    px = _decode_png_pixels(payload)
+    h, w, channels = px.shape
+    import numpy as np
+
+    n_px = h * w
+    sums = px.astype(np.int64).sum(axis=(0, 1))
+    if channels == 1:
+        r = g = b = int(sums[0]) / n_px
+        feat = r
+    else:
+        r, g, b = (int(sums[i]) / n_px for i in range(3))
+        feat = int(sums[:3].sum()) / (3 * n_px)
+    return {
+        "format": "png",
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "mean_r": r,
+        "mean_g": g,
+        "mean_b": b,
+        "feat_mean": feat,
+    }
+
+
+def encode_png(arr, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG writer (test-vector generator, inverse of
+    ``_decode_png_pixels``). ``arr`` is (h, w, c) uint8 with c in {1, 3, 4};
+    ``filters`` optionally forces a per-row filter type (0-4) so tests can
+    exercise every unfilter path; default all-0 (None)."""
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int64)
+        f = filters[y] if filters else 0
+        raw.append(f)
+        left = np.concatenate([np.zeros(c, dtype=np.int64), row[:-c]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = (row - left) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            enc = (row - ((left + prev) >> 1)) % 256
+        elif f == 4:
+            enc = np.empty_like(row)
+            for i in range(len(row)):
+                a = int(row[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[i] = (int(row[i]) - pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        raw += bytes(enc.astype(np.uint8))
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _z.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_payload(payload: bytes, fmt: str | None = None) -> dict:
     """Decode one payload: real BMP/PPM decode, deterministic fake for
     ``fake/*`` tags, NotImplementedError for formats needing a real codec
@@ -147,6 +325,9 @@ def _decode_payload(payload: bytes, fmt: str | None = None) -> dict:
         return out
     if payload[:2] in (b"P6", b"P3"):
         out.update(_decode_ppm(payload))
+        return out
+    if payload[:8] == _PNG_SIG:
+        out.update(_decode_png(payload))
         return out
     if fmt is None or fmt.startswith("fake/"):
         # Deterministic fake: "dimensions" from byte length, "feature" = mean
@@ -459,6 +640,24 @@ def _decode_bmp_pixels(payload: bytes):
     )
 
 
+def _decode_pixels_rgb(payload: bytes):
+    """(h, w, 3) uint8 RGB with y=0 at top for ANY supported raster
+    container — the orientation/channel-normalized form ``perceptual_hash``
+    consumes, so the same image hashes identically whether it arrives as
+    BMP (stored bottom-up BGR) or PNG (top-down RGB/RGBA/gray)."""
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        px = _decode_bmp_pixels(payload)  # bottom-up rows, BGR samples
+        return px[::-1, :, ::-1]
+    if payload[:8] == _PNG_SIG:
+        px = _decode_png_pixels(payload)
+        if px.shape[2] == 1:
+            return np.repeat(px, 3, axis=2)
+        return px[:, :, :3]
+    raise ValueError("unsupported raster payload for pixel decode")
+
+
 def _ahash_bits(px, grid: int = 8) -> int:
     """Average-hash of a pixel array: grayscale → ``grid``×``grid`` block
     means → bit = block mean > global mean of block means. Integer/float64
@@ -492,14 +691,16 @@ def perceptual_hash(
     (crops, brightness shifts, re-encodes) land within a small Hamming
     distance, so an equality/bucket join on the hash (or its prefixes) is
     the image analogue of MinHash-LSH — payloads decode executor-side,
-    Arrow-batched, never on the driver."""
+    Arrow-batched, never on the driver. Container-invariant: pixels are
+    normalized to top-down RGB before hashing, so the same image collides
+    whether stored as BMP or PNG (``_decode_pixels_rgb``)."""
     import pandas as pd
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                px = _decode_bmp_pixels(bytes(payload))
+                px = _decode_pixels_rgb(bytes(payload))
                 out.append(
                     {
                         "doc_id": int(doc_id),

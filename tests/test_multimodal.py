@@ -261,3 +261,114 @@ def test_encode_bmp_array_byte_identical_to_callback_form():
             return int(r), int(g), int(b)
 
         assert encode_bmp_array(arr) == encode_bmp(w, h, pix), (w, h)
+
+
+# --- PNG (r4: stdlib-zlib codec) --------------------------------------------
+
+
+def _rand_arr(h, w, c, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, c), dtype="uint8").astype("uint8")
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter_type(filt):
+    """Encode with one forced filter per row, decode, expect exact pixels —
+    exercises each of the five unfilter paths independently."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_png_pixels,
+        encode_png,
+    )
+
+    arr = _rand_arr(6, 5, 3)
+    payload = encode_png(arr, filters=[filt] * 6)
+    assert np.array_equal(_decode_png_pixels(payload), arr)
+
+
+def test_png_roundtrip_mixed_filters_and_channels():
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_png_pixels,
+        encode_png,
+    )
+
+    for c in (1, 3, 4):
+        arr = _rand_arr(5, 4, c, seed=c)
+        payload = encode_png(arr, filters=[0, 1, 2, 3, 4])
+        assert np.array_equal(_decode_png_pixels(payload), arr)
+
+
+def test_png_decode_known_means():
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import encode_png
+
+    arr = np.zeros((2, 2, 3), dtype="uint8")
+    arr[:, :, 0] = 100  # R
+    arr[:, :, 1] = 50   # G
+    arr[:, :, 2] = 200  # B
+    got = _decode_payload(encode_png(arr))
+    assert (got["format"], got["width"], got["height"], got["channels"]) == (
+        "png", 2, 2, 3
+    )
+    assert got["mean_r"] == pytest.approx(100.0)
+    assert got["mean_g"] == pytest.approx(50.0)
+    assert got["mean_b"] == pytest.approx(200.0)
+    assert got["feat_mean"] == pytest.approx((100 + 50 + 200) / 3)
+
+
+def test_png_unsupported_variants_hit_codec_slot():
+    import struct
+    import zlib
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _PNG_SIG,
+        _decode_png_pixels,
+    )
+
+    def png_with_ihdr(depth, color, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d))
+            )
+        return (
+            _PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+            + chunk(b"IEND", b"")
+        )
+
+    for depth, color, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+        with pytest.raises(NotImplementedError):
+            _decode_png_pixels(png_with_ihdr(depth, color, interlace))
+
+
+def test_phash_container_invariant_bmp_vs_png():
+    """The SAME pixel content must hash identically whether shipped as BMP
+    or PNG — the property that lets the dedup query run a mixed corpus."""
+    from seoul_big_data_spark.sources.multimodal import (
+        _ahash_bits,
+        _decode_pixels_rgb,
+        encode_bmp_array,
+        encode_png,
+    )
+
+    arr = _rand_arr(16, 16, 3, seed=42)
+    h_bmp = _ahash_bits(_decode_pixels_rgb(encode_bmp_array(arr)))
+    h_png = _ahash_bits(_decode_pixels_rgb(encode_png(arr, filters=list(range(5)) * 3 + [2])))
+    assert h_bmp == h_png
+
+
+def test_phash_dedup_query_mixed_corpus(spark, sf_dir):
+    from seoul_big_data_spark.queries import QUERIES
+
+    out = QUERIES["multimodal_phash_dedup"](spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= 50
+    assert {c for c in out.columns} == {"phash", "n_docs", "survivor_doc_id"}
