@@ -176,7 +176,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched ``mapInPandas``: payload bytes are created and consumed
     executor-side, never on the driver — the 100 TB shape for media columns.
     Round-trip exactness (known pixels → known stats) is pinned in
-    tests/test_multimodal.py; compressed codecs (JPEG/PNG) remain an explicit
+    tests/test_multimodal.py; PNG decodes for real (stdlib zlib, r4), while
+    entropy-coded formats (JPEG/MP3) remain an explicit
     ``NotImplementedError`` slot."""
     from collections.abc import Iterator
 
@@ -768,3 +769,368 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("survivor_doc_id"),
     )
     return groups.orderBy(F.col("n_docs").desc(), F.col("phash")).limit(50)
+
+
+# --- md5 oracle twins for the ANN/PQ family (r4, VERDICT r3 #5) --------------
+# The full ANN rankings are rows-only by nature (iterative Lloyd fits are not
+# SQL), but their DETERMINISTIC stages are: md5-seeded codebooks (iters=0),
+# cell/bucket/code assignment, and ADC scoring are pure expressions both
+# engines can evaluate bit-identically (sequential double accumulation on
+# both sides; assignments argmin/argmax over scores rounded to 6 so sub-ulp
+# noise can never flip a cell, ties to the lowest id).
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Sequential double dot product — the DuckDB twin of functions.vector.dot
+    (same left-to-right accumulation order, same per-element double cast)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform({a}, "
+        "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))"
+    )
+
+
+def _sql_l2sq(a: str, b: str) -> str:
+    """Sequential double squared-L2 (b's elements already double)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    )
+
+
+_SQL_SEEDS8 = """
+    s0 AS (
+      SELECT vec_id, embedding FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    )"""
+
+_SQL_CENTROIDS8 = (
+    _SQL_SEEDS8
+    + f""",
+    cn AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / {_sql_norm('embedding')}) AS c
+      FROM s0
+    )"""
+)
+
+_SQL_CELLS8 = (
+    _SQL_CENTROIDS8
+    + f""",
+    scored AS (
+      SELECT e.vec_id, e.embedding, cn.cell,
+             round({_sql_dot('e.embedding', 'cn.c')}, 6) AS s
+      FROM embeddings e CROSS JOIN cn
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cell) AS rk
+      FROM scored
+    )"""
+)
+
+
+def _cell_expr_rounded(cents: list[list[float]], vec: str = "embedding"):
+    """argmax-dot cell id with the dot rounded to 6 decimals (cross-engine
+    assignment stability); ties to the lowest cell, as operators.ivf."""
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("s"),
+                F.round(dot(vec, F.array(*[F.lit(float(x)) for x in c])), 6),
+                F.lit("ni"),
+                F.lit(-i),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    return (-F.array_max(scored)["ni"]).cast("int")
+
+
+@query(
+    "ivf_cell_assignment_md5",
+    f"""
+    WITH {_SQL_CELLS8}
+    SELECT CAST(cell AS INTEGER) AS cell,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM assigned WHERE rk = 1 GROUP BY cell
+    """,
+)
+def ivf_cell_assignment_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — the deterministic stage of `dedup_semantic_ivf`/`similarity_ivf_ann`
+    made oracle-checkable: md5-seeded centroids (kmeans_fit with ZERO Lloyd
+    iterations — the seeding and assignment are exact; only the iterative
+    refinement is rows-only) and the argmax-dot cell assignment as a pure
+    expression. One corpus scan, k dot products per row, one cell-grain
+    aggregate — the exact plan shape the full IVF index build uses."""
+    emb = load(spark, "embeddings", sf_dir)
+    cents = kmeans_fit(emb, k=8, iters=0)
+    return (
+        emb.select(_cell_expr_rounded(cents).alias("cell"), "vec_id")
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+        )
+    )
+
+
+@query(
+    "lsh_bucket_assignment_md5",
+    f"""
+    WITH planes AS (
+      SELECT p, list_transform(generate_series(0, 63), d ->
+               ('0x' || substr(md5('plane' || CAST(p AS VARCHAR) || ':'
+                                   || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                 / 2147483648.0 - 1.0) AS plane
+      FROM (SELECT unnest(generate_series(0, 7)) AS p)
+    ), sp AS (
+      SELECT e.vec_id, pl.p, {_sql_dot('e.embedding', 'pl.plane')} AS s
+      FROM embeddings e CROSS JOIN planes pl
+    ), b AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS bucket
+      FROM sp GROUP BY vec_id
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM b GROUP BY bucket
+    """,
+)
+def lsh_bucket_assignment_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — `similarity_lsh_ann`'s bucket stage made oracle-checkable: the
+    md5-derived hyperplanes (`_fixed_planes`) and the sign-bit signature are
+    fully deterministic, so both engines compute the identical bucket key
+    per vector (the dot accumulates sequentially in double on both sides —
+    the >= 0 comparison is exact, no rounding needed). Only the top-k
+    ranking above this stage stays rows-only."""
+    emb = load(spark, "embeddings", sf_dir)
+    from .functions.vector import random_hyperplane_signs
+
+    bucket = random_hyperplane_signs("embedding", _fixed_planes(8, 64))
+    return (
+        emb.select(bucket.alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+        )
+    )
+
+
+_SQL_PQ_CODES = (
+    _SQL_SEEDS8
+    + """,
+    cw AS (
+      SELECT sub.s AS subspace,
+             row_number() OVER (
+               PARTITION BY sub.s
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+             list_transform(embedding[sub.s*16+1 : sub.s*16+16],
+                            x -> CAST(x AS DOUBLE)) AS vec
+      FROM s0 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) sub
+    ),
+    pq_scored AS (
+      SELECT e.vec_id, e.embedding, cw.subspace, cw.code, cw.vec,
+             round(__L2SQ__, 6) AS d2
+      FROM embeddings e CROSS JOIN cw
+    ),
+    pq_assigned AS (
+      SELECT vec_id, embedding, subspace, code, vec,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY d2, code) AS rk
+      FROM pq_scored
+    )""".replace(
+        "__L2SQ__",
+        _sql_l2sq("e.embedding[cw.subspace*16+1 : cw.subspace*16+16]", "cw.vec"),
+    )
+)
+
+
+def _l2sq_expr(sub_col, lit_vec):
+    """Sequential double squared-L2 between an array column and a double
+    literal/array column — the Spark twin of ``_sql_l2sq``."""
+    return F.aggregate(
+        F.zip_with(
+            sub_col,
+            lit_vec,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_code_expr(cbs: list[list[list[float]]], s: int, vec: str = "embedding"):
+    """argmin-L2 codeword id for subspace ``s`` (distance rounded to 6 for
+    cross-engine stability, ties to the lowest code — operators.pq keeps
+    numpy argmin's first-minimum, same rule)."""
+    sub = F.slice(F.col(vec), s * 16 + 1, 16)
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("d"),
+                F.round(
+                    _l2sq_expr(sub, F.array(*[F.lit(float(v)) for v in cwv])), 6
+                ),
+                F.lit("code"),
+                F.lit(code),
+            )
+            for code, cwv in enumerate(cbs[s])
+        ]
+    )
+    return F.array_min(scored)["code"]
+
+
+@query(
+    "pq_codes_md5",
+    f"""
+    WITH {_SQL_PQ_CODES}
+    SELECT CAST(subspace AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM pq_assigned WHERE rk = 1 GROUP BY subspace, code
+    """,
+)
+def pq_codes_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — `embedding_pq_codes`'s encode stage made oracle-checkable:
+    md5-seeded per-subspace codebooks (pq_fit with ZERO Lloyd iterations)
+    and the argmin-L2 code assignment as a pure expression (m=4 subspaces x
+    k=8 codewords over the 64-dim embeddings). One corpus scan, m·k
+    subvector distances per row, one (subspace, code)-grain aggregate —
+    the exact plan shape the full PQ encode uses."""
+    emb = load(spark, "embeddings", sf_dir)
+    cbs = pq_fit(emb, m=4, k=8, iters=0)
+    codes = emb.select(
+        "vec_id", *[_pq_code_expr(cbs, s).alias(f"c{s}") for s in range(4)]
+    )
+    long = codes.select(
+        "vec_id",
+        F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (subspace, code)"),
+    )
+    return long.groupBy("subspace", "code").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+    )
+
+
+@query(
+    "pq_adc_md5",
+    f"""
+    WITH {_SQL_PQ_CODES},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    per_sub AS (
+      SELECT a.vec_id, a.subspace,
+             __QD2__ AS d
+      FROM pq_assigned a CROSS JOIN q WHERE a.rk = 1
+    ),
+    adc AS (
+      SELECT vec_id,
+             round(max(CASE WHEN subspace = 0 THEN d END)
+                   + max(CASE WHEN subspace = 1 THEN d END)
+                   + max(CASE WHEN subspace = 2 THEN d END)
+                   + max(CASE WHEN subspace = 3 THEN d END), 6) AS adc_dist
+      FROM per_sub GROUP BY vec_id
+    )
+    SELECT vec_id, adc_dist, rk FROM (
+      SELECT vec_id, adc_dist,
+             row_number() OVER (ORDER BY adc_dist, vec_id) AS rk
+      FROM adc
+    ) WHERE rk <= 10
+    """.replace(
+        "__QD2__",
+        _sql_l2sq("q.qv[a.subspace*16+1 : a.subspace*16+16]", "a.vec"),
+    ),
+)
+def pq_adc_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — `similarity_pq_adc`'s asymmetric-distance scoring made
+    oracle-checkable: codes from the md5-seeded codebooks (as
+    `pq_codes_md5`), each vector reconstructed codeword-wise via
+    element_at on the broadcast-literal codebook, ADC distance =
+    sum over subspaces of L2^2(query subvector, assigned codeword) —
+    summed in fixed subspace order on both engines, so the double result
+    is bit-identical. Top-10 via orderBy+limit (distributed
+    TakeOrderedAndProject, never a global row_number over the corpus);
+    the rank column is attached to the 10 surviving rows only."""
+    emb = load(spark, "embeddings", sf_dir)
+    cbs = pq_fit(emb, m=4, k=8, iters=0)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cb_lits = [
+        F.array(*[F.array(*[F.lit(float(v)) for v in cw]) for cw in cbs[s]])
+        for s in range(4)
+    ]
+    d = emb.crossJoin(F.broadcast(q))
+    adc = None
+    for s in range(4):
+        rec = F.element_at(cb_lits[s], _pq_code_expr(cbs, s) + 1)
+        qsub = F.slice(F.col("qv"), s * 16 + 1, 16)
+        term = _l2sq_expr(qsub, rec)
+        adc = term if adc is None else adc + term
+    scored = d.select("vec_id", F.round(adc, 6).alias("adc_dist"))
+    top = scored.orderBy("adc_dist", "vec_id").limit(10)
+    return top.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy("adc_dist", "vec_id")),
+    )
+
+
+@query(
+    "dedup_semantic_cells_md5",
+    f"""
+    WITH {_SQL_CELLS8}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(a.cell AS INTEGER) AS cell,
+           round({_sql_dot('a.embedding', 'b.embedding')}
+                 / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')}),
+                 4) AS score
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+      AND a.rk = 1 AND b.rk = 1
+    WHERE round({_sql_dot('a.embedding', 'b.embedding')}
+                / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')}),
+                4) >= 0.4
+    """,
+)
+def dedup_semantic_cells_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 — `dedup_semantic_ivf`'s candidate-pair stage made oracle-checkable:
+    cells from the md5-seeded centroids (as `ivf_cell_assignment_md5`),
+    candidate pairs restricted to same-cell (the Sigma|cell|^2 bound that makes
+    semantic dedup scale — never all-pairs), exact cosine on the survivors.
+    The cosine accumulates sequentially in double on both engines, so the
+    rounded threshold comparison is exact."""
+    emb = load(spark, "embeddings", sf_dir)
+    cents = kmeans_fit(emb, k=8, iters=0)
+    assigned = emb.select(
+        "vec_id", "embedding", _cell_expr_rounded(cents).alias("cell")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    score = F.round(
+        cosine(F.col("a.embedding"), F.col("b.embedding")), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.cell").alias("cell"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= 0.4)
+    )

@@ -324,6 +324,11 @@ def _audit_global_windows(spark, failures: list) -> None:
                     # bucketed_cumsum): the offsets window runs over the
                     # bucket-count table — bounded by the n_buckets constant
                     continue
+                if "GlobalLimit" in sub or "TakeOrderedAndProject" in sub:
+                    # a global limit beneath the window bounds its input to a
+                    # constant row count (e.g. rank attached to a top-k that
+                    # was computed distributedly) — bounded by construction
+                    continue
                 if name in _GLOBAL_WINDOW_OK:
                     continue  # documented bounded-grain / adaptive design
                 if "HashAggregate" not in sub and "SortAggregate" not in sub:
