@@ -227,6 +227,13 @@ EXTENDED = [
     "text_lexical_diversity",
     "events_funnel_step_latency",
     "dq_timestamp_sanity",
+    # round 4 additions
+    "ivf_cell_assignment_md5",
+    "lsh_bucket_assignment_md5",
+    "pq_codes_md5",
+    "pq_adc_md5",
+    "dedup_semantic_cells_md5",
+    "text_pack_sequences",
 ]
 
 
