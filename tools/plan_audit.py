@@ -306,6 +306,9 @@ def _window_nodes(df):
 def _audit_global_windows(spark, failures: list) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     fact_scan_pat = [f"/{t}" for t in _SCAN_TABLES]
+    stale = [n for n in _GLOBAL_WINDOW_OK if n not in QUERIES]
+    if stale:
+        failures.append(("_GLOBAL_WINDOW_OK", f"stale allowlist names: {stale}"))
     try:
         for name in QUERIES:
             try:
