@@ -168,23 +168,27 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_decode")  # binary image decode → rows-only (no SQL codec)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N5 — REAL image decode over a binary payload column: each document is
-    rendered as a deterministic 24-bit BMP (dimensions and pixels derived
-    from doc_id and text bytes), then decoded back by the pure-Python BMP
-    codec in ``sources/multimodal.py`` — content-derived width/height/channel
-    means, not length heuristics. Both the render and the decode run as
-    Arrow-batched ``mapInPandas``: payload bytes are created and consumed
-    executor-side, never on the driver — the 100 TB shape for media columns.
-    Round-trip exactness (known pixels → known stats) is pinned in
-    tests/test_multimodal.py; PNG decodes for real (stdlib zlib, r4), while
-    entropy-coded formats (JPEG/MP3) remain an explicit
-    ``NotImplementedError`` slot."""
+    """N5 — REAL image decode over a MIXED-CONTAINER binary payload column:
+    each document renders as a deterministic image (dimensions and pixels
+    derived from doc_id and text bytes) in a container chosen by
+    ``doc_id % 3`` — BMP, PNG (stdlib zlib), or baseline JPEG (r4:
+    pure-numpy T.81 sequential-DCT codec, ``sources/jpegcodec.py``) — then
+    decodes back through ``_decode_payload``'s format sniffing:
+    content-derived width/height/channel means, not length heuristics.
+    Both the render and the decode run as Arrow-batched ``mapInPandas``:
+    payload bytes are created and consumed executor-side, never on the
+    driver — the 100 TB shape for media columns. Round-trip exactness
+    (known pixels → known stats; JPEG within quantization tolerance) is
+    pinned in tests/test_multimodal.py; progressive JPEG / MP3 remain the
+    explicit ``NotImplementedError`` slot."""
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
     from .session import ensure_package_shipped
-    from .sources.multimodal import decode_features, encode_bmp
+    from .sources.jpegcodec import encode_jpeg
+    from .sources.multimodal import decode_features, encode_bmp_array, encode_png
 
     ensure_package_shipped(spark)
     d = load(spark, "documents", sf_dir).select("doc_id", "text")
@@ -193,18 +197,12 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                data = text.encode("utf-8")
-                w, h = (doc_id % 6) + 2, (doc_id % 4) + 2
-
-                def pix(x, y, data=data, w=w):
-                    i = (y * w + x) * 3
-                    return (
-                        data[i % len(data)] if data else 0,
-                        data[(i + 1) % len(data)] if data else 0,
-                        data[(i + 2) % len(data)] if data else 0,
-                    )
-
-                payloads.append(bytearray(encode_bmp(int(w), int(h), pix)))
+                data = text.encode("utf-8") or b"\x00"
+                w, h = int(doc_id % 6) + 2, int(doc_id % 4) + 2
+                idx = (np.arange(h * w * 3)) % len(data)
+                arr = np.frombuffer(data, dtype=np.uint8)[idx].reshape(h, w, 3)
+                enc = (encode_bmp_array, encode_png, encode_jpeg)[int(doc_id) % 3]
+                payloads.append(bytearray(enc(arr)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     blobs = d.mapInPandas(_render, schema="doc_id bigint, payload binary")

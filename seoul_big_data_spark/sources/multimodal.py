@@ -6,11 +6,13 @@ batched ``mapInPandas`` — per-partition, vectorized, no driver involvement —
 which is the correct 100 TB shape: decode cost scales with executors, and the
 payload bytes never leave the executor that scanned them.
 
-Decoding is REAL for the raster formats a pure-Python decoder can handle
-exactly — BMP (24-bit BI_RGB), PPM (P6 binary / P3 ascii), and PNG (8-bit
-gray/RGB/RGBA, non-interlaced: stdlib ``zlib`` inflate + the five per-row
-unfilters) — producing true content-derived width/height/channel statistics.
-Formats needing an entropy codec the stdlib lacks (JPEG/MP3/...) raise
+Decoding is REAL for the raster formats a pure-Python decoder can handle —
+BMP (24-bit BI_RGB), PPM (P6 binary / P3 ascii), PNG (8-bit gray/RGB/RGBA,
+non-interlaced: stdlib ``zlib`` inflate + the five per-row unfilters), and
+baseline JPEG (r4: full T.81 sequential-DCT Huffman decode in
+``jpegcodec.py`` — grayscale + YCbCr, 4:4:4/4:2:2/4:2:0, restart markers)
+— producing true content-derived width/height/channel statistics. Formats
+still needing an external codec (progressive JPEG, MP3/AAC, video) raise
 ``NotImplementedError`` at the clearly-marked codec slot (plug PIL/cv2/
 ffmpeg there when the environment has them); payloads tagged ``fake/*``
 fall back to a deterministic fake so plumbing tests don't depend on any
@@ -329,6 +331,11 @@ def _decode_payload(payload: bytes, fmt: str | None = None) -> dict:
     if payload[:8] == _PNG_SIG:
         out.update(_decode_png(payload))
         return out
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpegcodec import decode_jpeg
+
+        out.update(decode_jpeg(payload))
+        return out
     if fmt is None or fmt.startswith("fake/"):
         # Deterministic fake: "dimensions" from byte length, "feature" = mean
         # byte — keeps plumbing tests codec-independent.
@@ -644,7 +651,10 @@ def _decode_pixels_rgb(payload: bytes):
     """(h, w, 3) uint8 RGB with y=0 at top for ANY supported raster
     container — the orientation/channel-normalized form ``perceptual_hash``
     consumes, so the same image hashes identically whether it arrives as
-    BMP (stored bottom-up BGR) or PNG (top-down RGB/RGBA/gray)."""
+    BMP (stored bottom-up BGR) or PNG (top-down RGB/RGBA/gray). Baseline
+    JPEG decodes through the same path; being lossy, its hash is
+    near-identical (small Hamming distance) rather than bit-equal — the
+    locality property the Hamming-bucket join relies on anyway."""
     import numpy as np
 
     if payload[:2] == b"BM":
@@ -655,6 +665,13 @@ def _decode_pixels_rgb(payload: bytes):
         if px.shape[2] == 1:
             return np.repeat(px, 3, axis=2)
         return px[:, :, :3]
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpegcodec import decode_jpeg_pixels
+
+        px = decode_jpeg_pixels(payload)
+        if px.shape[2] == 1:
+            return np.repeat(px, 3, axis=2)
+        return px
     raise ValueError("unsupported raster payload for pixel decode")
 
 

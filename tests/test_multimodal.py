@@ -372,3 +372,169 @@ def test_phash_dedup_query_mixed_corpus(spark, sf_dir):
     rows = out.collect()
     assert 0 < len(rows) <= 50
     assert {c for c in out.columns} == {"phash", "n_docs", "survivor_doc_id"}
+
+
+# --- baseline JPEG (r4: pure-numpy T.81 sequential-DCT codec) ---------------
+
+
+def _smooth_arr(h, w, c=3):
+    """Low-frequency test image (JPEG is built for smooth content; modulo
+    ramps would measure edge ringing, not codec health)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    chans = [
+        128 + 100 * np.sin(2 * np.pi * xx / w) * np.cos(2 * np.pi * yy / h),
+        128 + 80 * np.cos(2 * np.pi * (xx + yy) / (w + h)),
+        128 + 60 * np.sin(2 * np.pi * yy / h),
+    ]
+    return np.clip(np.stack(chans[:c], axis=2), 0, 255).astype("uint8")
+
+
+def test_jpeg_flat_images_roundtrip_exact():
+    """All-zero coefficient blocks survive quantization at any quality, so
+    flat images decode bit-exact — the codec's analytically-known case."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    flat_gray = np.full((16, 24, 1), 128, dtype="uint8")
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg(flat_gray, quality=50)), flat_gray
+    )
+    flat_rgb = np.zeros((24, 16, 3), dtype="uint8")
+    flat_rgb[:, :, 0], flat_rgb[:, :, 1], flat_rgb[:, :, 2] = 200, 100, 50
+    dec = decode_jpeg_pixels(encode_jpeg(flat_rgb, quality=95))
+    assert int(np.abs(dec.astype(int) - flat_rgb.astype(int)).max()) <= 1
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_jpeg_smooth_roundtrip_bounded_error(subsampling):
+    import numpy as np
+
+    from seoul_big_data_spark.sources.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    img = _smooth_arr(40, 56)
+    dec = decode_jpeg_pixels(encode_jpeg(img, quality=95, subsampling=subsampling))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 3.0
+    assert err.max() < 40
+
+
+def test_jpeg_odd_dimensions_crop_exactly():
+    """Non-multiple-of-8 (and, with 4:2:0, non-multiple-of-16) dimensions:
+    MCU padding must be cropped away, never leaked into the output."""
+    from seoul_big_data_spark.sources.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    img = _smooth_arr(37, 51)
+    for sub in ("444", "420"):
+        assert decode_jpeg_pixels(
+            encode_jpeg(img, quality=90, subsampling=sub)
+        ).shape == (37, 51, 3)
+
+
+def test_jpeg_restart_markers_decode_identically():
+    """DRI + RSTn every 2 MCUs must reproduce the exact no-restart pixels
+    (restarts change framing, not content)."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    img = _smooth_arr(40, 56)
+    plain = decode_jpeg_pixels(encode_jpeg(img, quality=92))
+    restarted = decode_jpeg_pixels(encode_jpeg(img, quality=92, restart_interval=2))
+    assert np.array_equal(plain, restarted)
+
+
+def test_jpeg_grayscale_roundtrip():
+    import numpy as np
+
+    from seoul_big_data_spark.sources.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    img = _smooth_arr(24, 32)[:, :, :1]
+    dec = decode_jpeg_pixels(encode_jpeg(img, quality=95))
+    assert dec.shape == (24, 32, 1)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 2.0
+
+
+def test_jpeg_dispatch_and_metadata():
+    """_decode_payload sniffs the FFD8FF magic and reports content-derived
+    stats within codec tolerance of the source means."""
+    from seoul_big_data_spark.sources.jpegcodec import encode_jpeg
+
+    img = _smooth_arr(40, 56)
+    got = _decode_payload(bytes(encode_jpeg(img, quality=95)))
+    assert (got["format"], got["width"], got["height"], got["channels"]) == (
+        "jpeg", 56, 40, 3
+    )
+    for ch, key in enumerate(["mean_r", "mean_g", "mean_b"]):
+        assert abs(got[key] - float(img[:, :, ch].mean())) < 2.0
+
+
+def test_jpeg_progressive_hits_codec_slot():
+    """SOF2 (progressive) is outside the baseline decoder — explicit
+    NotImplementedError at the documented codec slot, not a wrong image."""
+    import struct as _s
+
+    from seoul_big_data_spark.sources.jpegcodec import decode_jpeg_pixels
+
+    sof2 = b"\xff\xc2" + _s.pack(">H", 11) + bytes(
+        [8] + list(_s.pack(">HH", 8, 8)) + [1, 1, 0x11, 0]
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(b"\xff\xd8" + sof2 + b"\xff\xd9")
+
+
+def test_jpeg_phash_hamming_locality():
+    """Same image through BMP (lossless) and JPEG (lossy) must land within
+    a small Hamming distance on the 64-bit aHash — the bucket-join locality
+    property image dedup relies on — while different content stays far."""
+    from seoul_big_data_spark.sources.jpegcodec import encode_jpeg
+    from seoul_big_data_spark.sources.multimodal import (
+        _ahash_bits,
+        _decode_pixels_rgb,
+        encode_bmp_array,
+    )
+
+    img = _smooth_arr(32, 32)
+    h_bmp = _ahash_bits(_decode_pixels_rgb(encode_bmp_array(img)))
+    h_jpg = _ahash_bits(_decode_pixels_rgb(bytes(encode_jpeg(img, quality=95))))
+    assert bin(h_bmp ^ h_jpg).count("1") <= 6
+    other = _smooth_arr(32, 32)[::-1]  # vertically flipped = different image
+    h_other = _ahash_bits(_decode_pixels_rgb(encode_bmp_array(other.copy())))
+    assert bin(h_bmp ^ h_other).count("1") > 6
+
+
+def test_multimodal_decode_query_mixed_containers(spark, sf_dir):
+    """The registered decode query now carries all three raster containers
+    (doc_id % 3 → BMP/PNG/JPEG); every row decodes, formats partition the
+    corpus, and dimensions follow the render rule."""
+    from seoul_big_data_spark.queries import QUERIES
+
+    out = QUERIES["multimodal_decode"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    by_fmt = {}
+    for r in rows:
+        by_fmt.setdefault(r["format"], 0)
+        by_fmt[r["format"]] += 1
+        assert r["width"] == (r["doc_id"] % 6) + 2
+        assert r["height"] == (r["doc_id"] % 4) + 2
+        assert r["channels"] == 3
+    assert set(by_fmt) == {"bmp", "png", "jpeg"}
