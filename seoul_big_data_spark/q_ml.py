@@ -499,17 +499,24 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_frame_sample")  # binary video decode → rows-only (no SQL codec)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N5 — video-column plumbing: each document becomes a deterministic
-    multi-frame container (concatenated P6 frames, count/size derived from
-    doc_id), and the frame-sampling stage extracts every 2nd frame and
-    decodes ONLY those (sources/multimodal.py::sample_frames) — the decode-
-    budget-first ordering that matters when frames are the 100 TB payload.
-    Round-trip exactness is pinned in tests/test_multimodal.py."""
+    """N5 — video-column plumbing over a MIXED-CONTAINER corpus: each
+    document becomes a deterministic multi-frame clip (count/size derived
+    from doc_id) stored as either a concatenated-P6 stream (even doc_ids)
+    or an animated GIF89a with delta-coded frames (odd doc_ids — r4's
+    pure-Python LZW codec, ``sources/gifcodec.py``); the frame-sampling
+    stage extracts every 2nd frame. For the PPM stream unsampled frames
+    are never decoded; for GIF (delta-coded by design) the LZW pass runs
+    per frame but per-frame statistics are sampled — both are the
+    decode-budget-first ordering that matters when frames are the 100 TB
+    payload. Round-trip exactness and PPM/GIF stat parity are pinned in
+    tests/test_multimodal.py."""
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
     from .session import ensure_package_shipped
+    from .sources.gifcodec import encode_gif
     from .sources.multimodal import encode_ppm
 
     ensure_package_shipped(spark)
@@ -519,17 +526,29 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                n_frames = int(doc_id % 5) + 2
-                w, h = int(doc_id % 4) + 2, int(doc_id % 3) + 2
-                clip = b""
-                for f in range(n_frames):
-                    clip += encode_ppm(
-                        w, h,
-                        lambda x, y, f=f: (
-                            (f * 40) % 256, (x * 60) % 256, (y * 80) % 256
-                        ),
-                    )
-                payloads.append(bytearray(clip))
+                # geometry keys off doc_id // 2 so docs 2k / 2k+1 are exact
+                # cross-container twins (PPM vs GIF) — the parity property
+                # tests/test_multimodal.py pins
+                g = int(doc_id) // 2
+                n_frames = g % 5 + 2
+                w, h = g % 4 + 2, g % 3 + 2
+                if int(doc_id) % 2 == 0:
+                    clip = b""
+                    for f in range(n_frames):
+                        clip += encode_ppm(
+                            w, h,
+                            lambda x, y, f=f: (
+                                (f * 40) % 256, (x * 60) % 256, (y * 80) % 256
+                            ),
+                        )
+                    payloads.append(bytearray(clip))
+                else:
+                    ff, yy, xx = np.mgrid[0:n_frames, 0:h, 0:w]
+                    frames = np.stack(
+                        [(ff * 40) % 256, (xx * 60) % 256, (yy * 80) % 256],
+                        axis=3,
+                    ).astype(np.uint8)
+                    payloads.append(bytearray(encode_gif(frames, delta=True)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     blobs = d.mapInPandas(_render, schema="doc_id bigint, payload binary")

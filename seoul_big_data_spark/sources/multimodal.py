@@ -8,11 +8,13 @@ payload bytes never leave the executor that scanned them.
 
 Decoding is REAL for the raster formats a pure-Python decoder can handle —
 BMP (24-bit BI_RGB), PPM (P6 binary / P3 ascii), PNG (8-bit gray/RGB/RGBA,
-non-interlaced: stdlib ``zlib`` inflate + the five per-row unfilters), and
+non-interlaced: stdlib ``zlib`` inflate + the five per-row unfilters),
 baseline JPEG (r4: full T.81 sequential-DCT Huffman decode in
-``jpegcodec.py`` — grayscale + YCbCr, 4:4:4/4:2:2/4:2:0, restart markers)
-— producing true content-derived width/height/channel statistics. Formats
-still needing an external codec (progressive JPEG, MP3/AAC, video) raise
+``jpegcodec.py`` — grayscale + YCbCr, 4:4:4/4:2:2/4:2:0, restart markers),
+and GIF87a/89a (r4: pure-Python LZW in ``gifcodec.py`` — interlacing,
+animation with transparency + disposal compositing) — producing true
+content-derived width/height/channel statistics. Formats still needing an
+external codec (progressive JPEG, MP3/AAC, real video containers) raise
 ``NotImplementedError`` at the clearly-marked codec slot (plug PIL/cv2/
 ffmpeg there when the environment has them); payloads tagged ``fake/*``
 fall back to a deterministic fake so plumbing tests don't depend on any
@@ -336,6 +338,11 @@ def _decode_payload(payload: bytes, fmt: str | None = None) -> dict:
 
         out.update(decode_jpeg(payload))
         return out
+    if payload[:4] == b"GIF8":
+        from .gifcodec import decode_gif
+
+        out.update(decode_gif(payload))
+        return out
     if fmt is None or fmt.startswith("fake/"):
         # Deterministic fake: "dimensions" from byte length, "feature" = mean
         # byte — keeps plumbing tests codec-independent.
@@ -566,19 +573,31 @@ def sample_frames(
 ) -> DataFrame:
     """mapInPandas frame-sampling stage: (doc_id, payload) → one row per
     SAMPLED frame (every k-th, always including frame 0) with per-frame
-    content statistics. The container is split and decoded executor-side;
-    unsampled frames are never decoded — at 100 TB the decode budget is
-    the bottleneck and sampling must happen before it, not after."""
+    content statistics. The container is split and decoded executor-side.
+    For self-delimiting frame streams (concatenated PPM) unsampled frames
+    are never decoded — at 100 TB the decode budget is the bottleneck and
+    sampling must happen before it, not after. Animated GIF (r4) is
+    delta-coded, so its LZW pass necessarily runs per frame, but the
+    per-frame statistics/snapshot work is still sampled
+    (``gifcodec.gif_frame_stats``) — the honest version of the same
+    budget rule."""
 
     from ..session import ensure_package_shipped
 
     ensure_package_shipped(df.sparkSession)
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gifcodec import gif_frame_stats
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                frames = split_ppm_stream(bytes(payload))
+                payload = bytes(payload)
+                if payload[:4] == b"GIF8":
+                    for meta in gif_frame_stats(payload, every_k):
+                        rows.append({"doc_id": doc_id, **meta})
+                    continue
+                frames = split_ppm_stream(payload)
                 for i in range(0, len(frames), every_k):
                     meta = _decode_ppm(frames[i])
                     rows.append(
@@ -672,6 +691,10 @@ def _decode_pixels_rgb(payload: bytes):
         if px.shape[2] == 1:
             return np.repeat(px, 3, axis=2)
         return px
+    if payload[:4] == b"GIF8":
+        from .gifcodec import decode_gif_frames
+
+        return decode_gif_frames(payload)[0]  # first frame; GIF is lossless
     raise ValueError("unsupported raster payload for pixel decode")
 
 

@@ -190,7 +190,7 @@ def test_frame_sample_query_runs(spark, sf_dir):
         by_doc.setdefault(r["doc_id"], []).append(r)
     assert len(by_doc) == 500
     for doc_id, frames in list(by_doc.items())[:30]:
-        n_frames = (doc_id % 5) + 2
+        n_frames = (doc_id // 2 % 5) + 2
         want_idx = list(range(0, n_frames, 2))
         assert sorted(r["frame_idx"] for r in frames) == want_idx
         for r in frames:
@@ -538,3 +538,144 @@ def test_multimodal_decode_query_mixed_containers(spark, sf_dir):
         assert r["height"] == (r["doc_id"] % 4) + 2
         assert r["channels"] == 3
     assert set(by_fmt) == {"bmp", "png", "jpeg"}
+
+
+# --- GIF (r4: pure-Python LZW codec, gifcodec.py) ---------------------------
+
+
+def _indexed_arr(h, w, seed=3):
+    """Small-palette test image (GIF needs <=256 colors)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, 6, size=(h, w, 3)) * 40).astype("uint8")
+
+
+def test_gif_lzw_roundtrip_forces_growth_and_reset():
+    """20k symbols over a 64-symbol alphabet forces code-width growth to 12
+    bits and at least one 4096-entry dictionary reset."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.gifcodec import _lzw_decode, _lzw_encode
+
+    rng = np.random.RandomState(11)
+    stream = rng.randint(0, 64, size=20000).tolist()
+    assert _lzw_decode(_lzw_encode(stream, 6), 6) == stream
+    tiny = rng.randint(0, 2, size=5000).tolist()
+    assert _lzw_decode(_lzw_encode(tiny, 2), 2) == tiny
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_single_frame_roundtrip_exact(interlace):
+    """GIF is lossless for palettized content — exact pixels back, with and
+    without the four-pass interlaced row order."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.gifcodec import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    img = _indexed_arr(23, 31)
+    dec = decode_gif_frames(encode_gif(img, interlace=interlace))
+    assert dec.shape == (1, 23, 31, 3)
+    assert np.array_equal(dec[0], img)
+
+
+def test_gif_animation_delta_frames_composite_exactly():
+    """Delta-coded animation (transparency-keyed unchanged pixels) must
+    composite back to every original frame bit-exactly."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.gifcodec import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    base = _indexed_arr(23, 31)
+    frames = np.stack([base] * 4).copy()
+    frames[1, 5:10, 5:10] = 80
+    frames[2, 5:10, 5:10] = 120
+    frames[3, :, :] = 40
+    dec = decode_gif_frames(encode_gif(frames, delta=True))
+    assert dec.shape == frames.shape
+    for i in range(4):
+        assert np.array_equal(dec[i], frames[i])
+
+
+def test_gif_frame_stats_sampling_contract():
+    """gif_frame_stats walks all frames on one canvas but reports only
+    every k-th (always including 0) with exact means and total count."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.gifcodec import (
+        encode_gif,
+        gif_frame_stats,
+    )
+
+    frames = np.stack([_indexed_arr(12, 16, seed=s) for s in range(5)])
+    stats = gif_frame_stats(bytes(encode_gif(frames)), every_k=2)
+    assert [s["frame_idx"] for s in stats] == [0, 2, 4]
+    assert all(s["n_frames"] == 5 for s in stats)
+    for s in stats:
+        f = frames[s["frame_idx"]]
+        assert s["mean_r"] == pytest.approx(float(f[:, :, 0].mean()))
+        assert s["mean_b"] == pytest.approx(float(f[:, :, 2].mean()))
+
+
+def test_gif_dispatch_and_phash_parity():
+    """_decode_payload sniffs GIF8; being lossless, the perceptual hash is
+    BIT-equal across BMP/PNG/GIF containers of the same pixels."""
+    from seoul_big_data_spark.sources.gifcodec import encode_gif
+    from seoul_big_data_spark.sources.multimodal import (
+        _ahash_bits,
+        _decode_pixels_rgb,
+        encode_bmp_array,
+        encode_png,
+    )
+
+    img = _indexed_arr(16, 16)
+    got = _decode_payload(bytes(encode_gif(img)))
+    assert (got["format"], got["width"], got["height"]) == ("gif", 16, 16)
+    assert got["mean_r"] == pytest.approx(float(img[:, :, 0].mean()))
+    h_bmp = _ahash_bits(_decode_pixels_rgb(encode_bmp_array(img)))
+    h_png = _ahash_bits(_decode_pixels_rgb(encode_png(img)))
+    h_gif = _ahash_bits(_decode_pixels_rgb(bytes(encode_gif(img))))
+    assert h_bmp == h_png == h_gif
+
+
+def test_gif_encoder_rejects_wide_palettes():
+    import numpy as np
+
+    from seoul_big_data_spark.sources.gifcodec import encode_gif
+
+    rng = np.random.RandomState(0)
+    noisy = rng.randint(0, 256, size=(32, 32, 3)).astype("uint8")
+    with pytest.raises(ValueError, match="quantize"):
+        encode_gif(noisy)
+
+
+def test_frame_sample_query_mixed_ppm_gif(spark, sf_dir):
+    """The registered frame-sample query carries both containers; the frame
+    rule is identical for both, so sampled stats agree across formats for
+    doc_ids with equal (n_frames, w, h) geometry."""
+    from seoul_big_data_spark.queries import QUERIES
+
+    rows = QUERIES["multimodal_frame_sample"](spark, sf_dir).collect()
+    assert rows
+    fmts = {r["format"] for r in rows}
+    assert fmts == {"ppm", "gif"}
+    # geometry key → per-frame means must agree between the two containers
+    by_key = {}
+    for r in rows:
+        key = (r["n_frames"], r["width"], r["height"], r["frame_idx"])
+        by_key.setdefault(key, {})[r["format"]] = (
+            r["mean_r"], r["mean_g"], r["mean_b"]
+        )
+    both = [v for v in by_key.values() if len(v) == 2]
+    assert both, "expected geometry keys covered by both containers"
+    for v in both:
+        assert v["ppm"] == pytest.approx(v["gif"])
+    for r in rows:
+        assert r["frame_idx"] % 2 == 0
+        assert r["n_frames"] == (r["doc_id"] // 2 % 5) + 2
