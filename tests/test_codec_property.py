@@ -1,0 +1,190 @@
+"""Property tests for the r4 pure-Python codecs (JPEG baseline, GIF LZW).
+
+These are the verification layer for surfaces no SQL oracle can reach: the
+codecs are deterministic functions of bytes, so hypothesis can hammer the
+encode→decode composition across the parameter space (dimensions,
+subsampling, quality, palette size, frame counts, interlacing) far beyond
+the hand-picked fixtures in test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from seoul_big_data_spark.sources.gifcodec import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif_frames,
+    encode_gif,
+)
+from seoul_big_data_spark.sources.jpegcodec import (
+    decode_jpeg_pixels,
+    encode_jpeg,
+)
+
+_PROP = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    min_code=st.integers(2, 8),
+    length=st.integers(0, 3000),
+)
+def test_gif_lzw_roundtrip_property(seed, min_code, length):
+    """LZW decode(encode(x)) == x for any index stream over any alphabet
+    width the format allows — including empty streams and single symbols."""
+    rng = np.random.RandomState(seed)
+    stream = rng.randint(0, 1 << min_code, size=length).tolist()
+    assert _lzw_decode(_lzw_encode(stream, min_code), min_code) == stream
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    n_colors=st.integers(1, 64),
+    interlace=st.booleans(),
+)
+def test_gif_single_frame_lossless_property(seed, h, w, n_colors, interlace):
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, size=(n_colors, 3))
+    img = palette[rng.randint(0, n_colors, size=(h, w))].astype("uint8")
+    dec = decode_gif_frames(encode_gif(img, interlace=interlace))
+    assert dec.shape == (1, h, w, 3)
+    assert np.array_equal(dec[0], img)
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(2, 24),
+    w=st.integers(2, 24),
+    n_frames=st.integers(2, 6),
+    delta=st.booleans(),
+)
+def test_gif_animation_lossless_property(seed, h, w, n_frames, delta):
+    """Every composited frame equals its source, for plain and delta-coded
+    animations alike (delta coding must be invisible after compositing)."""
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, size=(16, 3))
+    frames = palette[rng.randint(0, 16, size=(n_frames, h, w))].astype("uint8")
+    dec = decode_gif_frames(encode_gif(frames, delta=delta))
+    assert dec.shape == frames.shape
+    assert np.array_equal(dec, frames)
+
+
+def _smooth(seed: int, h: int, w: int) -> np.ndarray:
+    """Band-limited random image: random low-frequency cosine mixture —
+    the content class JPEG's 8x8 DCT model is built for."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    chans = []
+    for _ in range(3):
+        acc = np.full((h, w), 128.0)
+        for _ in range(4):
+            fy, fx = rng.uniform(0, 1.5, 2)
+            ph = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(10, 40)
+            acc += amp * np.cos(2 * np.pi * (fy * yy / h + fx * xx / w) + ph)
+        chans.append(acc)
+    return np.clip(np.stack(chans, axis=2), 0, 255).astype("uint8")
+
+
+def _ideal_420(img: np.ndarray) -> np.ndarray:
+    """The lossless 4:2:0 reference: YCbCr, 2x2 box-mean chroma downsample,
+    replication upsample, back to RGB — what a perfect codec would return
+    under this subsampling model. Comparing the decode against THIS (not the
+    source) isolates DCT/quantization error from the inherent, deliberate
+    subsampling loss."""
+    h, w, _ = img.shape
+    a = img.astype(np.float64)
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def ds_us(p):
+        ph = -(-h // 2) * 2
+        pw = -(-w // 2) * 2
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        d = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        return np.repeat(np.repeat(d, 2, axis=0), 2, axis=1)[:h, :w]
+
+    cb, cr = ds_us(cb), ds_us(cr)
+    rec = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rec), 0, 255).astype(np.uint8)
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(8, 48),
+    w=st.integers(8, 48),
+    quality=st.integers(80, 98),
+    subsampling=st.sampled_from(["444", "420"]),
+)
+def test_jpeg_roundtrip_bounded_error_property(seed, h, w, quality, subsampling):
+    """decode(encode(x)) stays within quantization-scale error of the ideal
+    reference for band-limited content at any geometry (incl.
+    non-multiple-of-8/16) and quality 80-98. For 4:2:0 the reference is the
+    lossless subsampling model (chroma box-downsample is deliberate loss,
+    not codec error). Shape must always be exact."""
+    img = _smooth(seed, h, w)
+    dec = decode_jpeg_pixels(
+        encode_jpeg(img, quality=quality, subsampling=subsampling)
+    )
+    assert dec.shape == img.shape
+    ref = img if subsampling == "444" else _ideal_420(img)
+    err = np.abs(dec.astype(int) - ref.astype(int))
+    # bound is quantization-scale: chroma table entries reach ~50 at q80,
+    # so mean error up to ~7 on strongly-colored content is in-spec
+    assert err.mean() < 9.0
+    assert err.max() < 64
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    interval=st.integers(1, 7),
+)
+def test_jpeg_restart_framing_is_content_invariant(seed, interval):
+    """Any restart interval reproduces the exact no-restart pixels."""
+    img = _smooth(seed, 24, 40)
+    plain = decode_jpeg_pixels(encode_jpeg(img, quality=90))
+    framed = decode_jpeg_pixels(
+        encode_jpeg(img, quality=90, restart_interval=interval)
+    )
+    assert np.array_equal(plain, framed)
+
+
+@_PROP
+@given(seed=st.integers(0, 2**31 - 1), quality=st.integers(70, 98))
+def test_jpeg_grayscale_bounded_error_property(seed, quality):
+    img = _smooth(seed, 24, 24)[:, :, :1]
+    dec = decode_jpeg_pixels(encode_jpeg(img, quality=quality))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 8.0
+
+
+def test_jpeg_decoder_rejects_truncated_scan():
+    """Cutting the entropy segment mid-stream must raise, not return a
+    half-image silently."""
+    img = _smooth(5, 24, 24)
+    enc = bytearray(encode_jpeg(img, quality=90))
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg_pixels(bytes(enc[: len(enc) // 2]))
