@@ -457,19 +457,26 @@ def embedding_pc1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_audio_decode")  # binary audio decode → rows-only (no SQL codec)
 def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N5 — REAL audio decode over a binary payload column: each document is
-    rendered as a deterministic PCM-16 WAV (square wave whose frequency,
-    duration, and amplitude derive from doc_id), then decoded back by the
-    pure-Python RIFF codec in ``sources/multimodal.py`` — content-derived
-    sample-rate/duration/RMS/zero-crossing features. Render and decode both
-    run as Arrow-batched ``mapInPandas`` executor-side; decode exactness on
-    known waveforms is pinned in tests/test_multimodal.py."""
+    """N5 — REAL audio decode over a MIXED-CODEC binary payload column:
+    each document renders as a deterministic square wave (frequency,
+    duration, and amplitude derive from doc_id) encoded per ``doc_id % 3``
+    as linear PCM-16, G.711 mu-law, or G.711 A-law (r4: ITU-T G.711
+    companding tables in ``sources/multimodal.py``), then decoded back by
+    the pure-Python RIFF codec — content-derived sample-rate/duration/RMS/
+    zero-crossing features across all three codecs. Render and decode
+    both run as Arrow-batched ``mapInPandas`` executor-side; decode
+    exactness on known waveforms and companding-law reference points are
+    pinned in tests/test_multimodal.py."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     from .session import ensure_package_shipped
-    from .sources.multimodal import decode_audio_features, encode_wav
+    from .sources.multimodal import (
+        decode_audio_features,
+        encode_wav,
+        encode_wav_g711,
+    )
 
     ensure_package_shipped(spark)
     d = load(spark, "documents", sf_dir).select("doc_id")
@@ -484,7 +491,18 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wave = [
                     amp if (i // period) % 2 == 0 else -amp for i in range(n)
                 ]
-                payloads.append(bytearray(encode_wav(8000, 1, wave)))
+                codec = int(doc_id) % 3
+                if codec == 0:
+                    payloads.append(bytearray(encode_wav(8000, 1, wave)))
+                else:
+                    payloads.append(
+                        bytearray(
+                            encode_wav_g711(
+                                8000, 1, wave,
+                                "ulaw" if codec == 1 else "alaw",
+                            )
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     blobs = d.mapInPandas(_render, schema="doc_id bigint, payload binary")

