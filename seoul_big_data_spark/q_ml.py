@@ -171,8 +171,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N5 — REAL image decode over a MIXED-CONTAINER binary payload column:
     each document renders as a deterministic image (dimensions and pixels
     derived from doc_id and text bytes) in a container chosen by
-    ``doc_id % 3`` — BMP, PNG (stdlib zlib), or baseline JPEG (r4:
-    pure-numpy T.81 sequential-DCT codec, ``sources/jpegcodec.py``) — then
+    ``doc_id % 4`` — BMP, PNG (stdlib zlib), baseline JPEG (r4:
+    pure-numpy T.81 sequential-DCT codec, ``sources/jpegcodec.py``), or
+    LZW-compressed predictor-2 TIFF (r4: ``sources/tiffcodec.py``) — then
     decodes back through ``_decode_payload``'s format sniffing:
     content-derived width/height/channel means, not length heuristics.
     Both the render and the decode run as Arrow-batched ``mapInPandas``:
@@ -189,9 +190,13 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import ensure_package_shipped
     from .sources.jpegcodec import encode_jpeg
     from .sources.multimodal import decode_features, encode_bmp_array, encode_png
+    from .sources.tiffcodec import encode_tiff
 
     ensure_package_shipped(spark)
     d = load(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def _tiff(arr):
+        return encode_tiff(arr, compression="lzw", predictor=True)
 
     def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -201,7 +206,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = int(doc_id % 6) + 2, int(doc_id % 4) + 2
                 idx = (np.arange(h * w * 3)) % len(data)
                 arr = np.frombuffer(data, dtype=np.uint8)[idx].reshape(h, w, 3)
-                enc = (encode_bmp_array, encode_png, encode_jpeg)[int(doc_id) % 3]
+                enc = (encode_bmp_array, encode_png, encode_jpeg, _tiff)[
+                    int(doc_id) % 4
+                ]
                 payloads.append(bytearray(enc(arr)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

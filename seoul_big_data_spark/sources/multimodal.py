@@ -11,8 +11,10 @@ BMP (24-bit BI_RGB), PPM (P6 binary / P3 ascii), PNG (8-bit gray/RGB/RGBA,
 non-interlaced: stdlib ``zlib`` inflate + the five per-row unfilters),
 baseline JPEG (r4: full T.81 sequential-DCT Huffman decode in
 ``jpegcodec.py`` — grayscale + YCbCr, 4:4:4/4:2:2/4:2:0, restart markers),
-and GIF87a/89a (r4: pure-Python LZW in ``gifcodec.py`` — interlacing,
-animation with transparency + disposal compositing) — producing true
+GIF87a/89a (r4: pure-Python LZW in ``gifcodec.py`` — interlacing,
+animation with transparency + disposal compositing), and baseline TIFF
+(r4: ``tiffcodec.py`` — strips, PackBits, TIFF-LZW with early change,
+predictor 2, II/MM byte orders, multi-page) — producing true
 content-derived width/height/channel statistics. Formats still needing an
 external codec (progressive JPEG, MP3/AAC, real video containers) raise
 ``NotImplementedError`` at the clearly-marked codec slot (plug PIL/cv2/
@@ -343,6 +345,11 @@ def _decode_payload(payload: bytes, fmt: str | None = None) -> dict:
 
         out.update(decode_gif(payload))
         return out
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffcodec import decode_tiff
+
+        out.update(decode_tiff(payload))
+        return out
     if fmt is None or fmt.startswith("fake/"):
         # Deterministic fake: "dimensions" from byte length, "feature" = mean
         # byte — keeps plumbing tests codec-independent.
@@ -662,6 +669,7 @@ def sample_frames(
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .gifcodec import gif_frame_stats
+        from .tiffcodec import tiff_page_stats
 
         for pdf in batches:
             rows = []
@@ -669,6 +677,12 @@ def sample_frames(
                 payload = bytes(payload)
                 if payload[:4] == b"GIF8":
                     for meta in gif_frame_stats(payload, every_k):
+                        rows.append({"doc_id": doc_id, **meta})
+                    continue
+                if payload[:4] in (b"II*\x00", b"MM\x00*"):
+                    # multi-page TIFF: pages are independent, so unsampled
+                    # pages are never decoded (true sample-before-decode)
+                    for meta in tiff_page_stats(payload, every_k):
                         rows.append({"doc_id": doc_id, **meta})
                     continue
                 frames = split_ppm_stream(payload)
@@ -769,6 +783,13 @@ def _decode_pixels_rgb(payload: bytes):
         from .gifcodec import decode_gif_frames
 
         return decode_gif_frames(payload)[0]  # first frame; GIF is lossless
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffcodec import decode_tiff_pages
+
+        px = decode_tiff_pages(payload)[0]
+        if px.shape[2] == 1:
+            return np.repeat(px, 3, axis=2)
+        return px
     raise ValueError("unsupported raster payload for pixel decode")
 
 

@@ -1,0 +1,489 @@
+"""Baseline TIFF 6.0 codec — pure Python/numpy, no external deps.
+
+Implements the public TIFF 6.0 specification's baseline + LZW subset:
+both byte orders (II little-endian / MM big-endian), strip-organized
+8-bit grayscale and RGB, Compression 1 (none), 32773 (PackBits RLE) and
+5 (TIFF-flavor LZW: MSB-first bit packing with the spec's "early change"
+code-width rule — one code earlier than GIF's variant), Predictor 2
+(horizontal differencing), and multi-page files via the IFD chain (the
+frame-sampling tie-in: pages play the role GIF frames do).
+
+Tiled TIFF, 16-bit samples, palette color, and JPEG-in-TIFF raise
+``NotImplementedError`` at the same documented codec slot the other
+formats use (`multimodal.py`).
+
+The encoder is the test-vector generator: II or MM order, any of the
+three compressions, optional predictor, configurable rows-per-strip (to
+exercise multi-strip assembly), multi-page.
+
+North-star extension (SURVEY.md §2.10 N5); decode runs executor-side in
+Arrow-batched ``mapInPandas`` like every other codec here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "decode_tiff_pages",
+    "decode_tiff",
+    "encode_tiff",
+    "tiff_page_stats",
+]
+
+
+# --- TIFF-flavor LZW (MSB-first, early change) ------------------------------
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """LZW per TIFF 6.0 §13: 8-bit symbols, ClearCode 256, EOI 257, codes
+    packed MSB-first starting at 9 bits, width bumps at 511/1023/2047
+    (one code EARLIER than the GIF variant — the 'early change')."""
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    next_code = 258
+    width = 9
+
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        acc_bits += 8
+        while acc_bits >= width:
+            code = (acc >> (acc_bits - width)) & ((1 << width) - 1)
+            acc_bits -= width
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt TIFF-LZW stream")
+            out += entry
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:  # early change
+                width += 1
+            prev = entry
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Encoder matched to ``_tiff_lzw_decode``: emits CLEAR up front and at
+    dictionary overflow; the early-change rule applies symmetrically on the
+    encode side (the width the decoder will use for the NEXT read is known
+    after each table add)."""
+    CLEAR, EOI = 256, 257
+
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, acc_bits
+        acc = (acc << width) | code
+        acc_bits += width
+        while acc_bits >= 8:
+            out.append((acc >> (acc_bits - 8)) & 0xFF)
+            acc_bits -= 8
+        acc &= (1 << acc_bits) - 1
+
+    def fresh() -> tuple[dict, int]:
+        return {bytes([i]): i for i in range(256)}, 258
+
+    table, next_code = fresh()
+    emit(CLEAR)
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix])
+        table[cand] = next_code
+        next_code += 1
+        # early change, encode side: the encoder's next_code runs one ahead
+        # of the decoder's, so the bump lands at (1<<width), which is the
+        # decoder's (1<<width)-1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4094:
+            emit(CLEAR)
+            table, next_code = fresh()
+            width = 9
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix])
+    emit(EOI)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
+# --- PackBits (TIFF 6.0 §9) -------------------------------------------------
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1
+            out += data[pos:pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: noop
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: repeat runs >= 3 become replicate records, the rest
+    accumulate into literal records (max 128 either way)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            while lit_start < i:  # flush pending literals
+                take = min(128, i - lit_start)
+                out.append(take - 1)
+                out += data[lit_start:lit_start + take]
+                lit_start += take
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    while lit_start < i:
+        take = min(128, i - lit_start)
+        out.append(take - 1)
+        out += data[lit_start:lit_start + take]
+        lit_start += take
+    return bytes(out)
+
+
+# --- IFD parsing ------------------------------------------------------------
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_ifd(payload: bytes, offset: int, e: str) -> tuple[dict, int]:
+    """One IFD at ``offset`` -> ({tag: [values]}, next_ifd_offset)."""
+    n = struct.unpack_from(e + "H", payload, offset)[0]
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        base = offset + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(e + "HHI", payload, base)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * count
+        if total <= 4:
+            vbase = base + 8
+        else:
+            vbase = struct.unpack_from(e + "I", payload, base + 8)[0]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:  # RATIONAL etc. — not needed for the baseline tags
+            continue
+        tags[tag] = list(
+            struct.unpack_from(e + fmt * count, payload, vbase)
+        )
+    nxt = struct.unpack_from(e + "I", payload, offset + 2 + 12 * n)[0]
+    return tags, nxt
+
+
+def _iter_ifds(payload: bytes):
+    """Yield (tags, endianness) for every IFD in the chain — header walk
+    only, no strip decode (the cheap pass page sampling relies on)."""
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    offset = struct.unpack_from(e + "I", payload, 4)[0]
+    while offset:
+        tags, offset = _read_ifd(payload, offset, e)
+        yield tags, e
+
+
+def _decode_ifd_page(payload: bytes, tags: dict) -> np.ndarray:
+    """Decode one IFD's image to (h, w, channels) uint8."""
+    w = tags[256][0]
+    h = tags[257][0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    pred = tags.get(317, [1])[0]
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("non-8-bit TIFF needs a real codec")
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} (palette/CMYK/YCbCr) needs a "
+            "real codec; plug PIL here"
+        )
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (JPEG/deflate/fax) needs a real "
+            "codec; plug PIL here"
+        )
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF needs a real codec")
+    raw = bytearray()
+    for so, sc in zip(tags[273], tags[279]):
+        strip = payload[so:so + sc]
+        if comp == 5:
+            strip = _tiff_lzw_decode(strip)
+        elif comp == 32773:
+            strip = _packbits_decode(strip)
+        raw += strip
+    need = h * w * spp
+    if len(raw) < need:
+        raise ValueError("truncated TIFF strip data")
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8, count=need).reshape(
+        h, w, spp
+    )
+    if pred == 2:  # horizontal differencing: undo with a row cumsum
+        arr = (np.cumsum(arr.astype(np.int64), axis=1) % 256).astype(np.uint8)
+    if photo == 0:  # WhiteIsZero: invert to the usual BlackIsZero
+        arr = 255 - arr
+    return arr
+
+
+def decode_tiff_pages(payload: bytes) -> list[np.ndarray]:
+    """Every page of a TIFF as (h, w, channels) uint8 arrays, y=0 at top.
+    Baseline subset: 8-bit gray/RGB strips, Compression 1/5/32773,
+    Predictor 1/2, either byte order."""
+    pages = [_decode_ifd_page(payload, tags) for tags, _ in _iter_ifds(payload)]
+    if not pages:
+        raise ValueError("TIFF contains no IFD")
+    return pages
+
+
+def tiff_page_stats(payload: bytes, every_k: int = 1) -> list[dict]:
+    """Per-page content statistics for every k-th page (always including
+    page 0). TIFF pages are independently strip-compressed, so — unlike
+    delta-coded GIF — unsampled pages are NEVER decoded: the IFD chain walk
+    is header-only, and only sampled pages pay LZW/PackBits + pixel cost.
+    This is the sample-before-decode ordering that matters when pages are
+    the 100 TB payload."""
+    ifds = list(_iter_ifds(payload))
+    out = []
+    for i in range(0, len(ifds), every_k):
+        arr = _decode_ifd_page(payload, ifds[i][0])
+        h, w, spp = arr.shape
+        n_px = h * w
+        s = arr.astype(np.int64).sum(axis=(0, 1))
+        r = int(s[0]) / n_px
+        g = int(s[1]) / n_px if spp >= 3 else r
+        b = int(s[2]) / n_px if spp >= 3 else r
+        out.append(
+            {
+                "frame_idx": i,
+                "n_frames": len(ifds),
+                "format": "tiff",
+                "width": w,
+                "height": h,
+                "mean_r": r,
+                "mean_g": g,
+                "mean_b": b,
+            }
+        )
+    return out
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """First page -> the typed-metadata dict shape shared by the other
+    raster decoders in ``multimodal.py``."""
+    px = decode_tiff_pages(payload)[0]
+    h, w, channels = px.shape
+    n_px = h * w
+    sums = px.astype(np.int64).sum(axis=(0, 1))
+    if channels == 1:
+        r = g = b = int(sums[0]) / n_px
+        feat = r
+    else:
+        r, g, b = (int(sums[i]) / n_px for i in range(3))
+        feat = int(sums[:3].sum()) / (3 * n_px)
+    return {
+        "format": "tiff",
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "mean_r": r,
+        "mean_g": g,
+        "mean_b": b,
+        "feat_mean": feat,
+    }
+
+
+# --- encoder (test-vector generator) ----------------------------------------
+
+
+def encode_tiff(
+    pages,
+    compression: str = "none",
+    predictor: bool = False,
+    rows_per_strip: int | None = None,
+    byte_order: str = "II",
+) -> bytes:
+    """TIFF writer for one (h, w, c) page or a list of pages (c in {1, 3},
+    uint8). ``compression``: 'none' | 'packbits' | 'lzw'; ``predictor``
+    applies horizontal differencing (meaningful with 'lzw');
+    ``rows_per_strip`` defaults to the full page (set small to exercise
+    multi-strip assembly); ``byte_order`` 'II' or 'MM'."""
+    if isinstance(pages, np.ndarray) and pages.ndim == 3:
+        pages = [pages]
+    e = "<" if byte_order == "II" else ">"
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+
+    out = bytearray()
+    out += (b"II*\x00" if byte_order == "II" else b"MM\x00*")
+    out += struct.pack(e + "I", 8)  # first IFD right after the header
+
+    # layout: [header][IFD+strip data per page]...
+    pos = 8
+    blobs = []
+    for p, arr in enumerate(pages):
+        h, w, c = arr.shape
+        rps = rows_per_strip or h
+        plane = arr
+        if predictor:
+            d = plane.astype(np.int64)
+            plane = np.concatenate(
+                [d[:, :1], (d[:, 1:] - d[:, :-1]) % 256], axis=1
+            ).astype(np.uint8)
+        strips = []
+        for y0 in range(0, h, rps):
+            chunk = plane[y0:y0 + rps].tobytes()
+            if compression == "packbits":
+                chunk = _packbits_encode(chunk)
+            elif compression == "lzw":
+                chunk = _tiff_lzw_encode(chunk)
+            strips.append(chunk)
+
+        n_strips = len(strips)
+        entries = []  # (tag, type, count, value_or_data)
+        entries.append((256, 4, 1, w))
+        entries.append((257, 4, 1, h))
+        entries.append((258, 3, c, [8] * c))
+        entries.append((259, 3, 1, comp_code))
+        entries.append((262, 3, 1, 1 if c == 1 else 2))
+        entries.append((273, 4, n_strips, None))  # patched below
+        entries.append((277, 3, 1, c))
+        entries.append((278, 4, 1, rps))
+        entries.append((279, 4, n_strips, [len(s) for s in strips]))
+        if predictor:
+            entries.append((317, 3, 1, 2))
+        blobs.append((entries, strips))
+
+    # serialize page by page, chaining IFD offsets
+    body = bytearray()
+    ifd_positions = []
+    pos = 8
+    for entries, strips in blobs:
+        n = len(entries)
+        ifd_positions.append(pos)
+        ifd_size = 2 + 12 * n + 4
+        extra_pos = pos + ifd_size
+        extra = bytearray()
+
+        # strip data goes after the IFD's overflow area; compute offsets in
+        # two passes (first: overflow values, then strip bytes)
+        def value_bytes(typ, vals):
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            return struct.pack(e + fmt * len(vals), *vals)
+
+        patched = []
+        overflow_alloc = []
+        for tag, typ, count, val in entries:
+            if tag == 273:
+                patched.append((tag, typ, count, None))
+                continue
+            vals = val if isinstance(val, list) else [val]
+            vb = value_bytes(typ, vals)
+            if len(vb) <= 4:
+                patched.append((tag, typ, count, vb.ljust(4, b"\x00")))
+            else:
+                overflow_alloc.append((len(patched), vb))
+                patched.append((tag, typ, count, None))
+
+        for idx, vb in overflow_alloc:
+            tag, typ, count, _ = patched[idx]
+            patched[idx] = (
+                tag, typ, count,
+                struct.pack(e + "I", extra_pos + len(extra)),
+            )
+            extra += vb
+
+        # strip offsets: data begins after the overflow area
+        data_start = extra_pos + len(extra)
+        strip_offsets = []
+        acc = data_start
+        # strip-offset values may themselves overflow the 4-byte slot
+        so_idx = next(
+            i for i, (t, _, _, _) in enumerate(patched) if t == 273
+        )
+        n_strips = len(strips)
+        if n_strips * 4 <= 4:
+            for s in strips:
+                strip_offsets.append(acc)
+                acc += len(s)
+            patched[so_idx] = (
+                273, 4, n_strips,
+                struct.pack(e + "I", strip_offsets[0]).ljust(4, b"\x00"),
+            )
+        else:
+            so_pos = data_start
+            data_start = so_pos + 4 * n_strips
+            acc = data_start
+            for s in strips:
+                strip_offsets.append(acc)
+                acc += len(s)
+            extra += struct.pack(e + "I" * n_strips, *strip_offsets)
+            patched[so_idx] = (
+                273, 4, n_strips, struct.pack(e + "I", so_pos)
+            )
+
+        ifd = bytearray(struct.pack(e + "H", len(patched)))
+        for tag, typ, count, vb in patched:
+            ifd += struct.pack(e + "HHI", tag, typ, count) + vb
+        next_slot = len(ifd)
+        ifd += struct.pack(e + "I", 0)  # patched when the next page lands
+
+        page = ifd + extra + b"".join(strips)
+        body += page
+        pos += len(page)
+
+    # chain the IFDs
+    blob = bytearray(out) + body
+    for i in range(len(ifd_positions) - 1):
+        entries, _ = blobs[i]
+        n = len(entries)
+        slot = ifd_positions[i] + 2 + 12 * n
+        blob[slot:slot + 4] = struct.pack(e + "I", ifd_positions[i + 1])
+    return bytes(blob)

@@ -526,9 +526,9 @@ def test_jpeg_phash_hamming_locality():
 
 
 def test_multimodal_decode_query_mixed_containers(spark, sf_dir):
-    """The registered decode query now carries all three raster containers
-    (doc_id % 3 → BMP/PNG/JPEG); every row decodes, formats partition the
-    corpus, and dimensions follow the render rule."""
+    """The registered decode query now carries four raster containers
+    (doc_id % 4 → BMP/PNG/JPEG/TIFF); every row decodes, formats partition
+    the corpus, and dimensions follow the render rule."""
     from seoul_big_data_spark.queries import QUERIES
 
     out = QUERIES["multimodal_decode"](spark, sf_dir)
@@ -541,7 +541,7 @@ def test_multimodal_decode_query_mixed_containers(spark, sf_dir):
         assert r["width"] == (r["doc_id"] % 6) + 2
         assert r["height"] == (r["doc_id"] % 4) + 2
         assert r["channels"] == 3
-    assert set(by_fmt) == {"bmp", "png", "jpeg"}
+    assert set(by_fmt) == {"bmp", "png", "jpeg", "tiff"}
 
 
 # --- GIF (r4: pure-Python LZW codec, gifcodec.py) ---------------------------
@@ -789,3 +789,139 @@ def test_audio_query_mixed_codecs(spark, sf_dir):
             assert r["rms"] == pytest.approx(amp / 32768.0, abs=1e-6)
         else:
             assert r["rms"] == pytest.approx(amp / 32768.0, rel=0.04)
+
+
+# --- TIFF (r4: tiffcodec.py — strips, PackBits, TIFF-LZW, predictor) --------
+
+
+@pytest.mark.parametrize("compression", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("byte_order", ["II", "MM"])
+def test_tiff_roundtrip_matrix(compression, byte_order):
+    """Lossless roundtrip across compression x byte order, RGB and gray,
+    multi-strip, with the horizontal-differencing predictor on the LZW
+    case (its usual pairing)."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(13)
+    for src in (
+        rng.randint(0, 256, size=(21, 17, 3)).astype("uint8"),
+        rng.randint(0, 256, size=(10, 33, 1)).astype("uint8"),
+    ):
+        enc = encode_tiff(
+            src,
+            compression=compression,
+            predictor=(compression == "lzw"),
+            rows_per_strip=4,
+            byte_order=byte_order,
+        )
+        dec = decode_tiff_pages(enc)
+        assert len(dec) == 1
+        assert np.array_equal(dec[0], src)
+
+
+def test_tiff_lzw_early_change_growth():
+    """The TIFF LZW variant bumps the code width one code earlier than
+    GIF's; a long stream forces growth through 10/11/12 bits and at least
+    one dictionary reset, and must still roundtrip exactly."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.tiffcodec import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = np.random.RandomState(29)
+    data = bytes(rng.randint(0, 256, size=30000, dtype=np.uint8))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+    runs = bytes(np.repeat(rng.randint(0, 4, size=8000), 3).astype("uint8"))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(runs)) == runs
+
+
+def test_tiff_packbits_known_vectors():
+    from seoul_big_data_spark.sources.tiffcodec import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    # the canonical PackBits example (Apple TN1023, reproduced in the
+    # TIFF 6.0 spec's PackBits section)
+    ref = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    want = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA")
+    assert _packbits_decode(ref) == want
+    assert _packbits_decode(_packbits_encode(want)) == want
+
+
+def test_tiff_multipage_sampling_skips_decode():
+    """tiff_page_stats walks the IFD chain header-only and decodes only
+    sampled pages — indices, counts, and exact means."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.tiffcodec import (
+        encode_tiff,
+        tiff_page_stats,
+    )
+
+    rng = np.random.RandomState(31)
+    pages = [
+        rng.randint(0, 256, size=(8 + i, 12, 3)).astype("uint8")
+        for i in range(5)
+    ]
+    enc = encode_tiff(pages, compression="packbits", rows_per_strip=3)
+    stats = tiff_page_stats(enc, every_k=2)
+    assert [s["frame_idx"] for s in stats] == [0, 2, 4]
+    assert all(s["n_frames"] == 5 for s in stats)
+    for s in stats:
+        src = pages[s["frame_idx"]]
+        assert (s["height"], s["width"]) == src.shape[:2]
+        assert s["mean_g"] == pytest.approx(float(src[:, :, 1].mean()))
+
+
+def test_tiff_dispatch_and_phash_parity():
+    """_decode_payload sniffs II*/MM*; TIFF is lossless, so the perceptual
+    hash is bit-equal with the other lossless containers."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _ahash_bits,
+        _decode_pixels_rgb,
+        encode_bmp_array,
+    )
+    from seoul_big_data_spark.sources.tiffcodec import encode_tiff
+
+    rng = np.random.RandomState(37)
+    img = (rng.randint(0, 6, size=(16, 16, 3)) * 40).astype("uint8")
+    got = _decode_payload(bytes(encode_tiff(img, compression="lzw")))
+    assert (got["format"], got["width"], got["height"]) == ("tiff", 16, 16)
+    assert got["mean_b"] == pytest.approx(float(img[:, :, 2].mean()))
+    h_bmp = _ahash_bits(_decode_pixels_rgb(encode_bmp_array(img)))
+    h_tif = _ahash_bits(
+        _decode_pixels_rgb(bytes(encode_tiff(img, byte_order="MM")))
+    )
+    assert h_bmp == h_tif
+
+
+def test_tiff_unsupported_variants_hit_codec_slot():
+    import struct as _s
+
+    import numpy as np
+
+    from seoul_big_data_spark.sources.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff,
+    )
+
+    img = np.zeros((4, 4, 3), dtype="uint8")
+    enc = bytearray(encode_tiff(img))
+    # patch the compression tag value (tag 259) to 7 (JPEG-in-TIFF)
+    n = _s.unpack_from("<H", enc, 8)[0]
+    for i in range(n):
+        base = 10 + 12 * i
+        if _s.unpack_from("<H", enc, base)[0] == 259:
+            _s.pack_into("<H", enc, base + 8, 7)
+    with pytest.raises(NotImplementedError):
+        decode_tiff_pages(bytes(enc))
