@@ -188,3 +188,74 @@ def test_jpeg_decoder_rejects_truncated_scan():
     enc = bytearray(encode_jpeg(img, quality=90))
     with pytest.raises((ValueError, IndexError)):
         decode_jpeg_pixels(bytes(enc[: len(enc) // 2]))
+
+
+# --- TIFF -------------------------------------------------------------------
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    c=st.sampled_from([1, 3]),
+    compression=st.sampled_from(["none", "packbits", "lzw"]),
+    predictor=st.booleans(),
+    byte_order=st.sampled_from(["II", "MM"]),
+    rps=st.integers(1, 12),
+)
+def test_tiff_roundtrip_property(
+    seed, h, w, c, compression, predictor, byte_order, rps
+):
+    """TIFF is lossless under every supported compression/predictor/byte
+    order/strip geometry combination, for gray and RGB, any dimensions."""
+    from seoul_big_data_spark.sources.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, c)).astype("uint8")
+    dec = decode_tiff_pages(
+        encode_tiff(
+            img,
+            compression=compression,
+            predictor=predictor,
+            rows_per_strip=rps,
+            byte_order=byte_order,
+        )
+    )
+    assert len(dec) == 1
+    assert np.array_equal(dec[0], img)
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_pages=st.integers(1, 6),
+    every_k=st.integers(1, 3),
+)
+def test_tiff_page_sampling_property(seed, n_pages, every_k):
+    """Multi-page chain walk + sampled stats: indices and exact means for
+    any page count and stride."""
+    from seoul_big_data_spark.sources.tiffcodec import (
+        encode_tiff,
+        tiff_page_stats,
+    )
+
+    rng = np.random.RandomState(seed)
+    pages = [
+        rng.randint(0, 256, size=(rng.randint(2, 12), rng.randint(2, 12), 3))
+        .astype("uint8")
+        for _ in range(n_pages)
+    ]
+    stats = tiff_page_stats(
+        bytes(encode_tiff(pages, compression="lzw", predictor=True)),
+        every_k=every_k,
+    )
+    assert [s["frame_idx"] for s in stats] == list(range(0, n_pages, every_k))
+    for s in stats:
+        src = pages[s["frame_idx"]]
+        assert s["n_frames"] == n_pages
+        assert (s["height"], s["width"]) == src.shape[:2]
+        assert s["mean_r"] == pytest.approx(float(src[:, :, 0].mean()))
