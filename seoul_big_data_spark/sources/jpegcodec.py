@@ -565,16 +565,23 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF writer. ``arr`` is (h, w, 1) grayscale or (h, w, 3)
-    RGB uint8; ``subsampling`` is '444' or '420' (color only);
-    ``restart_interval`` > 0 emits DRI + RSTn every N MCUs (exercises the
-    decoder's restart path). Tables used are written into the stream."""
+    RGB uint8; ``subsampling`` is '444', '422' (horizontal-only), or
+    '420' (color only); ``restart_interval`` > 0 emits DRI + RSTn every N
+    MCUs (exercises the decoder's restart path). Tables used are written
+    into the stream."""
     h, w, nc = arr.shape
     if nc not in (1, 3):
         raise ValueError("expected (h, w, 1|3) array")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422', or '420'")
     gray = nc == 1
-    sub = 1 if (gray or subsampling == "444") else 2
+    # luma sampling factors (chroma is always 1x1)
+    if gray or subsampling == "444":
+        sh = sv = 1
+    elif subsampling == "422":
+        sh, sv = 2, 1
+    else:
+        sh = sv = 2
 
     qy = _scale_quant(_QUANT_LUMA, quality)
     qc = _scale_quant(_QUANT_CHROMA, quality)
@@ -587,15 +594,14 @@ def encode_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if sub == 2:  # 2x2 box-mean chroma downsample
-            cbp = _pad_to_multiple(cb, 2, 2)
-            crp = _pad_to_multiple(cr, 2, 2)
-            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
-                axis=(1, 3)
-            )
-            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
-                axis=(1, 3)
-            )
+        if sh > 1 or sv > 1:  # box-mean chroma downsample by (sv, sh)
+            def ds(p):
+                pp = _pad_to_multiple(p, sv, sh)
+                return pp.reshape(
+                    pp.shape[0] // sv, sv, pp.shape[1] // sh, sh
+                ).mean(axis=(1, 3))
+
+            cb, cr = ds(cb), ds(cr)
         planes = [y, cb, cr]
 
     # per-component (plane, quant, sampling h, v)
@@ -603,7 +609,7 @@ def encode_jpeg(
         spec = [(planes[0], qy, 1, 1)]
     else:
         spec = [
-            (planes[0], qy, sub, sub),
+            (planes[0], qy, sh, sv),
             (planes[1], qc, 1, 1),
             (planes[2], qc, 1, 1),
         ]

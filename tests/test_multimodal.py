@@ -415,7 +415,7 @@ def test_jpeg_flat_images_roundtrip_exact():
     assert int(np.abs(dec.astype(int) - flat_rgb.astype(int)).max()) <= 1
 
 
-@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("subsampling", ["444", "422", "420"])
 def test_jpeg_smooth_roundtrip_bounded_error(subsampling):
     import numpy as np
 
@@ -925,3 +925,66 @@ def test_tiff_unsupported_variants_hit_codec_slot():
             _s.pack_into("<H", enc, base + 8, 7)
     with pytest.raises(NotImplementedError):
         decode_tiff_pages(bytes(enc))
+
+
+def test_gif_disposal_restore_background_and_previous():
+    """Spec-level compositing: a hand-built GIF89a exercises disposal 2
+    (restore background) and disposal 3 (restore previous), which the
+    test encoder never emits. Frame 0 fills the canvas then restores to
+    background; frame 1 draws a patch then restores the pre-frame state;
+    frame 2 draws over the restored canvas."""
+    import struct as _s
+
+    import numpy as np
+
+    from seoul_big_data_spark.sources.gifcodec import (
+        _lzw_encode,
+        decode_gif_frames,
+    )
+
+    palette = [(10, 10, 10), (200, 0, 0), (0, 200, 0), (0, 0, 200)]
+
+    def sub_blocks(data):
+        out = bytearray()
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+        return bytes(out)
+
+    def gce(disposal):
+        return bytes((0x21, 0xF9, 4, disposal << 2, 0, 0, 0, 0))
+
+    def image(left, top, w, h, indices):
+        return (
+            b"\x2c"
+            + _s.pack("<HHHHB", left, top, w, h, 0)
+            + bytes([2])
+            + sub_blocks(_lzw_encode(indices, 2))
+        )
+
+    gif = bytearray(b"GIF89a")
+    gif += _s.pack("<HHBBB", 4, 4, 0x80 | 0x01, 0, 0)  # GCT, 4 colors, bg=0
+    for rgb in palette:
+        gif += bytes(rgb)
+    gif += gce(2) + image(0, 0, 4, 4, [1] * 16)        # full c1, restore bg
+    gif += gce(3) + image(1, 1, 2, 2, [2] * 4)         # patch c2, restore prev
+    gif += image(0, 0, 1, 1, [3])                      # corner c3, keep
+    gif += b"\x3b"
+
+    frames = decode_gif_frames(bytes(gif))
+    assert frames.shape == (3, 4, 4, 3)
+    c0, c1, c2, c3 = (np.array(c, dtype=np.uint8) for c in palette)
+    # frame 0: all c1
+    assert np.array_equal(frames[0], np.tile(c1, (4, 4, 1)))
+    # frame 1: background everywhere (disposal 2 wiped frame 0) except the
+    # 2x2 c2 patch
+    want1 = np.tile(c0, (4, 4, 1))
+    want1[1:3, 1:3] = c2
+    assert np.array_equal(frames[1], want1)
+    # frame 2: disposal 3 restored the pre-patch canvas (all background),
+    # then one c3 pixel lands at the corner
+    want2 = np.tile(c0, (4, 4, 1))
+    want2[0, 0] = c3
+    assert np.array_equal(frames[2], want2)
