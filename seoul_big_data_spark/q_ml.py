@@ -791,14 +791,17 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t = text.lower()
                 n = max(len(t), 1)
                 # letter frequency per mille, quantized to 32 levels — the
-                # content signature the image carries
-                hist = np.array(
-                    [
-                        min((t.count(chr(97 + c)) * 1000 // n) // 8, 31) * 8
-                        for c in range(26)
-                    ],
-                    dtype=np.uint8,
-                )
+                # content signature the image carries. One bincount over
+                # the utf-8 bytes replaces 26 str.count scans (ASCII
+                # letters are single bytes, and utf-8 continuation bytes
+                # are >= 0x80, so byte counts == code-point counts here)
+                counts = np.bincount(
+                    np.frombuffer(t.encode("utf-8"), dtype=np.uint8),
+                    minlength=123,
+                )[97:123].astype(np.int64)
+                hist = (
+                    np.minimum(counts * 1000 // n // 8, 31) * 8
+                ).astype(np.uint8)
                 arr = hist[_CH].reshape(16, 16, 3)  # one gather, no pix() loop
                 enc = encode_bmp_array if int(doc_id) % 2 == 0 else encode_png
                 payloads.append(bytearray(enc(arr)))

@@ -802,19 +802,26 @@ def _ahash_bits(px, grid: int = 8) -> int:
 
     gray = px.astype(np.int64).sum(axis=2)  # 3x gray, scale cancels in the
     h, w = gray.shape  # threshold comparison
-    ys = np.linspace(0, h, grid + 1).astype(int)
-    xs = np.linspace(0, w, grid + 1).astype(int)
-    means = np.empty((grid, grid), dtype=np.float64)
-    for i in range(grid):
-        for j in range(grid):
-            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
-                         xs[j]:max(xs[j + 1], xs[j] + 1)]
-            means[i, j] = block.mean() if block.size else 0.0
+    if h % grid == 0 and w % grid == 0 and h >= grid and w >= grid:
+        # aligned fast path: one reshape-mean replaces the 64-block loop —
+        # identical float64 block means, so the hash is bit-identical to
+        # the general path on aligned inputs (pinned in tests)
+        means = gray.reshape(grid, h // grid, grid, w // grid).mean(
+            axis=(1, 3)
+        )
+    else:
+        ys = np.linspace(0, h, grid + 1).astype(int)
+        xs = np.linspace(0, w, grid + 1).astype(int)
+        means = np.empty((grid, grid), dtype=np.float64)
+        for i in range(grid):
+            for j in range(grid):
+                block = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                             xs[j]:max(xs[j + 1], xs[j] + 1)]
+                means[i, j] = block.mean() if block.size else 0.0
     thresh = means.mean()
     bits = 0
-    for i in range(grid):
-        for j in range(grid):
-            bits = (bits << 1) | int(means[i, j] > thresh)
+    for bit in (means > thresh).reshape(-1):
+        bits = (bits << 1) | int(bit)
     return bits
 
 

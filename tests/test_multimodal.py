@@ -988,3 +988,36 @@ def test_gif_disposal_restore_background_and_previous():
     want2 = np.tile(c0, (4, 4, 1))
     want2[0, 0] = c3
     assert np.array_equal(frames[2], want2)
+
+
+def test_ahash_fast_path_matches_general_path():
+    """The aligned reshape-mean fast path in _ahash_bits must produce the
+    BIT-IDENTICAL hash the general (linspace-block) path produces — block
+    partitions coincide exactly when grid divides the dimensions."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import _ahash_bits
+
+    def general(px, grid=8):
+        gray = px.astype(np.int64).sum(axis=2)
+        h, w = gray.shape
+        ys = np.linspace(0, h, grid + 1).astype(int)
+        xs = np.linspace(0, w, grid + 1).astype(int)
+        means = np.empty((grid, grid))
+        for i in range(grid):
+            for j in range(grid):
+                b = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                         xs[j]:max(xs[j + 1], xs[j] + 1)]
+                means[i, j] = b.mean() if b.size else 0.0
+        t = means.mean()
+        bits = 0
+        for i in range(grid):
+            for j in range(grid):
+                bits = (bits << 1) | int(means[i, j] > t)
+        return bits
+
+    rng = np.random.RandomState(41)
+    for shape in ((16, 16), (32, 24), (8, 8), (17, 19)):
+        for _ in range(10):
+            px = rng.randint(0, 256, size=(*shape, 3)).astype("uint8")
+            assert _ahash_bits(px) == general(px)
