@@ -56,7 +56,7 @@ def _decode_bmp(payload: bytes) -> dict:
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or compression != 0:
+    if bpp not in (24, 32) or compression != 0:
         raise NotImplementedError(
             f"BMP variant (bpp={bpp}, compression={compression}) needs a real "
             "codec; plug PIL here"
@@ -64,7 +64,8 @@ def _decode_bmp(payload: bytes) -> dict:
     import numpy as np
 
     n_rows = abs(height)
-    row_bytes = width * 3
+    bypp = bpp // 8  # bytes per pixel: BGR or BGRX (r4: 32-bit BI_RGB)
+    row_bytes = width * bypp
     stride = (row_bytes + 3) & ~3
     # Vectorized pixel sweep: one frombuffer + strided reshape instead of a
     # per-byte Python loop (~100x less CPU per image; identical integer sums,
@@ -77,7 +78,7 @@ def _decode_bmp(payload: bytes) -> dict:
     a = (
         np.frombuffer(buf + b"\x00" * (n_rows * stride - need), dtype=np.uint8)
         .reshape(n_rows, stride)[:, :row_bytes]
-        .reshape(-1, 3)
+        .reshape(-1, bypp)[:, :3]  # drop the X byte of BGRX
     )
     sums = a.sum(axis=0, dtype=np.int64)  # B, G, R accumulation order as stored
     n_px = width * n_rows
@@ -94,11 +95,13 @@ def _decode_bmp(payload: bytes) -> dict:
 
 
 def _decode_ppm(payload: bytes) -> dict:
-    """Netpbm PPM: ``P6`` (binary) or ``P3`` (ascii) — magic, whitespace-
-    separated width/height/maxval with ``#`` comments, then RGB triplets."""
+    """Netpbm: ``P6``/``P3`` PPM (RGB triplets) and, r4, ``P5``/``P2``
+    PGM (grayscale) — magic, whitespace-separated width/height/maxval
+    with ``#`` comments, then samples (binary or ascii)."""
     magic = payload[:2]
-    if magic not in (b"P6", b"P3"):
-        raise ValueError("not a PPM payload")
+    if magic not in (b"P6", b"P3", b"P5", b"P2"):
+        raise ValueError("not a PPM/PGM payload")
+    spx = 3 if magic in (b"P6", b"P3") else 1  # samples per pixel
     # tokenize the header (comments run to end of line)
     pos, fields = 2, []
     while len(fields) < 3:
@@ -114,34 +117,40 @@ def _decode_ppm(payload: bytes) -> dict:
         fields.append(int(payload[start:pos]))
     width, height, maxval = fields
     if maxval > 255:
-        raise NotImplementedError("16-bit PPM needs a real codec")
+        raise NotImplementedError("16-bit netpbm needs a real codec")
     import numpy as np
 
-    if magic == b"P6":
+    n_samples = width * height * spx
+    if magic in (b"P6", b"P5"):
         pos += 1  # single whitespace byte after maxval
-        px = payload[pos:pos + width * height * 3]
-        if len(px) < width * height * 3:
-            raise ValueError("truncated PPM pixel data")
+        px = payload[pos:pos + n_samples]
+        if len(px) < n_samples:
+            raise ValueError("truncated netpbm pixel data")
         samples = np.frombuffer(px, dtype=np.uint8)
     else:
         toks = payload[pos:].split()
-        if len(toks) < width * height * 3:
-            raise ValueError("truncated PPM pixel data")
-        samples = np.array(
-            [int(t) for t in toks[: width * height * 3]], dtype=np.int64
-        )
+        if len(toks) < n_samples:
+            raise ValueError("truncated netpbm pixel data")
+        samples = np.array([int(t) for t in toks[:n_samples]], dtype=np.int64)
     n_px = width * height
     # Vectorized channel sums (exact integer arithmetic, bit-exact means).
-    sums = samples.reshape(-1, 3).sum(axis=0, dtype=np.int64)  # R, G, B order
+    if spx == 3:
+        sums = samples.reshape(-1, 3).sum(axis=0, dtype=np.int64)  # R, G, B
+        r, g, b = (int(sums[i]) / n_px for i in range(3))
+        feat = int(sums.sum()) / (3 * n_px)
+    else:
+        total = int(samples.sum(dtype=np.int64))
+        r = g = b = total / n_px
+        feat = r
     return {
-        "format": "ppm",
+        "format": "ppm" if spx == 3 else "pgm",
         "width": width,
         "height": height,
-        "channels": 3,
-        "mean_r": int(sums[0]) / n_px,
-        "mean_g": int(sums[1]) / n_px,
-        "mean_b": int(sums[2]) / n_px,
-        "feat_mean": int(sums.sum()) / (3 * n_px),
+        "channels": spx,
+        "mean_r": r,
+        "mean_g": g,
+        "mean_b": b,
+        "feat_mean": feat,
     }
 
 
@@ -165,13 +174,15 @@ def _png_chunks(payload: bytes):
 
 def _decode_png_pixels(payload: bytes):
     """Full pixel array of an 8-bit non-interlaced PNG (grayscale / RGB /
-    RGBA) as an (h, w, channels) uint8 numpy array, y=0 at top. Pure
-    stdlib: concatenated IDAT is one ``zlib.decompress``, then the five
-    per-row filters (None/Sub/Up/Average/Paeth, spec §9) are reversed —
-    Sub via a mod-256 cumulative sum, Up as a wrapped row add, Average and
-    Paeth as the per-byte recurrences the spec defines. 16-bit, palette,
-    and Adam7-interlaced variants hit the NotImplementedError codec slot
-    like JPEG does."""
+    RGBA / palette) as an (h, w, channels) uint8 numpy array, y=0 at top.
+    Pure stdlib: concatenated IDAT is one ``zlib.decompress``, then the
+    five per-row filters (None/Sub/Up/Average/Paeth, spec §9) are
+    reversed — Sub via a mod-256 cumulative sum, Up as a wrapped row add,
+    Average and Paeth as the per-byte recurrences the spec defines.
+    Palette images (color type 3, r4) unfilter the 1-byte index plane
+    then gather through PLTE (+ tRNS alpha when present). 16-bit and
+    Adam7-interlaced variants hit the NotImplementedError codec slot like
+    progressive JPEG does."""
     import zlib
 
     import numpy as np
@@ -179,20 +190,27 @@ def _decode_png_pixels(payload: bytes):
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     ihdr, idat = None, bytearray()
+    plte, trns = None, None
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat += data
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+    if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
         raise NotImplementedError(
             f"PNG variant (depth={depth}, color={color}, "
             f"interlace={interlace}) needs a real codec; plug PIL here"
         )
-    channels = {0: 1, 2: 3, 6: 4}[color]
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
     if len(raw) < h * (stride + 1):
@@ -231,7 +249,18 @@ def _decode_png_pixels(payload: bytes):
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = row
         prev = row
-    return out.reshape(h, w, channels)
+    px = out.reshape(h, w, channels)
+    if color == 3:  # palette gather: index plane -> RGB(A)
+        idx = px[:, :, 0]
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette PNG index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    return px
 
 
 def _decode_png(payload: bytes) -> dict:
@@ -321,6 +350,58 @@ def encode_png(arr, filters: list[int] | None = None) -> bytes:
     )
 
 
+def encode_png_palette(indices, palette, trns=None, filters=None) -> bytes:
+    """Palette-PNG writer (test-vector generator, inverse of the color-3
+    path in ``_decode_png_pixels``): ``indices`` (h, w) uint8 into
+    ``palette`` (n, 3) uint8, optional ``trns`` per-index alpha bytes; the
+    index plane filters like any 1-bpp image."""
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        row = idx[y].astype(np.int64)
+        f = filters[y] if filters else 0
+        raw.append(f)
+        left = np.concatenate([np.zeros(1, dtype=np.int64), row[:-1]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = (row - left) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            enc = (row - ((left + prev) >> 1)) % 256
+        else:
+            raise ValueError(f"unsupported test filter {f} for palette rows")
+        raw += bytes(enc.astype(np.uint8))
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _z.crc32(ctype + data))
+        )
+
+    out = _PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    )
+    out += chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
 def _decode_payload(payload: bytes, fmt: str | None = None) -> dict:
     """Decode one payload: real BMP/PPM decode, deterministic fake for
     ``fake/*`` tags, NotImplementedError for formats needing a real codec
@@ -329,7 +410,7 @@ def _decode_payload(payload: bytes, fmt: str | None = None) -> dict:
     if payload[:2] == b"BM":
         out.update(_decode_bmp(payload))
         return out
-    if payload[:2] in (b"P6", b"P3"):
+    if payload[:2] in (b"P6", b"P3", b"P5", b"P2"):
         out.update(_decode_ppm(payload))
         return out
     if payload[:8] == _PNG_SIG:
@@ -735,13 +816,14 @@ def _decode_bmp_pixels(payload: bytes):
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or compression != 0:
+    if bpp not in (24, 32) or compression != 0:
         raise NotImplementedError(
             f"BMP variant (bpp={bpp}, compression={compression}) needs a real "
             "codec; plug PIL here"
         )
     n_rows = abs(height)
-    row_bytes = width * 3
+    bypp = bpp // 8
+    row_bytes = width * bypp
     stride = (row_bytes + 3) & ~3
     need = (n_rows - 1) * stride + row_bytes if n_rows else 0
     buf = payload[data_offset:data_offset + need]
@@ -750,7 +832,7 @@ def _decode_bmp_pixels(payload: bytes):
     return (
         np.frombuffer(buf + b"\x00" * (n_rows * stride - need), dtype=np.uint8)
         .reshape(n_rows, stride)[:, :row_bytes]
-        .reshape(n_rows, width, 3)
+        .reshape(n_rows, width, bypp)[:, :, :3]  # BGR; X of BGRX dropped
     )
 
 

@@ -348,9 +348,14 @@ def test_png_unsupported_variants_hit_codec_slot():
             + chunk(b"IEND", b"")
         )
 
-    for depth, color, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+    # palette (color 3) decodes for real since r4 — the remaining
+    # boundaries are 16-bit depth and Adam7 interlace
+    for depth, color, interlace in ((16, 2, 0), (8, 2, 1), (16, 3, 0)):
         with pytest.raises(NotImplementedError):
             _decode_png_pixels(png_with_ihdr(depth, color, interlace))
+    # palette stream without its PLTE is malformed, not unsupported
+    with pytest.raises(ValueError, match="PLTE"):
+        _decode_png_pixels(png_with_ihdr(8, 3, 0))
 
 
 def test_phash_container_invariant_bmp_vs_png():
@@ -1021,3 +1026,103 @@ def test_ahash_fast_path_matches_general_path():
         for _ in range(10):
             px = rng.randint(0, 256, size=(*shape, 3)).astype("uint8")
             assert _ahash_bits(px) == general(px)
+
+
+# --- r4 boundary closures: palette PNG, PGM, 32-bit BMP ---------------------
+
+
+def test_png_palette_roundtrip_and_stats():
+    """Color-type-3 PNG: unfilter the index plane, gather through PLTE;
+    with tRNS the result is RGBA, without it RGB — both exact."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_png_pixels,
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(17)
+    palette = rng.randint(0, 256, size=(7, 3)).astype("uint8")
+    idx = rng.randint(0, 7, size=(13, 9)).astype("uint8")
+    # exercise filters 0-3 across rows
+    filters = [y % 4 for y in range(13)]
+    px = _decode_png_pixels(encode_png_palette(idx, palette, filters=filters))
+    assert px.shape == (13, 9, 3)
+    assert np.array_equal(px, palette[idx])
+    # with tRNS: alpha rides along per index
+    trns = bytes([255, 128, 0, 255, 64, 255, 255])
+    px4 = _decode_png_pixels(encode_png_palette(idx, palette, trns=trns))
+    assert px4.shape == (13, 9, 4)
+    assert np.array_equal(px4[:, :, :3], palette[idx])
+    alpha = np.frombuffer(trns, dtype=np.uint8)[idx]
+    assert np.array_equal(px4[:, :, 3], alpha)
+    # dispatch: stats derive from the gathered RGB
+    got = _decode_payload(encode_png_palette(idx, palette))
+    assert (got["format"], got["channels"]) == ("png", 3)
+    assert got["mean_r"] == pytest.approx(float(palette[idx][:, :, 0].mean()))
+
+
+def test_png_palette_rejects_bad_index_and_missing_plte():
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_png_pixels,
+        encode_png_palette,
+    )
+
+    palette = np.zeros((2, 3), dtype="uint8")
+    idx = np.full((2, 2), 5, dtype="uint8")  # out of range
+    with pytest.raises(ValueError, match="out of range"):
+        _decode_png_pixels(encode_png_palette(idx, palette))
+
+
+def test_pgm_p5_and_p2_decode():
+    """Grayscale netpbm: P5 binary and P2 ascii agree; channels=1, the
+    three means collapse to the gray mean."""
+    vals = [0, 255, 17, 128, 64, 200]
+    p5 = b"P5\n# gray\n3 2\n255\n" + bytes(vals)
+    p2 = ("P2\n3 2\n255\n" + " ".join(str(v) for v in vals)).encode()
+    g5, g2 = _decode_payload(p5), _decode_payload(p2)
+    for got in (g5, g2):
+        assert (got["format"], got["width"], got["height"], got["channels"]) \
+            == ("pgm", 3, 2, 1)
+        assert got["mean_r"] == got["mean_g"] == got["mean_b"]
+        assert got["feat_mean"] == pytest.approx(sum(vals) / 6)
+
+
+def test_bmp_32bit_decode_and_phash_parity():
+    """32-bit BI_RGB (BGRX): stats and pixels must match the same image's
+    24-bit form exactly (the X byte is padding)."""
+    import struct as _s
+
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _ahash_bits,
+        _decode_pixels_rgb,
+        encode_bmp_array,
+    )
+
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, size=(6, 5, 3)).astype("uint8")
+
+    # hand-build the 32bpp variant: BGRX rows, bottom-up, no padding needed
+    body = bytearray()
+    for y in range(5, -1, -1):
+        for x in range(5):
+            r, g, b = img[y, x]
+            body += bytes((b, g, r, 0))
+    hdr = b"BM" + _s.pack("<IHHI", 54 + len(body), 0, 0, 54) + _s.pack(
+        "<IiiHHIIiiII", 40, 5, 6, 1, 32, 0, len(body), 2835, 2835, 0, 0
+    )
+    p32 = bytes(hdr + body)
+
+    got32 = _decode_payload(p32)
+    got24 = _decode_payload(encode_bmp_array(img))
+    assert got32["format"] == "bmp" and got32["channels"] == 3
+    for k in ("width", "height", "mean_r", "mean_g", "mean_b", "feat_mean"):
+        assert got32[k] == pytest.approx(got24[k])
+    assert np.array_equal(_decode_pixels_rgb(p32), img)
+    assert _ahash_bits(_decode_pixels_rgb(p32)) == _ahash_bits(
+        _decode_pixels_rgb(encode_bmp_array(img))
+    )
