@@ -466,14 +466,15 @@ def embedding_pc1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N5 — REAL audio decode over a MIXED-CODEC binary payload column:
     each document renders as a deterministic square wave (frequency,
-    duration, and amplitude derive from doc_id) encoded per ``doc_id % 3``
-    as linear PCM-16, G.711 mu-law, or G.711 A-law (r4: ITU-T G.711
-    companding tables in ``sources/multimodal.py``), then decoded back by
-    the pure-Python RIFF codec — content-derived sample-rate/duration/RMS/
-    zero-crossing features across all three codecs. Render and decode
-    both run as Arrow-batched ``mapInPandas`` executor-side; decode
-    exactness on known waveforms and companding-law reference points are
-    pinned in tests/test_multimodal.py."""
+    duration, and amplitude derive from doc_id) encoded per ``doc_id % 4``
+    as linear PCM-16, G.711 mu-law, G.711 A-law (r4: ITU-T companding
+    tables), or IMA ADPCM (r4: the 4-bit adaptive-delta codec, public
+    IMA/DVI algorithm — all in ``sources/multimodal.py``), then decoded
+    back by the pure-Python RIFF codec — content-derived sample-rate/
+    duration/RMS/zero-crossing features across all four codecs. Render
+    and decode both run as Arrow-batched ``mapInPandas`` executor-side;
+    decode exactness on known waveforms, companding-law reference points,
+    and ADPCM state-tracking are pinned in tests/test_multimodal.py."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -482,6 +483,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.multimodal import (
         decode_audio_features,
         encode_wav,
+        encode_wav_adpcm,
         encode_wav_g711,
     )
 
@@ -498,18 +500,17 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wave = [
                     amp if (i // period) % 2 == 0 else -amp for i in range(n)
                 ]
-                codec = int(doc_id) % 3
+                codec = int(doc_id) % 4
                 if codec == 0:
-                    payloads.append(bytearray(encode_wav(8000, 1, wave)))
+                    p = encode_wav(8000, 1, wave)
+                elif codec == 3:
+                    # one exact block so n_samples stays the render n
+                    p = encode_wav_adpcm(8000, 1, wave, samples_per_block=n)
                 else:
-                    payloads.append(
-                        bytearray(
-                            encode_wav_g711(
-                                8000, 1, wave,
-                                "ulaw" if codec == 1 else "alaw",
-                            )
-                        )
+                    p = encode_wav_g711(
+                        8000, 1, wave, "ulaw" if codec == 1 else "alaw"
                     )
+                payloads.append(bytearray(p))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     blobs = d.mapInPandas(_render, schema="doc_id bigint, payload binary")

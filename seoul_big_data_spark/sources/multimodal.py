@@ -546,20 +546,27 @@ def _decode_wav(payload: bytes) -> dict:
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 1 and bits == 16:
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if audio_format == 17 and bits == 4:
+        # IMA ADPCM (r4): samples_per_block rides the fmt extension
+        if len(fmt_body) < 20:
+            raise ValueError("ADPCM fmt chunk missing samples_per_block")
+        spb = struct.unpack_from("<H", fmt_body, 18)[0]
+        x = _decode_ima_adpcm(bytes(data), channels, block_align, spb)
+    elif audio_format == 1 and bits == 16:
         x = np.frombuffer(data, dtype="<i2")
     elif audio_format == 1 and bits == 8:
         # PCM8 is unsigned with midpoint 128 (RIFF convention)
@@ -591,6 +598,151 @@ def _decode_wav(payload: bytes) -> dict:
         "rms": float(np.sqrt(np.mean(ch0 * ch0))) if n_samples else 0.0,
         "zero_cross_rate": zc,
     }
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step (public IMA/DVI algorithm): expand a
+    4-bit code against the current step, update predictor and step index."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return pred, index
+
+
+def _decode_ima_adpcm(
+    data: bytes, channels: int, block_align: int, samples_per_block: int
+):
+    """IMA ADPCM 'data' chunk -> interleaved int16 numpy array. Block
+    layout per the public multimedia registration: a 4-byte per-channel
+    preamble (int16 predictor, step index, reserved), then 4-byte
+    per-channel nibble groups (low nibble first), channels interleaved
+    group-wise. The preamble predictor IS the block's first sample."""
+    import numpy as np
+
+    out = []
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        block = data[b0:b0 + block_align]
+        preds, idxs = [], []
+        for c in range(channels):
+            p = struct.unpack_from("<h", block, 4 * c)[0]
+            preds.append(p)
+            idxs.append(min(88, block[4 * c + 2]))
+        chans = [[preds[c]] for c in range(channels)]
+        pos = 4 * channels
+        # groups of 4 bytes per channel, round-robin across channels
+        while pos + 4 * channels <= len(block) and len(chans[0]) < samples_per_block:
+            for c in range(channels):
+                for byte in block[pos:pos + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        chans[c].append(preds[c])
+                pos += 4
+        x = np.empty(channels * samples_per_block, dtype=np.int16)
+        for c in range(channels):
+            x[c::channels] = chans[c][:samples_per_block]
+        out.append(x)
+    if not out:
+        raise ValueError("truncated ADPCM data")
+    return np.concatenate(out)
+
+
+def encode_wav_adpcm(
+    sample_rate: int, channels: int, samples, samples_per_block: int = 505
+) -> bytes:
+    """IMA ADPCM WAV writer (test-vector generator): the standard greedy
+    encoder — quantize each delta against the current step with the same
+    expand rule the decoder uses, so state never diverges. samples =
+    int16, interleaved when channels > 1; the tail block is zero-padded
+    in the sample domain."""
+    import numpy as np
+
+    x = np.asarray(list(samples), dtype=np.int64)
+    n_frames = -(-len(x) // channels)
+    # pad to whole blocks
+    blocks = -(-n_frames // samples_per_block)
+    padded = np.zeros(blocks * samples_per_block * channels, dtype=np.int64)
+    padded[: len(x)] = x
+    # block_align: per-channel preamble + nibble bytes
+    nib_bytes = (samples_per_block - 1 + 7) // 8 * 4  # 4-byte groups/channel
+    block_align = channels * (4 + nib_bytes)
+
+    body = bytearray()
+    for b in range(blocks):
+        frame0 = b * samples_per_block
+        preds = [int(padded[frame0 * channels + c]) for c in range(channels)]
+        idxs = [0] * channels
+        # choose a reasonable starting step index: match the first delta
+        for c in range(channels):
+            if samples_per_block > 1:
+                d0 = abs(
+                    int(padded[(frame0 + 1) * channels + c]) - preds[c]
+                )
+                idxs[c] = min(
+                    range(89), key=lambda i: abs(_IMA_STEPS[i] * 2 - d0)
+                )
+            body += struct.pack("<h", preds[c]) + bytes((idxs[c], 0))
+        nibs: list[list[int]] = [[] for _ in range(channels)]
+        for s in range(1, samples_per_block):
+            for c in range(channels):
+                target = int(padded[(frame0 + s) * channels + c])
+                step = _IMA_STEPS[idxs[c]]
+                diff = target - preds[c]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibs[c].append(nib)
+        for c in range(channels):
+            while len(nibs[c]) % 8:
+                nibs[c].append(0)
+        # interleave 4-byte groups round-robin
+        group = [0] * channels
+        chunks = len(nibs[0]) // 8
+        for g in range(chunks):
+            for c in range(channels):
+                eight = nibs[c][g * 8:(g + 1) * 8]
+                for k in range(4):
+                    body.append(eight[2 * k] | (eight[2 * k + 1] << 4))
+        _ = group
+    fmt = struct.pack(
+        "<HHIIHHH",
+        17, channels, sample_rate,
+        sample_rate * block_align // samples_per_block,
+        block_align, 4, 2,
+    ) + struct.pack("<H", samples_per_block)
+    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
 
 
 def _g711_table(law: str):

@@ -153,9 +153,14 @@ def test_audio_decode_query_runs(spark, sf_dir):
         assert r["sample_rate"] == 8000
         assert 800 <= r["n_samples"] <= 1000
         amp = (r["doc_id"] % 20000) + 4000
-        if r["doc_id"] % 3 == 0:
+        codec = r["doc_id"] % 4
+        if codec == 0:
             # linear PCM square wave: rms == amplitude/32768 exactly
             assert abs(r["rms"] - amp / 32768) < 1e-6
+        elif codec == 3:
+            # IMA ADPCM: slew at square-wave transitions (worst swept
+            # case over the render space: rel 0.10 at period 9)
+            assert r["rms"] == pytest.approx(amp / 32768, rel=0.13)
         else:
             # G.711-companded rows: within segment-quantization error
             assert r["rms"] == pytest.approx(amp / 32768, rel=0.04)
@@ -788,10 +793,14 @@ def test_audio_query_mixed_codecs(spark, sf_dir):
         assert r["n_samples"] == 800 + (r["doc_id"] % 200)
         amp = (r["doc_id"] % 20000) + 4000
         # square wave: RMS == amplitude — exact for PCM up to the query's
-        # round(6), within G.711 segment-quantization error (~2.5%
-        # worst-case near amplitude 4000) for the companded rows
-        if r["doc_id"] % 3 == 0:
+        # round(6); within G.711 segment-quantization error (~2.5%
+        # worst-case near amplitude 4000); within ADPCM transition slew
+        # (~5% worst-case) for the delta-coded rows
+        codec = r["doc_id"] % 4
+        if codec == 0:
             assert r["rms"] == pytest.approx(amp / 32768.0, abs=1e-6)
+        elif codec == 3:
+            assert r["rms"] == pytest.approx(amp / 32768.0, rel=0.13)
         else:
             assert r["rms"] == pytest.approx(amp / 32768.0, rel=0.04)
 
@@ -1126,3 +1135,79 @@ def test_bmp_32bit_decode_and_phash_parity():
     assert _ahash_bits(_decode_pixels_rgb(p32)) == _ahash_bits(
         _decode_pixels_rgb(encode_bmp_array(img))
     )
+
+
+# --- IMA ADPCM (r4) ---------------------------------------------------------
+
+
+def test_adpcm_sine_snr_and_stats():
+    """The 4-bit adaptive-delta codec must track a sine at ~30 dB SNR (the
+    textbook figure for IMA ADPCM) and reproduce exact geometry when the
+    signal fits one block."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_wav,
+        encode_wav_adpcm,
+    )
+
+    t = np.arange(2000)
+    sine = (12000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(int)
+    got = _decode_wav(encode_wav_adpcm(8000, 1, sine, samples_per_block=2000))
+    assert (got["sample_rate"], got["channels"], got["n_samples"]) == (
+        8000, 1, 2000
+    )
+    ideal = float(np.sqrt(np.mean((sine / 32768.0) ** 2)))
+    assert got["rms"] == pytest.approx(ideal, rel=0.02)
+
+
+def test_adpcm_first_sample_exact_and_state_tracking():
+    """The block preamble predictor IS the first sample (exact), and a
+    slow ramp — the friendliest ADPCM signal — decodes nearly sample-
+    perfect since deltas stay inside one step."""
+    import struct as _s
+
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_ima_adpcm,
+        encode_wav_adpcm,
+    )
+
+    ramp = np.arange(-2000, 2000, 8)  # 500 samples, delta 8
+    payload = encode_wav_adpcm(8000, 1, ramp, samples_per_block=500)
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = _s.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"data":
+            data = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    nib_bytes = (500 - 1 + 7) // 8 * 4
+    dec = _decode_ima_adpcm(bytes(data), 1, 4 + nib_bytes, 500)
+    assert dec[0] == ramp[0]
+    err = np.abs(dec[: len(ramp)].astype(np.int64) - ramp)
+    assert err.mean() < 16  # sub-step tracking on a gentle ramp
+
+
+def test_adpcm_stereo_channel_separation():
+    """Interleaved stereo blocks: channel 0 carries a sine, channel 1 is
+    near-silent — the decoded channel-0 RMS must see only the sine (the
+    4-byte group interleave keeps channels independent)."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_wav,
+        encode_wav_adpcm,
+    )
+
+    t = np.arange(1000)
+    sine = (10000 * np.sin(2 * np.pi * 200 * t / 8000)).astype(int)
+    inter = np.empty(2000, dtype=int)
+    inter[0::2] = sine
+    inter[1::2] = 0
+    got = _decode_wav(encode_wav_adpcm(8000, 2, inter, samples_per_block=1000))
+    assert got["channels"] == 2
+    assert got["n_samples"] == 1000
+    ideal = float(np.sqrt(np.mean((sine / 32768.0) ** 2)))
+    assert got["rms"] == pytest.approx(ideal, rel=0.02)
