@@ -1,6 +1,8 @@
-"""N5 multimodal plumbing — mapInPandas decode stage with a REAL pure-Python
-BMP/PPM decoder (content-derived width/height/channel stats) and an explicit
-codec slot for compressed formats."""
+"""N5 multimodal plumbing — mapInPandas decode stage with REAL pure-Python
+codecs (BMP 24/32-bit, PPM/PGM, PNG incl. palette, baseline JPEG, GIF incl.
+animation, TIFF incl. multi-page; WAV PCM8/16 + G.711 + IMA ADPCM), all
+producing content-derived stats, with an explicit codec slot for the
+entropy formats that remain (progressive JPEG, MP3/AAC)."""
 
 from __future__ import annotations
 
