@@ -8,7 +8,7 @@ payload bytes never leave the executor that scanned them.
 
 Decoding is REAL for the raster formats a pure-Python decoder can handle —
 BMP (24-bit BI_RGB), PPM (P6 binary / P3 ascii), PNG (8-bit gray/RGB/RGBA,
-non-interlaced: stdlib ``zlib`` inflate + the five per-row unfilters),
+palette, Adam7: stdlib ``zlib`` inflate + the five per-row unfilters),
 baseline JPEG (r4: full T.81 sequential-DCT Huffman decode in
 ``jpegcodec.py`` — grayscale + YCbCr, 4:4:4/4:2:2/4:2:0, restart markers),
 GIF87a/89a (r4: pure-Python LZW in ``gifcodec.py`` — interlacing,
@@ -158,67 +158,26 @@ def _decode_ppm(payload: bytes) -> dict:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-
-def _png_chunks(payload: bytes):
-    """Iterate (type, data) over a PNG byte stream (public spec layout:
-    4-byte big-endian length, 4-byte type, data, 4-byte CRC)."""
-    pos = 8
-    while pos + 8 <= len(payload):
-        length = struct.unpack_from(">I", payload, pos)[0]
-        ctype = payload[pos + 4:pos + 8]
-        yield ctype, payload[pos + 8:pos + 8 + length]
-        pos += 12 + length
-        if ctype == b"IEND":
-            break
+# Adam7 pass grid (spec §8.2): (x_start, y_start, x_step, y_step) per pass —
+# together the seven passes tile every pixel exactly once (asserted in tests)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
-def _decode_png_pixels(payload: bytes):
-    """Full pixel array of an 8-bit non-interlaced PNG (grayscale / RGB /
-    RGBA / palette) as an (h, w, channels) uint8 numpy array, y=0 at top.
-    Pure stdlib: concatenated IDAT is one ``zlib.decompress``, then the
-    five per-row filters (None/Sub/Up/Average/Paeth, spec §9) are
-    reversed — Sub via a mod-256 cumulative sum, Up as a wrapped row add,
-    Average and Paeth as the per-byte recurrences the spec defines.
-    Palette images (color type 3, r4) unfilter the 1-byte index plane
-    then gather through PLTE (+ tRNS alpha when present). 16-bit and
-    Adam7-interlaced variants hit the NotImplementedError codec slot like
-    progressive JPEG does."""
-    import zlib
-
+def _png_unfilter_lines(raw: bytes, pos: int, h: int, w: int, channels: int):
+    """Reverse the five PNG row filters over ``h`` scanlines of ``w``
+    pixels starting at ``pos`` in the inflated stream; returns the
+    (h, w*channels) byte matrix and the advanced position. Shared by the
+    sequential path and each Adam7 sub-image (filtering restarts per
+    pass, exactly as the spec requires)."""
     import numpy as np
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    ihdr, idat = None, bytearray()
-    plte, trns = None, None
-    for ctype, data in _png_chunks(payload):
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"tRNS":
-            trns = np.frombuffer(data, dtype=np.uint8)
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"PNG variant (depth={depth}, color={color}, "
-            f"interlace={interlace}) needs a real codec; plug PIL here"
-        )
-    if color == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE")
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-    raw = zlib.decompress(bytes(idat))
     stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG pixel data")
+    bpp = channels
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels
-    pos = 0
     for y in range(h):
         ftype = raw[pos]
         pos += 1
@@ -249,7 +208,79 @@ def _decode_png_pixels(payload: bytes):
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = row
         prev = row
-    px = out.reshape(h, w, channels)
+    return out, pos
+
+
+def _png_chunks(payload: bytes):
+    """Iterate (type, data) over a PNG byte stream (public spec layout:
+    4-byte big-endian length, 4-byte type, data, 4-byte CRC)."""
+    pos = 8
+    while pos + 8 <= len(payload):
+        length = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4:pos + 8]
+        yield ctype, payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IEND":
+            break
+
+
+def _decode_png_pixels(payload: bytes):
+    """Full pixel array of an 8-bit PNG (grayscale / RGB / RGBA /
+    palette; sequential or Adam7-interlaced) as an (h, w, channels) uint8
+    numpy array, y=0 at top. Pure stdlib: concatenated IDAT is one
+    ``zlib.decompress``, then the five per-row filters
+    (None/Sub/Up/Average/Paeth, spec §9) are reversed — Sub via a mod-256
+    cumulative sum, Up as a wrapped row add, Average and Paeth as the
+    per-byte recurrences the spec defines. Palette images (color type 3,
+    r4) unfilter the 1-byte index plane then gather through PLTE (+ tRNS
+    alpha when present); Adam7 (r4) unfilters each of the seven
+    sub-images independently and scatters them onto the output grid.
+    16-bit variants hit the NotImplementedError codec slot like
+    progressive JPEG does."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr, idat = None, bytearray()
+    plte, trns = None, None
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 3, 6) or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace}) needs a real codec; plug PIL here"
+        )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        if len(raw) < h * (w * channels + 1):
+            raise ValueError("truncated PNG pixel data")
+        lines, _ = _png_unfilter_lines(raw, 0, h, w, channels)
+        px = lines.reshape(h, w, channels)
+    else:  # Adam7 (r4): 7 sub-images, each filtered independently
+        px = np.empty((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, xs, ys in _ADAM7_PASSES:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no bytes at all
+            lines, pos = _png_unfilter_lines(raw, pos, ph, pw, channels)
+            px[y0::ys, x0::xs] = lines.reshape(ph, pw, channels)
     if color == 3:  # palette gather: index plane -> RGB(A)
         idx = px[:, :, 0]
         if idx.max(initial=0) >= len(plte):
@@ -290,22 +321,19 @@ def _decode_png(payload: bytes) -> dict:
     }
 
 
-def encode_png(arr, filters: list[int] | None = None) -> bytes:
-    """Minimal PNG writer (test-vector generator, inverse of
-    ``_decode_png_pixels``). ``arr`` is (h, w, c) uint8 with c in {1, 3, 4};
-    ``filters`` optionally forces a per-row filter type (0-4) so tests can
-    exercise every unfilter path; default all-0 (None)."""
-    import zlib
-
+def _png_filter_lines(img, filters, row_offset: int = 0) -> bytes:
+    """Forward-filter an (h, w, c) block into PNG scanline bytes (the
+    encode-side inverse of ``_png_unfilter_lines``); ``filters`` is a list
+    cycled per scanline (None -> all filter 0), offset by ``row_offset``
+    so interlaced passes keep a deterministic global filter pattern."""
     import numpy as np
 
-    h, w, c = arr.shape
-    color = {1: 0, 3: 2, 4: 6}[c]
+    h, w, c = img.shape
     raw = bytearray()
     prev = np.zeros(w * c, dtype=np.int64)
     for y in range(h):
-        row = arr[y].reshape(-1).astype(np.int64)
-        f = filters[y] if filters else 0
+        row = img[y].reshape(-1).astype(np.int64)
+        f = filters[(row_offset + y) % len(filters)] if filters else 0
         raw.append(f)
         left = np.concatenate([np.zeros(c, dtype=np.int64), row[:-c]])
         if f == 0:
@@ -330,6 +358,36 @@ def encode_png(arr, filters: list[int] | None = None) -> bytes:
             raise ValueError(f"bad PNG filter type {f}")
         raw += bytes(enc.astype(np.uint8))
         prev = row
+    return bytes(raw)
+
+
+def encode_png(
+    arr, filters: list[int] | None = None, interlace: bool = False
+) -> bytes:
+    """Minimal PNG writer (test-vector generator, inverse of
+    ``_decode_png_pixels``). ``arr`` is (h, w, c) uint8 with c in {1, 3, 4};
+    ``filters`` optionally forces per-row filter types (0-4, cycled) so
+    tests can exercise every unfilter path; ``interlace`` writes the
+    seven Adam7 passes (each filtered independently, per spec)."""
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    arr = np.asarray(arr, dtype=np.uint8)
+    color = {1: 0, 3: 2, 4: 6}[c]
+    if not interlace:
+        raw = _png_filter_lines(arr, filters)
+    else:
+        raw = bytearray()
+        row_off = 0
+        for x0, y0, xs, ys in _ADAM7_PASSES:
+            sub = arr[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _png_filter_lines(sub, filters, row_offset=row_off)
+            row_off += sub.shape[0]
+        raw = bytes(raw)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         import zlib as _z
@@ -341,7 +399,7 @@ def encode_png(arr, filters: list[int] | None = None) -> bytes:
             + struct.pack(">I", _z.crc32(ctype + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

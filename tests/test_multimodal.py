@@ -355,9 +355,9 @@ def test_png_unsupported_variants_hit_codec_slot():
             + chunk(b"IEND", b"")
         )
 
-    # palette (color 3) decodes for real since r4 — the remaining
-    # boundaries are 16-bit depth and Adam7 interlace
-    for depth, color, interlace in ((16, 2, 0), (8, 2, 1), (16, 3, 0)):
+    # palette (color 3) and Adam7 interlace decode for real since r4 —
+    # the remaining boundary is 16-bit depth
+    for depth, color, interlace in ((16, 2, 0), (16, 3, 0), (16, 0, 1)):
         with pytest.raises(NotImplementedError):
             _decode_png_pixels(png_with_ihdr(depth, color, interlace))
     # palette stream without its PLTE is malformed, not unsupported
@@ -1213,3 +1213,69 @@ def test_adpcm_stereo_channel_separation():
     assert got["n_samples"] == 1000
     ideal = float(np.sqrt(np.mean((sine / 32768.0) ** 2)))
     assert got["rms"] == pytest.approx(ideal, rel=0.02)
+
+
+def test_png_adam7_tiling_and_roundtrip():
+    """The seven Adam7 passes must tile every pixel exactly once, and
+    interlaced encode->decode is lossless for gray/RGB/RGBA at any
+    geometry (tiny images leave some passes empty — zero bytes, by spec),
+    with every filter type exercised inside passes."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _ADAM7_PASSES,
+        _decode_png_pixels,
+        encode_png,
+    )
+
+    cover = np.zeros((16, 16), dtype=int)
+    for x0, y0, xs, ys in _ADAM7_PASSES:
+        cover[y0::ys, x0::xs] += 1
+    assert (cover == 1).all()
+
+    rng = np.random.RandomState(43)
+    for h, w, c in ((23, 31, 3), (8, 8, 1), (1, 1, 3), (7, 3, 4), (2, 2, 3)):
+        img = rng.randint(0, 256, size=(h, w, c)).astype("uint8")
+        for filters in (None, [0, 1, 2, 3, 4]):
+            dec = _decode_png_pixels(
+                encode_png(img, filters=filters, interlace=True)
+            )
+            assert np.array_equal(dec, img), (h, w, c, filters)
+
+
+def test_png_adam7_palette_roundtrip():
+    """Interlacing composes with palette color: the index plane scatters
+    through the passes, then gathers through PLTE."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _ADAM7_PASSES,
+        _PNG_SIG,
+        _decode_png_pixels,
+    )
+
+    rng = np.random.RandomState(47)
+    palette = rng.randint(0, 256, size=(5, 3)).astype("uint8")
+    idx = rng.randint(0, 5, size=(11, 13)).astype("uint8")
+    raw = bytearray()
+    for x0, y0, xs, ys in _ADAM7_PASSES:
+        sub = idx[y0::ys, x0::xs]
+        for row in sub:
+            raw.append(0)
+            raw += bytes(row)
+
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d))
+
+    payload = (
+        _PNG_SIG
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 13, 11, 8, 3, 0, 0, 1))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", _z.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    px = _decode_png_pixels(payload)
+    assert np.array_equal(px, palette[idx])
