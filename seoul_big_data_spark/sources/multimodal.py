@@ -116,22 +116,31 @@ def _decode_ppm(payload: bytes) -> dict:
             pos += 1
         fields.append(int(payload[start:pos]))
     width, height, maxval = fields
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm needs a real codec")
+    if maxval > 65535:
+        raise ValueError("netpbm maxval out of spec range")
     import numpy as np
 
+    wide = maxval > 255  # r4: two-byte big-endian samples (spec rule)
     n_samples = width * height * spx
     if magic in (b"P6", b"P5"):
         pos += 1  # single whitespace byte after maxval
-        px = payload[pos:pos + n_samples]
-        if len(px) < n_samples:
+        nbytes = n_samples * (2 if wide else 1)
+        px = payload[pos:pos + nbytes]
+        if len(px) < nbytes:
             raise ValueError("truncated netpbm pixel data")
-        samples = np.frombuffer(px, dtype=np.uint8)
+        if wide:
+            samples = np.frombuffer(px, dtype=">u2").astype(np.int64)
+        else:
+            samples = np.frombuffer(px, dtype=np.uint8)
     else:
         toks = payload[pos:].split()
         if len(toks) < n_samples:
             raise ValueError("truncated netpbm pixel data")
         samples = np.array([int(t) for t in toks[:n_samples]], dtype=np.int64)
+    if wide:
+        # report stats on the standard 0-255 scale (top byte), matching
+        # the 16-bit-PNG convention elsewhere in this module
+        samples = (samples.astype(np.int64) >> 8).astype(np.int64)
     n_px = width * height
     # Vectorized channel sums (exact integer arithmetic, bit-exact means).
     if spx == 3:
@@ -166,16 +175,21 @@ _ADAM7_PASSES = (
 )
 
 
-def _png_unfilter_lines(raw: bytes, pos: int, h: int, w: int, channels: int):
+def _png_unfilter_lines(
+    raw: bytes, pos: int, h: int, w: int, channels: int, sample_bytes: int = 1
+):
     """Reverse the five PNG row filters over ``h`` scanlines of ``w``
     pixels starting at ``pos`` in the inflated stream; returns the
-    (h, w*channels) byte matrix and the advanced position. Shared by the
-    sequential path and each Adam7 sub-image (filtering restarts per
-    pass, exactly as the spec requires)."""
+    (h, w*channels*sample_bytes) byte matrix and the advanced position.
+    Shared by the sequential path and each Adam7 sub-image (filtering
+    restarts per pass, exactly as the spec requires). Filters operate on
+    BYTES with the left-neighbor distance equal to bytes-per-pixel, so
+    16-bit samples (r4) reuse the identical recurrences with
+    ``sample_bytes=2``."""
     import numpy as np
 
-    stride = w * channels
-    bpp = channels
+    stride = w * channels * sample_bytes
+    bpp = channels * sample_bytes
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -257,7 +271,12 @@ def _decode_png_pixels(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or color not in (0, 2, 3, 6) or interlace not in (0, 1):
+    if (
+        depth not in (8, 16)
+        or color not in (0, 2, 3, 6)
+        or interlace not in (0, 1)
+        or (depth == 16 and color == 3)  # 16-bit palette does not exist
+    ):
         raise NotImplementedError(
             f"PNG variant (depth={depth}, color={color}, "
             f"interlace={interlace}) needs a real codec; plug PIL here"
@@ -265,12 +284,22 @@ def _decode_png_pixels(payload: bytes):
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    sb = depth // 8  # sample bytes (r4: 16-bit decodes, top byte kept)
     raw = zlib.decompress(bytes(idat))
+
+    def _to_px(lines, ph, pw):
+        """Byte matrix -> (ph, pw, channels) uint8; 16-bit samples are
+        big-endian pairs reduced to their high byte (the standard 8-bit
+        view; full-precision consumers would keep uint16 here)."""
+        if sb == 1:
+            return lines.reshape(ph, pw, channels)
+        return lines.reshape(ph, pw, channels, 2)[:, :, :, 0]
+
     if interlace == 0:
-        if len(raw) < h * (w * channels + 1):
+        if len(raw) < h * (w * channels * sb + 1):
             raise ValueError("truncated PNG pixel data")
-        lines, _ = _png_unfilter_lines(raw, 0, h, w, channels)
-        px = lines.reshape(h, w, channels)
+        lines, _ = _png_unfilter_lines(raw, 0, h, w, channels, sb)
+        px = _to_px(lines, h, w)
     else:  # Adam7 (r4): 7 sub-images, each filtered independently
         px = np.empty((h, w, channels), dtype=np.uint8)
         pos = 0
@@ -279,8 +308,8 @@ def _decode_png_pixels(payload: bytes):
             ph = (h - y0 + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes no bytes at all
-            lines, pos = _png_unfilter_lines(raw, pos, ph, pw, channels)
-            px[y0::ys, x0::xs] = lines.reshape(ph, pw, channels)
+            lines, pos = _png_unfilter_lines(raw, pos, ph, pw, channels, sb)
+            px[y0::ys, x0::xs] = _to_px(lines, ph, pw)
     if color == 3:  # palette gather: index plane -> RGB(A)
         idx = px[:, :, 0]
         if idx.max(initial=0) >= len(plte):
@@ -321,18 +350,22 @@ def _decode_png(payload: bytes) -> dict:
     }
 
 
-def _png_filter_lines(img, filters, row_offset: int = 0) -> bytes:
-    """Forward-filter an (h, w, c) block into PNG scanline bytes (the
-    encode-side inverse of ``_png_unfilter_lines``); ``filters`` is a list
-    cycled per scanline (None -> all filter 0), offset by ``row_offset``
-    so interlaced passes keep a deterministic global filter pattern."""
+def _png_filter_lines(rows, bpp: int, filters, row_offset: int = 0) -> bytes:
+    """Forward-filter an (h, stride) BYTE matrix into PNG scanline bytes
+    (the encode-side inverse of ``_png_unfilter_lines``); ``bpp`` is the
+    byte distance to the left neighbor (channels x sample bytes);
+    ``filters`` is a list cycled per scanline (None -> all filter 0),
+    offset by ``row_offset`` so interlaced passes keep a deterministic
+    global filter pattern."""
     import numpy as np
 
-    h, w, c = img.shape
+    rows = np.asarray(rows, dtype=np.uint8)
+    h, stride = rows.shape
+    c = bpp
     raw = bytearray()
-    prev = np.zeros(w * c, dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        row = img[y].reshape(-1).astype(np.int64)
+        row = rows[y].astype(np.int64)
         f = filters[(row_offset + y) % len(filters)] if filters else 0
         raw.append(f)
         left = np.concatenate([np.zeros(c, dtype=np.int64), row[:-c]])
@@ -377,7 +410,7 @@ def encode_png(
     arr = np.asarray(arr, dtype=np.uint8)
     color = {1: 0, 3: 2, 4: 6}[c]
     if not interlace:
-        raw = _png_filter_lines(arr, filters)
+        raw = _png_filter_lines(arr.reshape(h, w * c), c, filters)
     else:
         raw = bytearray()
         row_off = 0
@@ -385,7 +418,12 @@ def encode_png(
             sub = arr[y0::ys, x0::xs]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            raw += _png_filter_lines(sub, filters, row_offset=row_off)
+            raw += _png_filter_lines(
+                sub.reshape(sub.shape[0], sub.shape[1] * c),
+                c,
+                filters,
+                row_offset=row_off,
+            )
             row_off += sub.shape[0]
         raw = bytes(raw)
 
@@ -403,6 +441,39 @@ def encode_png(
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png16(arr16, filters: list[int] | None = None) -> bytes:
+    """16-bit PNG writer (test-vector generator): ``arr16`` is (h, w, c)
+    uint16 with c in {1, 3, 4}, written big-endian per spec; filters
+    cycle per row like ``encode_png``."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr16, dtype=np.uint16)
+    h, w, c = a.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+    # big-endian byte planes, then filter as raw bytes (bpp = 2c)
+    be = np.ascontiguousarray(a.astype(">u2")).view(np.uint8)
+    raw = _png_filter_lines(be.reshape(h, w * c * 2), 2 * c, filters)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _z.crc32(ctype + data))
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )

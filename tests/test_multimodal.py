@@ -95,9 +95,9 @@ def test_decode_features_schema_and_determinism(spark, sf_dir):
 def test_compressed_formats_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         _decode_payload(b"\x89PNG...", fmt="image/png")
-    with pytest.raises(NotImplementedError):
-        # 16-bit PPM is beyond the pure-Python decoder
-        _decode_payload(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        # maxval beyond the netpbm spec range is malformed, not a codec gap
+        _decode_payload(b"P6\n1 1\n70000\n\x00\x00\x00\x00\x00\x00")
 
 
 # --- audio (WAV) ------------------------------------------------------------
@@ -355,9 +355,10 @@ def test_png_unsupported_variants_hit_codec_slot():
             + chunk(b"IEND", b"")
         )
 
-    # palette (color 3) and Adam7 interlace decode for real since r4 —
-    # the remaining boundary is 16-bit depth
-    for depth, color, interlace in ((16, 2, 0), (16, 3, 0), (16, 0, 1)):
+    # palette (color 3), Adam7 interlace, and 16-bit depth all decode for
+    # real since r4 — the remaining PNG boundaries are 16-bit palette
+    # (nonexistent per spec) and nonsense depths
+    for depth, color, interlace in ((16, 3, 0), (4, 2, 0), (1, 0, 0)):
         with pytest.raises(NotImplementedError):
             _decode_png_pixels(png_with_ihdr(depth, color, interlace))
     # palette stream without its PLTE is malformed, not unsupported
@@ -1279,3 +1280,39 @@ def test_png_adam7_palette_roundtrip():
     )
     px = _decode_png_pixels(payload)
     assert np.array_equal(px, palette[idx])
+
+
+def test_png_16bit_decode_top_byte():
+    """16-bit PNG decodes through the same byte-level filter recurrences
+    (bpp doubles), reduced to the standard 8-bit view (top byte) for the
+    unified stats/hash path — every filter type exercised, gray and RGB."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_png_pixels,
+        encode_png16,
+    )
+
+    rng = np.random.RandomState(53)
+    for shape in ((11, 7, 3), (5, 6, 1), (8, 8, 4)):
+        a16 = rng.randint(0, 65536, size=shape).astype("uint16")
+        for filters in (None, [0, 1, 2, 3, 4]):
+            dec = _decode_png_pixels(encode_png16(a16, filters))
+            assert np.array_equal(dec, (a16 >> 8).astype("uint8"))
+
+
+def test_netpbm_16bit_decode_top_byte():
+    """maxval > 255 means two-byte big-endian samples (netpbm spec);
+    stats report on the standard 0-255 scale (top byte), matching the
+    16-bit-PNG convention."""
+    import numpy as np
+
+    vals = [0, 65535, 256, 32768, 511, 1000]
+    p5 = b"P5\n3 2\n65535\n" + np.array(vals, dtype=">u2").tobytes()
+    got = _decode_payload(p5)
+    assert (got["format"], got["channels"]) == ("pgm", 1)
+    assert got["feat_mean"] == pytest.approx(sum(v >> 8 for v in vals) / 6)
+    p6 = b"P6\n1 2\n65535\n" + np.array(vals, dtype=">u2").tobytes()
+    got6 = _decode_payload(p6)
+    assert (got6["format"], got6["channels"]) == ("ppm", 3)
+    assert got6["mean_r"] == pytest.approx((0 + (32768 >> 8)) / 2)
