@@ -230,8 +230,10 @@ def _iter_ifds(payload: bytes):
         yield tags, e
 
 
-def _decode_ifd_page(payload: bytes, tags: dict) -> np.ndarray:
-    """Decode one IFD's image to (h, w, channels) uint8."""
+def _decode_ifd_page(payload: bytes, tags: dict, e: str = "<") -> np.ndarray:
+    """Decode one IFD's image to (h, w, channels) uint8. 16-bit samples
+    (r4) decode in the file's byte order, undo the predictor at 16-bit
+    width, and reduce to the standard top-byte 8-bit view."""
     w = tags[256][0]
     h = tags[257][0]
     spp = tags.get(277, [1])[0]
@@ -239,8 +241,11 @@ def _decode_ifd_page(payload: bytes, tags: dict) -> np.ndarray:
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
     pred = tags.get(317, [1])[0]
-    if any(b != 8 for b in bits):
-        raise NotImplementedError("non-8-bit TIFF needs a real codec")
+    if not (all(b == 8 for b in bits) or all(b == 16 for b in bits)):
+        raise NotImplementedError(
+            f"TIFF BitsPerSample {bits} needs a real codec"
+        )
+    wide = bits[0] == 16
     if photo not in (0, 1, 2):
         raise NotImplementedError(
             f"TIFF photometric {photo} (palette/CMYK/YCbCr) needs a "
@@ -261,14 +266,25 @@ def _decode_ifd_page(payload: bytes, tags: dict) -> np.ndarray:
         elif comp == 32773:
             strip = _packbits_decode(strip)
         raw += strip
-    need = h * w * spp
+    sb = 2 if wide else 1
+    need = h * w * spp * sb
     if len(raw) < need:
         raise ValueError("truncated TIFF strip data")
-    arr = np.frombuffer(bytes(raw), dtype=np.uint8, count=need).reshape(
-        h, w, spp
-    )
-    if pred == 2:  # horizontal differencing: undo with a row cumsum
-        arr = (np.cumsum(arr.astype(np.int64), axis=1) % 256).astype(np.uint8)
+    if wide:
+        vals = np.frombuffer(
+            bytes(raw), dtype=e + "u2", count=h * w * spp
+        ).reshape(h, w, spp)
+        if pred == 2:  # horizontal differencing at 16-bit width
+            vals = (np.cumsum(vals.astype(np.int64), axis=1) % 65536)
+        arr = (vals >> 8).astype(np.uint8)  # standard top-byte 8-bit view
+    else:
+        arr = np.frombuffer(
+            bytes(raw), dtype=np.uint8, count=need
+        ).reshape(h, w, spp)
+        if pred == 2:  # horizontal differencing: undo with a row cumsum
+            arr = (np.cumsum(arr.astype(np.int64), axis=1) % 256).astype(
+                np.uint8
+            )
     if photo == 0:  # WhiteIsZero: invert to the usual BlackIsZero
         arr = 255 - arr
     return arr
@@ -278,7 +294,7 @@ def decode_tiff_pages(payload: bytes) -> list[np.ndarray]:
     """Every page of a TIFF as (h, w, channels) uint8 arrays, y=0 at top.
     Baseline subset: 8-bit gray/RGB strips, Compression 1/5/32773,
     Predictor 1/2, either byte order."""
-    pages = [_decode_ifd_page(payload, tags) for tags, _ in _iter_ifds(payload)]
+    pages = [_decode_ifd_page(payload, tags, e) for tags, e in _iter_ifds(payload)]
     if not pages:
         raise ValueError("TIFF contains no IFD")
     return pages
@@ -294,7 +310,7 @@ def tiff_page_stats(payload: bytes, every_k: int = 1) -> list[dict]:
     ifds = list(_iter_ifds(payload))
     out = []
     for i in range(0, len(ifds), every_k):
-        arr = _decode_ifd_page(payload, ifds[i][0])
+        arr = _decode_ifd_page(payload, ifds[i][0], ifds[i][1])
         h, w, spp = arr.shape
         n_px = h * w
         s = arr.astype(np.int64).sum(axis=(0, 1))
@@ -351,9 +367,10 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     byte_order: str = "II",
 ) -> bytes:
-    """TIFF writer for one (h, w, c) page or a list of pages (c in {1, 3},
-    uint8). ``compression``: 'none' | 'packbits' | 'lzw'; ``predictor``
-    applies horizontal differencing (meaningful with 'lzw');
+    """TIFF writer for one (h, w, c) page or a list of pages (c in {1, 3};
+    uint8, or uint16 for 16-bit samples in the file byte order).
+    ``compression``: 'none' | 'packbits' | 'lzw'; ``predictor`` applies
+    horizontal differencing at the sample width (meaningful with 'lzw');
     ``rows_per_strip`` defaults to the full page (set small to exercise
     multi-strip assembly); ``byte_order`` 'II' or 'MM'."""
     if isinstance(pages, np.ndarray) and pages.ndim == 3:
@@ -370,16 +387,23 @@ def encode_tiff(
     blobs = []
     for p, arr in enumerate(pages):
         h, w, c = arr.shape
+        wide = arr.dtype == np.uint16
         rps = rows_per_strip or h
         plane = arr
         if predictor:
+            mod = 65536 if wide else 256
             d = plane.astype(np.int64)
             plane = np.concatenate(
-                [d[:, :1], (d[:, 1:] - d[:, :-1]) % 256], axis=1
-            ).astype(np.uint8)
+                [d[:, :1], (d[:, 1:] - d[:, :-1]) % mod], axis=1
+            ).astype(np.uint16 if wide else np.uint8)
         strips = []
         for y0 in range(0, h, rps):
-            chunk = plane[y0:y0 + rps].tobytes()
+            block = plane[y0:y0 + rps]
+            chunk = (
+                np.ascontiguousarray(block.astype(e + "u2")).tobytes()
+                if wide
+                else block.astype(np.uint8).tobytes()
+            )
             if compression == "packbits":
                 chunk = _packbits_encode(chunk)
             elif compression == "lzw":
@@ -390,7 +414,7 @@ def encode_tiff(
         entries = []  # (tag, type, count, value_or_data)
         entries.append((256, 4, 1, w))
         entries.append((257, 4, 1, h))
-        entries.append((258, 3, c, [8] * c))
+        entries.append((258, 3, c, [16 if wide else 8] * c))
         entries.append((259, 3, 1, comp_code))
         entries.append((262, 3, 1, 1 if c == 1 else 2))
         entries.append((273, 4, n_strips, None))  # patched below

@@ -1316,3 +1316,32 @@ def test_netpbm_16bit_decode_top_byte():
     got6 = _decode_payload(p6)
     assert (got6["format"], got6["channels"]) == ("ppm", 3)
     assert got6["mean_r"] == pytest.approx((0 + (32768 >> 8)) / 2)
+
+
+def test_tiff_16bit_decode_top_byte():
+    """16-bit TIFF samples decode in the file byte order, undo the
+    predictor at 16-bit width, and reduce to the standard top-byte view —
+    every compression, both byte orders, gray and RGB."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(59)
+    a16 = rng.randint(0, 65536, size=(13, 9, 3)).astype("uint16")
+    g16 = rng.randint(0, 65536, size=(6, 11, 1)).astype("uint16")
+    for comp in ("none", "packbits", "lzw"):
+        for bo in ("II", "MM"):
+            for src in (a16, g16):
+                dec = decode_tiff_pages(
+                    encode_tiff(
+                        src,
+                        compression=comp,
+                        predictor=(comp == "lzw"),
+                        rows_per_strip=4,
+                        byte_order=bo,
+                    )
+                )
+                assert np.array_equal(dec[0], (src >> 8).astype("uint8"))
