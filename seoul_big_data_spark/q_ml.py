@@ -171,24 +171,27 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N5 — REAL image decode over a MIXED-CONTAINER binary payload column:
     each document renders as a deterministic image (dimensions and pixels
     derived from doc_id and text bytes) in a container chosen by
-    ``doc_id % 4`` — BMP, PNG (stdlib zlib), baseline JPEG (r4:
-    pure-numpy T.81 sequential-DCT codec, ``sources/jpegcodec.py``), or
-    LZW-compressed predictor-2 TIFF (r4: ``sources/tiffcodec.py``) — then
-    decodes back through ``_decode_payload``'s format sniffing:
-    content-derived width/height/channel means, not length heuristics.
-    Both the render and the decode run as Arrow-batched ``mapInPandas``:
-    payload bytes are created and consumed executor-side, never on the
-    driver — the 100 TB shape for media columns. Round-trip exactness
-    (known pixels → known stats; JPEG within quantization tolerance) is
-    pinned in tests/test_multimodal.py; progressive JPEG / MP3 remain the
-    explicit ``NotImplementedError`` slot."""
+    ``doc_id % 4`` — BMP, PNG (stdlib zlib), JPEG alternating the
+    sequential and PROGRESSIVE processes (r4: pure-numpy T.81 codec incl.
+    SOF2 spectral selection + successive approximation,
+    ``sources/jpegcodec.py``), or LZW-compressed predictor-2 TIFF (r4:
+    ``sources/tiffcodec.py``) — then decodes back through
+    ``_decode_payload``'s format sniffing: content-derived
+    width/height/channel means, not length heuristics. Both the render
+    and the decode run as Arrow-batched ``mapInPandas``: payload bytes
+    are created and consumed executor-side, never on the driver — the
+    100 TB shape for media columns. Round-trip exactness (known pixels →
+    known stats; JPEG within quantization tolerance, progressive
+    bit-identical to baseline) is pinned in tests/test_multimodal.py;
+    arithmetic JPEG / MP3 remain the explicit ``NotImplementedError``
+    slot."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     from .session import ensure_package_shipped
-    from .sources.jpegcodec import encode_jpeg
+    from .sources.jpegcodec import encode_jpeg, encode_jpeg_progressive
     from .sources.multimodal import decode_features, encode_bmp_array, encode_png
     from .sources.tiffcodec import encode_tiff
 
@@ -206,7 +209,14 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = int(doc_id % 6) + 2, int(doc_id % 4) + 2
                 idx = (np.arange(h * w * 3)) % len(data)
                 arr = np.frombuffer(data, dtype=np.uint8)[idx].reshape(h, w, 3)
-                enc = (encode_bmp_array, encode_png, encode_jpeg, _tiff)[
+                # the JPEG slot alternates the sequential and progressive
+                # processes so both decode paths run in the registered query
+                jpg = (
+                    encode_jpeg_progressive
+                    if (int(doc_id) // 4) % 2
+                    else encode_jpeg
+                )
+                enc = (encode_bmp_array, encode_png, jpg, _tiff)[
                     int(doc_id) % 4
                 ]
                 payloads.append(bytearray(enc(arr)))

@@ -1,19 +1,27 @@
-"""Baseline JPEG codec — pure stdlib + numpy, no PIL.
+"""JPEG codec (baseline + progressive) — pure stdlib + numpy, no PIL.
 
 Implements the baseline sequential DCT process of the public JPEG
 specification (ITU-T T.81 / ISO 10918-1): 8x8 block DCT, uniform scalar
 quantization, zigzag run-length + Huffman entropy coding, JFIF YCbCr color.
 The decoder handles grayscale and 3-component YCbCr with any 1-2 sampling
-factors (4:4:4, 4:2:2, 4:2:0), restart intervals, and multi-table DQT/DHT
-segments; progressive (SOF2), arithmetic-coded, and 12-bit streams raise
-``NotImplementedError`` at the same documented codec slot the other
-compressed formats use (`multimodal.py`).
+factors (4:4:4, 4:2:2, 4:2:0), restart intervals, multi-table DQT/DHT
+segments, and — r4 — the PROGRESSIVE process (SOF2): spectral selection,
+successive approximation, EOBn end-of-band runs, and the refinement
+correction-bit algorithm, accumulated across scans into a coefficient
+store and reconstructed once at EOI. A completed progressive stream
+decodes BIT-IDENTICALLY to the equivalent baseline stream (pinned in
+tests). Arithmetic-coded and 12-bit streams raise ``NotImplementedError``
+at the same documented codec slot the other compressed formats use
+(`multimodal.py`).
 
-The encoder is the test-vector generator (the inverse direction), writing
-baseline 4:4:4 or 4:2:0 streams with the spec's Annex K example tables
-scaled by the usual 5000/q | 200-2q quality formula. Quant and Huffman
-tables travel inside the file (DQT/DHT), so decode correctness never
-depends on both sides sharing hard-coded constants.
+The encoders are the test-vector generators (the inverse direction):
+baseline 4:4:4/4:2:2/4:2:0 with the spec's Annex K example tables scaled
+by the usual 5000/q | 200-2q quality formula, and a progressive writer
+whose scan script exercises both spectral bands and both successive-
+approximation passes. Quant and Huffman tables travel inside the file
+(DQT/DHT — the progressive AC table ships its EOBn symbols mid-stream),
+so decode correctness never depends on both sides sharing hard-coded
+constants.
 
 This is a north-star extension (SURVEY.md §2.10 N5); the reference has no
 multimodal surface at all. Scale shape: decode runs executor-side inside
@@ -27,7 +35,12 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg_pixels", "decode_jpeg", "encode_jpeg"]
+__all__ = [
+    "decode_jpeg_pixels",
+    "decode_jpeg",
+    "encode_jpeg",
+    "encode_jpeg_progressive",
+]
 
 
 def _zigzag() -> np.ndarray:
@@ -264,15 +277,105 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+# --- progressive scan primitives (T.81 G.2; bit order matches IJG) ----------
+
+
+def _prog_dc_first(reader, dc_tbl, pred: int, Al: int):
+    """First DC scan: normal diff decode, value scaled by the point
+    transform. Returns (new predictor, coefficient value)."""
+    t = reader.decode_huffman(dc_tbl)
+    pred += _extend(reader.receive(t), t)
+    return pred, pred << Al
+
+
+def _prog_ac_first(reader, ac_tbl, coef, Ss, Se, Al, eobrun):
+    """First AC scan for one block (single-component scans only, per
+    spec): run-length symbols with EOBn end-of-band runs; values carry
+    the point transform. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = reader.decode_huffman(ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > Se:
+            raise ValueError("AC run past band end")
+        coef[_ZZ[k]] = _extend(reader.receive(s), s) << Al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine(reader, ac_tbl, coef, Ss, Se, Al, eobrun):
+    """AC refinement scan for one block: one correction bit per
+    already-nonzero coefficient crossed, new coefficients appear as
+    +/-(1<<Al). Signed & p1 is a valid history test because every
+    magnitude entering this scan is a multiple of 1<<(Al+1). Returns the
+    remaining EOB run."""
+    p1 = 1 << Al
+    m1 = -p1
+    k = Ss
+
+    def correct(kk: int) -> None:
+        c = coef[_ZZ[kk]]
+        if c != 0 and reader.read_bit() and (c & p1) == 0:
+            coef[_ZZ[kk]] = c + (p1 if c >= 0 else m1)
+
+    if eobrun == 0:
+        while k <= Se:
+            rs = reader.decode_huffman(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break  # current block joins the EOB run below
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement symbol with s > 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= Se:
+                c = coef[_ZZ[k]]
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        coef[_ZZ[k]] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= Se:
+                coef[_ZZ[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 # --- decoder ----------------------------------------------------------------
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     """(h, w, channels) uint8, y=0 at top — grayscale (1) or RGB (3).
 
-    Baseline/extended sequential Huffman only (SOF0/SOF1). Progressive,
-    arithmetic, hierarchical, and 12-bit streams raise NotImplementedError
-    (the documented codec slot)."""
+    Sequential Huffman (SOF0/SOF1) and progressive (SOF2, r4: spectral
+    selection + successive approximation, multi-scan). Arithmetic,
+    hierarchical, and 12-bit streams raise NotImplementedError (the
+    documented codec slot)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
 
@@ -282,6 +385,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     frame = None  # (w, h, [(cid, ch, cv, tq)])
     restart_interval = 0
     scan = None  # ([(comp_idx, dc_id, ac_id)], data_pos)
+    progressive = False
+    coef_store = None  # per-component (rows, cols, 64) accumulated coefs
 
     pos = 2
     n = len(payload)
@@ -321,7 +426,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman_decoder(
                     bits, vals
                 )
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive SOF
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("12-bit JPEG precision")
@@ -334,11 +440,11 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 hv = seg[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * i]))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (progressive/arithmetic/"
-                "hierarchical) needs a real codec; plug PIL here"
+                f"JPEG process SOF{marker - 0xC0} (arithmetic/"
+                "hierarchical/lossless) needs a real codec; plug PIL here"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -349,9 +455,45 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 cs = seg[1 + 2 * i]
                 td_ta = seg[2 + 2 * i]
                 sel.append((cs, td_ta >> 4, td_ta & 15))
-            scan = (sel, pos)
-            break  # baseline: single scan; decode below
+            if not progressive:
+                scan = (sel, pos)
+                break  # sequential: single scan; decode below
+            # progressive: decode this scan in place, then keep parsing
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            w, h, comps = frame
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            if coef_store is None:
+                coef_store = [
+                    np.zeros((cv * mcus_y, ch * mcus_x, 64), dtype=np.int64)
+                    for _cid, ch, cv, _tq in comps
+                ]
+            pos = _decode_prog_scan(
+                payload, pos, sel, ss, se, ah_al >> 4, ah_al & 15,
+                comps, coef_store, huff_dc, huff_ac,
+                hmax, vmax, w, h, mcus_x, mcus_y, restart_interval,
+            )
         # APPn/COM/other: ignored
+
+    if progressive:
+        if frame is None or coef_store is None:
+            raise ValueError("progressive JPEG missing SOF/SOS")
+        w, h, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        planes = []
+        for (cid, ch, cv, tq), blocks in zip(comps, coef_store):
+            qtbl = quant[tq].astype(np.float64)
+            rows, cols = blocks.shape[:2]
+            deq = blocks.reshape(rows, cols, 8, 8).astype(np.float64) * qtbl
+            px = np.einsum("ux,ijuv,vy->ijxy", _C, deq, _C) + 128.0
+            planes.append(px.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8))
+        return _assemble_output(comps, planes, hmax, vmax, w, h)
 
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
@@ -414,7 +556,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
 
-    # upsample to full grid (sample replication), crop, color-convert
+    return _assemble_output(comps, planes, hmax, vmax, w, h)
+
+
+def _assemble_output(comps, planes, hmax, vmax, w, h) -> np.ndarray:
+    """Upsample component planes to the full grid (sample replication),
+    crop, and color-convert — shared by the sequential and progressive
+    decode paths."""
     full = []
     for (cid, ch, cv, _tq), plane in zip(comps, planes):
         if ch != hmax or cv != vmax:
@@ -431,6 +579,102 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_prog_scan(
+    payload, pos, sel, ss, se, ah, al, comps, coef_store, huff_dc, huff_ac,
+    hmax, vmax, w, h, mcus_x, mcus_y, restart_interval,
+) -> int:
+    """Decode one progressive scan's entropy data into the coefficient
+    store; returns the byte offset of the next marker. DC scans may be
+    interleaved; AC scans cover exactly one component (per spec) and
+    iterate its own block raster (ceil dims, not the MCU-padded grid)."""
+    reader = _BitReader(payload, pos)
+    idxs = []
+    for cs, td, ta in sel:
+        ci = next(i for i, c in enumerate(comps) if c[0] == cs)
+        idxs.append((ci, td, ta))
+    eobrun = 0
+    unit = 0
+
+    def restart_due() -> bool:
+        return bool(restart_interval) and unit > 0 and unit % restart_interval == 0
+
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        preds = [0] * len(idxs)
+        if len(idxs) > 1:  # interleaved over MCUs
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_due():
+                        reader.restart()
+                        preds = [0] * len(idxs)
+                    for si, (ci, td, _ta) in enumerate(idxs):
+                        _cid, ch, cv, _tq = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                coef = coef_store[ci][my * cv + by, mx * ch + bx]
+                                if ah == 0:
+                                    preds[si], coef[0] = _prog_dc_first(
+                                        reader, huff_dc[td], preds[si], al
+                                    )
+                                elif reader.read_bit():
+                                    coef[0] |= 1 << al
+                    unit += 1
+        else:  # single component: raster over its own block grid
+            ci, td, _ta = idxs[0]
+            _cid, ch, cv, _tq = comps[ci]
+            comp_w = -(-(w * ch) // hmax)
+            comp_h = -(-(h * cv) // vmax)
+            cols = -(-comp_w // 8)
+            rows = -(-comp_h // 8)
+            for r_ in range(rows):
+                for c_ in range(cols):
+                    if restart_due():
+                        reader.restart()
+                        preds = [0]
+                    coef = coef_store[ci][r_, c_]
+                    if ah == 0:
+                        preds[0], coef[0] = _prog_dc_first(
+                            reader, huff_dc[td], preds[0], al
+                        )
+                    elif reader.read_bit():
+                        coef[0] |= 1 << al
+                    unit += 1
+    else:  # AC scan: exactly one component
+        if len(idxs) != 1:
+            raise ValueError("interleaved AC scan is not allowed")
+        ci, _td, ta = idxs[0]
+        _cid, ch, cv, _tq = comps[ci]
+        comp_w = -(-(w * ch) // hmax)
+        comp_h = -(-(h * cv) // vmax)
+        cols = -(-comp_w // 8)
+        rows = -(-comp_h // 8)
+        for r_ in range(rows):
+            for c_ in range(cols):
+                if restart_due():
+                    reader.restart()
+                    eobrun = 0
+                coef = coef_store[ci][r_, c_]
+                if ah == 0:
+                    eobrun = _prog_ac_first(
+                        reader, huff_ac[ta], coef, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _prog_ac_refine(
+                        reader, huff_ac[ta], coef, ss, se, al, eobrun
+                    )
+                unit += 1
+
+    # advance past padding bits to the next marker
+    p = reader.pos
+    n = len(payload)
+    while p + 1 < n:
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            break
+        p += 1
+    return p
 
 
 def decode_jpeg(payload: bytes) -> dict:
@@ -558,17 +802,11 @@ def _pad_to_multiple(plane: np.ndarray, my: int, mx: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 90,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF writer. ``arr`` is (h, w, 1) grayscale or (h, w, 3)
-    RGB uint8; ``subsampling`` is '444', '422' (horizontal-only), or
-    '420' (color only); ``restart_interval`` > 0 emits DRI + RSTn every N
-    MCUs (exercises the decoder's restart path). Tables used are written
-    into the stream."""
+def _prepare_components(arr: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color transform, chroma downsample,
+    MCU-grid padding, per-block DCT + quantization. Returns
+    (gray, spec [(qtbl, ch, cv)], coefs [per-component (by, bx, 64)
+    zigzag ints], mcus_x, mcus_y, qy, qc)."""
     h, w, nc = arr.shape
     if nc not in (1, 3):
         raise ValueError("expected (h, w, 1|3) array")
@@ -604,22 +842,21 @@ def encode_jpeg(
             cb, cr = ds(cb), ds(cr)
         planes = [y, cb, cr]
 
-    # per-component (plane, quant, sampling h, v)
     if gray:
-        spec = [(planes[0], qy, 1, 1)]
+        plane_spec = [(planes[0], qy, 1, 1)]
     else:
-        spec = [
+        plane_spec = [
             (planes[0], qy, sh, sv),
             (planes[1], qc, 1, 1),
             (planes[2], qc, 1, 1),
         ]
-    hmax = max(s[2] for s in spec)
-    vmax = max(s[3] for s in spec)
+    hmax = max(s[2] for s in plane_spec)
+    vmax = max(s[3] for s in plane_spec)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
     coefs = []
-    for plane, qtbl, ch, cv in spec:
+    for plane, qtbl, ch, cv in plane_spec:
         # edge-replicate exactly to this component's MCU grid
         padded = np.pad(
             plane,
@@ -630,6 +867,63 @@ def encode_jpeg(
             mode="edge",
         )
         coefs.append(_plane_blocks(padded, qtbl))
+    spec = [(qtbl, ch, cv) for _, qtbl, ch, cv in plane_spec]
+    return gray, spec, coefs, mcus_x, mcus_y, qy, qc
+
+
+def _header_segments(
+    h: int,
+    w: int,
+    gray: bool,
+    spec,
+    qy,
+    qc,
+    sof_marker: int,
+) -> bytes:
+    """SOI + APP0 + DQT + SOFn + DHT segments (shared by the baseline and
+    progressive writers; tables always travel in-stream)."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qy.reshape(-1)[_ZZ].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qc.reshape(-1)[_ZZ].astype(np.uint8)))
+    comp_spec = b""
+    for ci, (_, ch, cv) in enumerate(spec):
+        comp_spec += bytes((ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1))
+    out += seg(
+        sof_marker,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([len(spec)]) + comp_spec,
+    )
+
+    def dht(tc: int, th: int, spec_pair: tuple) -> bytes:
+        bits, vals = spec_pair
+        return seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+
+    out += dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_CHROMA_SPEC)
+    return bytes(out)
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF writer. ``arr`` is (h, w, 1) grayscale or (h, w, 3)
+    RGB uint8; ``subsampling`` is '444', '422' (horizontal-only), or
+    '420' (color only); ``restart_interval`` > 0 emits DRI + RSTn every N
+    MCUs (exercises the decoder's restart path). Tables used are written
+    into the stream."""
+    h, w, _nc = arr.shape
+    gray, spec, coefs, mcus_x, mcus_y, qy, qc = _prepare_components(
+        arr, quality, subsampling
+    )
 
     dc_codes = [_build_huffman_codes(*_DC_LUMA_SPEC)]
     ac_codes = [_build_huffman_codes(*_AC_LUMA_SPEC)]
@@ -648,7 +942,7 @@ def encode_jpeg(
                 writer.out += bytes((0xFF, 0xD0 + rst_idx))
                 rst_idx = (rst_idx + 1) % 8
                 preds = [0] * len(spec)
-            for ci, (_, _, ch, cv) in enumerate(spec):
+            for ci, (_, ch, cv) in enumerate(spec):
                 tb = 0 if ci == 0 else 1
                 for by in range(cv):
                     for bx in range(ch):
@@ -662,26 +956,7 @@ def encode_jpeg(
     def seg(marker: int, body: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0]) + bytes(qy.reshape(-1)[_ZZ].astype(np.uint8)))
-    if not gray:
-        out += seg(0xDB, bytes([1]) + bytes(qc.reshape(-1)[_ZZ].astype(np.uint8)))
-    comp_spec = b""
-    for ci, (_, _, ch, cv) in enumerate(spec):
-        comp_spec += bytes((ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1))
-    out += seg(
-        0xC0,
-        bytes([8]) + struct.pack(">HH", h, w) + bytes([len(spec)]) + comp_spec,
-    )
-
-    def dht(tc: int, th: int, spec_pair: tuple) -> bytes:
-        bits, vals = spec_pair
-        return seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
-
-    out += dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC)
-    if not gray:
-        out += dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_CHROMA_SPEC)
+    out = bytearray(_header_segments(h, w, gray, spec, qy, qc, 0xC0))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(spec)])
@@ -692,4 +967,249 @@ def encode_jpeg(
     out += seg(0xDA, sos)
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (test-vector generator) ----------------------------
+
+
+# Progressive AC scans need EOBn symbols (r<<4, r=1..14) that the Annex K
+# sequential tables do not contain. Tables travel in-stream, so the writer
+# ships a flat 8-bit table carrying every legal progressive AC symbol
+# (16x10 magnitude symbols + EOB0..EOB14 + ZRL = 176; Kraft 176/256 < 1,
+# and the all-ones 8-bit code stays unused as the spec requires).
+_AC_PROG_SPEC = (
+    [0] * 7 + [176] + [0] * 8,
+    sorted(
+        [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        + [r << 4 for r in range(15)]
+        + [0xF0]
+    ),
+)
+
+
+class _ProgACState:
+    """Per-scan AC state: the pending end-of-band run and the correction
+    bits buffered behind it (emitted after the next symbol, per G.2)."""
+
+    def __init__(self, writer: _BitWriter, ac_codes: dict):
+        self.writer = writer
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.ac_codes[r << 4]
+            self.writer.write(code, length)
+            if r:
+                self.writer.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        self.flush_pending()
+
+    def flush_pending(self) -> None:
+        for b in self.pending:
+            self.writer.write(b, 1)
+        self.pending = []
+
+
+def _emit_ac_first_block(state: _ProgACState, zz, Ss, Se, Al) -> None:
+    """First AC scan for one block: point-transformed run-length coding
+    with lazy EOB runs."""
+    w = state.writer
+    vals = []
+    for k in range(Ss, Se + 1):
+        v = int(zz[k])
+        a = abs(v) >> Al
+        vals.append(-a if v < 0 else a)
+    if not any(vals):
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            state.flush_eobrun()
+        return
+    state.flush_eobrun()
+    r = 0
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    for i, v in enumerate(vals):
+        if i > last_nz:
+            break
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = state.ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            r -= 16
+        s = abs(v).bit_length()
+        code, length = state.ac_codes[(r << 4) | s]
+        w.write(code, length)
+        w.write(v if v > 0 else v + (1 << s) - 1, s)
+        r = 0
+    if last_nz < Se - Ss:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            state.flush_eobrun()
+
+
+def _emit_ac_refine_block(state: _ProgACState, zz, Ss, Se, Al) -> None:
+    """AC refinement scan for one block (the G.2 correction-bit algorithm,
+    same symbol/bit order the decoder's _prog_ac_refine consumes)."""
+    w = state.writer
+    absv = []
+    eob = -1
+    for i, k in enumerate(range(Ss, Se + 1)):
+        a = abs(int(zz[k])) >> Al
+        absv.append(a)
+        if a == 1:
+            eob = i
+    r = 0
+    local: list[int] = []
+    for i, k in enumerate(range(Ss, Se + 1)):
+        t = absv[i]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            state.flush_eobrun()
+            code, length = state.ac_codes[0xF0]
+            w.write(code, length)
+            r -= 16
+            for b in local:
+                w.write(b, 1)
+            local = []
+        if t > 1:
+            local.append(t & 1)
+            continue
+        # newly significant (magnitude exactly 1 at this precision)
+        state.flush_eobrun()
+        code, length = state.ac_codes[(r << 4) | 1]
+        w.write(code, length)
+        w.write(1 if int(zz[k]) > 0 else 0, 1)
+        r = 0
+        for b in local:
+            w.write(b, 1)
+        local = []
+    if r > 0 or local:
+        state.eobrun += 1
+        state.pending.extend(local)
+        if state.eobrun == 0x7FFF:
+            state.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Progressive (SOF2) JFIF writer — the test-vector inverse of the
+    progressive decode path. Scan script: interleaved first DC (Al=1),
+    per-component first AC in two bands (1-5, 6-63, Al=1), DC refinement,
+    then per-component AC refinements (Al=0) — exercising spectral
+    selection, successive approximation, EOB runs, and the correction-bit
+    algorithm on both sides. Same tables and quality mapping as the
+    baseline writer; tables travel in-stream."""
+    h, w, _nc = arr.shape
+    gray, spec, coefs, mcus_x, mcus_y, qy, qc = _prepare_components(
+        arr, quality, subsampling
+    )
+    dc_codes = [_build_huffman_codes(*_DC_LUMA_SPEC)]
+    if not gray:
+        dc_codes.append(_build_huffman_codes(*_DC_CHROMA_SPEC))
+    prog_ac = _build_huffman_codes(*_AC_PROG_SPEC)
+    ac_codes = [prog_ac, prog_ac]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_ids: list[int], Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tb = 0 if ci == 0 else 1
+            body += bytes((ci + 1, (tb << 4) | tb))
+        body += bytes((Ss, Se, (Ah << 4) | Al))
+        return seg(0xDA, body)
+
+    hmax = max(s[1] for s in spec)
+    vmax = max(s[2] for s in spec)
+
+    def comp_grid(ci: int):
+        _qtbl, ch, cv = spec[ci]
+        cols = -(-(-(-(w * ch) // hmax)) // 8)
+        rows = -(-(-(-(h * cv) // vmax)) // 8)
+        return rows, cols
+
+    out = bytearray(_header_segments(h, w, gray, spec, qy, qc, 0xC2))
+
+    # scan 1: first DC, all components interleaved, Al=1
+    wtr = _BitWriter()
+    preds = [0] * len(spec)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_qtbl, ch, cv) in enumerate(spec):
+                tb = 0 if ci == 0 else 1
+                for by in range(cv):
+                    for bx in range(ch):
+                        v = int(coefs[ci][my * cv + by, mx * ch + bx][0]) >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t = abs(diff).bit_length()
+                        code, length = dc_codes[tb][t]
+                        wtr.write(code, length)
+                        if t:
+                            wtr.write(
+                                diff if diff > 0 else diff + (1 << t) - 1, t
+                            )
+    wtr.align()
+    out += sos(list(range(len(spec))), 0, 0, 0, 1) + wtr.out
+
+    # mid-stream DHT: override the AC tables with the progressive set
+    # (EOBn symbols) before any AC scan — decoders rebuild on every DHT
+    bits, vals = _AC_PROG_SPEC
+    out += seg(0xC4, bytes([(1 << 4) | 0] + bits + vals))
+    if not gray:
+        out += seg(0xC4, bytes([(1 << 4) | 1] + bits + vals))
+
+    # scans 2..: first AC per component, two spectral bands, Al=1
+    for ci in range(len(spec)):
+        tb = 0 if ci == 0 else 1
+        rows, cols = comp_grid(ci)
+        for Ss, Se in ((1, 5), (6, 63)):
+            wtr = _BitWriter()
+            state = _ProgACState(wtr, ac_codes[tb])
+            for r_ in range(rows):
+                for c_ in range(cols):
+                    _emit_ac_first_block(
+                        state, coefs[ci][r_, c_], Ss, Se, 1
+                    )
+            state.flush_eobrun()
+            wtr.align()
+            out += sos([ci], Ss, Se, 0, 1) + wtr.out
+
+    # DC refinement (raw bits), interleaved, Ah=1 Al=0
+    wtr = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_qtbl, ch, cv) in enumerate(spec):
+                for by in range(cv):
+                    for bx in range(ch):
+                        wtr.write(
+                            int(coefs[ci][my * cv + by, mx * ch + bx][0]) & 1,
+                            1,
+                        )
+    wtr.align()
+    out += sos(list(range(len(spec))), 0, 0, 1, 0) + wtr.out
+
+    # AC refinement per component, full band, Ah=1 Al=0
+    for ci in range(len(spec)):
+        tb = 0 if ci == 0 else 1
+        rows, cols = comp_grid(ci)
+        wtr = _BitWriter()
+        state = _ProgACState(wtr, ac_codes[tb])
+        for r_ in range(rows):
+            for c_ in range(cols):
+                _emit_ac_refine_block(state, coefs[ci][r_, c_], 1, 63, 0)
+        state.flush_eobrun()
+        wtr.align()
+        out += sos([ci], 1, 63, 1, 0) + wtr.out
+
+    out += b"\xff\xd9"
     return bytes(out)

@@ -265,3 +265,29 @@ def test_tiff_page_sampling_property(seed, n_pages, every_k):
         assert s["n_frames"] == n_pages
         assert (s["height"], s["width"]) == src.shape[:2]
         assert s["mean_r"] == pytest.approx(float(src[:, :, 0].mean()))
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    quality=st.integers(75, 98),
+    subsampling=st.sampled_from(["444", "422", "420"]),
+)
+def test_jpeg_progressive_equals_baseline_property(
+    seed, h, w, quality, subsampling
+):
+    """A completed progressive stream must decode bit-identically to the
+    baseline stream of the same source (same quantized coefficients) —
+    for any geometry, quality, and subsampling."""
+    from seoul_big_data_spark.sources.jpegcodec import encode_jpeg_progressive
+
+    img = _smooth(seed, h, w)
+    base = decode_jpeg_pixels(
+        encode_jpeg(img, quality=quality, subsampling=subsampling)
+    )
+    prog = decode_jpeg_pixels(
+        encode_jpeg_progressive(img, quality=quality, subsampling=subsampling)
+    )
+    assert np.array_equal(base, prog)

@@ -504,18 +504,24 @@ def test_jpeg_dispatch_and_metadata():
         assert abs(got[key] - float(img[:, :, ch].mean())) < 2.0
 
 
-def test_jpeg_progressive_hits_codec_slot():
-    """SOF2 (progressive) is outside the baseline decoder — explicit
-    NotImplementedError at the documented codec slot, not a wrong image."""
+def test_jpeg_remaining_boundaries_hit_codec_slot():
+    """Progressive (SOF2) decodes for real since r4 — the remaining JPEG
+    boundaries are arithmetic coding (SOF9) and 12-bit precision, both
+    explicit NotImplementedError at the documented codec slot."""
     import struct as _s
 
     from seoul_big_data_spark.sources.jpegcodec import decode_jpeg_pixels
 
-    sof2 = b"\xff\xc2" + _s.pack(">H", 11) + bytes(
-        [8] + list(_s.pack(">HH", 8, 8)) + [1, 1, 0x11, 0]
-    )
+    def sof(marker: int, precision: int) -> bytes:
+        body = _s.pack(">H", 11) + bytes(
+            [precision] + list(_s.pack(">HH", 8, 8)) + [1, 1, 0x11, 0]
+        )
+        return b"\xff\xd8" + bytes((0xFF, marker)) + body + b"\xff\xd9"
+
     with pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(b"\xff\xd8" + sof2 + b"\xff\xd9")
+        decode_jpeg_pixels(sof(0xC9, 8))  # arithmetic sequential
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(sof(0xC0, 12))  # 12-bit precision
 
 
 def test_jpeg_phash_hamming_locality():
@@ -1345,3 +1351,59 @@ def test_tiff_16bit_decode_top_byte():
                     )
                 )
                 assert np.array_equal(dec[0], (src >> 8).astype("uint8"))
+
+
+# --- progressive JPEG (r4) --------------------------------------------------
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """The strongest check a progressive implementation admits: a
+    completed progressive stream carries the SAME quantized coefficients
+    as the baseline stream, so decode must be bit-identical — across
+    subsampling modes, grayscale, odd geometry, and the flat/noisy
+    extremes that exercise the all-EOB and ZRL paths."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    cases = [(_smooth_arr(40, 56), "444"), (_smooth_arr(37, 51), "420"),
+             (_smooth_arr(24, 40), "422")]
+    for img, sub in cases:
+        base = decode_jpeg_pixels(encode_jpeg(img, quality=90, subsampling=sub))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(img, quality=90, subsampling=sub)
+        )
+        assert np.array_equal(base, prog), sub
+    gray = _smooth_arr(24, 32)[:, :, :1]
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg(gray, quality=92)),
+        decode_jpeg_pixels(encode_jpeg_progressive(gray, quality=92)),
+    )
+    rng = np.random.RandomState(0)
+    noisy = rng.randint(0, 256, size=(24, 40, 3)).astype("uint8")
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg(noisy, quality=95)),
+        decode_jpeg_pixels(encode_jpeg_progressive(noisy, quality=95)),
+    )
+    flat = np.full((32, 32, 3), 77, dtype="uint8")
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg(flat, quality=80)),
+        decode_jpeg_pixels(encode_jpeg_progressive(flat, quality=80)),
+    )
+
+
+def test_jpeg_progressive_dispatch():
+    """SOF2 streams route through _decode_payload like any other JPEG."""
+    from seoul_big_data_spark.sources.jpegcodec import encode_jpeg_progressive
+
+    img = _smooth_arr(16, 24)
+    got = _decode_payload(bytes(encode_jpeg_progressive(img, quality=95)))
+    assert (got["format"], got["width"], got["height"], got["channels"]) == (
+        "jpeg", 24, 16, 3
+    )
+    for ch, key in enumerate(["mean_r", "mean_g", "mean_b"]):
+        assert abs(got[key] - float(img[:, :, ch].mean())) < 2.0
