@@ -9,14 +9,15 @@ payload bytes never leave the executor that scanned them.
 Decoding is REAL for the raster formats a pure-Python decoder can handle —
 BMP (24-bit BI_RGB), PPM (P6 binary / P3 ascii), PNG (8-bit gray/RGB/RGBA,
 palette, Adam7: stdlib ``zlib`` inflate + the five per-row unfilters),
-baseline JPEG (r4: full T.81 sequential-DCT Huffman decode in
-``jpegcodec.py`` — grayscale + YCbCr, 4:4:4/4:2:2/4:2:0, restart markers),
+JPEG — baseline AND progressive SOF2 (r4: full T.81 Huffman decode in
+``jpegcodec.py`` — grayscale + YCbCr, 4:4:4/4:2:2/4:2:0, restart markers,
+spectral selection + successive approximation),
 GIF87a/89a (r4: pure-Python LZW in ``gifcodec.py`` — interlacing,
 animation with transparency + disposal compositing), and baseline TIFF
 (r4: ``tiffcodec.py`` — strips, PackBits, TIFF-LZW with early change,
 predictor 2, II/MM byte orders, multi-page) — producing true
 content-derived width/height/channel statistics. Formats still needing an
-external codec (progressive JPEG, MP3/AAC, real video containers) raise
+external codec (arithmetic/12-bit JPEG, MP3/AAC, real video containers) raise
 ``NotImplementedError`` at the clearly-marked codec slot (plug PIL/cv2/
 ffmpeg there when the environment has them); payloads tagged ``fake/*``
 fall back to a deterministic fake so plumbing tests don't depend on any
@@ -250,7 +251,7 @@ def _decode_png_pixels(payload: bytes):
     alpha when present); Adam7 (r4) unfilters each of the seven
     sub-images independently and scatters them onto the output grid.
     16-bit variants hit the NotImplementedError codec slot like
-    progressive JPEG does."""
+    arithmetic-coded JPEG does."""
     import zlib
 
     import numpy as np
@@ -668,7 +669,7 @@ def _decode_wav(payload: bytes) -> dict:
     expanded through the published ITU-T segment tables (r4). Header per
     the public RIFF spec: chunked 'fmt '/'data', interleaved samples.
     Perceptually-coded formats (MP3/AAC/opus) hit the NotImplementedError
-    slot like progressive JPEG does for images. Features are
+    slot like arithmetic-coded JPEG does for images. Features are
     content-derived: RMS amplitude and zero-crossing rate of channel 0
     (the classic cheap audio-quality signals)."""
     import numpy as np

@@ -2,7 +2,7 @@
 codecs (BMP 24/32-bit, PPM/PGM, PNG incl. palette, baseline JPEG, GIF incl.
 animation, TIFF incl. multi-page; WAV PCM8/16 + G.711 + IMA ADPCM), all
 producing content-derived stats, with an explicit codec slot for the
-entropy formats that remain (progressive JPEG, MP3/AAC)."""
+entropy formats that remain (arithmetic JPEG, MP3/AAC)."""
 
 from __future__ import annotations
 
