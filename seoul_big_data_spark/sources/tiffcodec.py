@@ -1,20 +1,21 @@
-"""Baseline TIFF 6.0 codec — pure Python/numpy, no external deps.
+"""TIFF 6.0 codec — pure Python/numpy, no external deps.
 
-Implements the public TIFF 6.0 specification's baseline + LZW subset:
-both byte orders (II little-endian / MM big-endian), strip-organized
-8-bit grayscale and RGB, Compression 1 (none), 32773 (PackBits RLE) and
-5 (TIFF-flavor LZW: MSB-first bit packing with the spec's "early change"
-code-width rule — one code earlier than GIF's variant), Predictor 2
-(horizontal differencing), and multi-page files via the IFD chain (the
+Implements the public TIFF 6.0 specification's baseline + extensions:
+both byte orders (II little-endian / MM big-endian), strip- AND
+tile-organized (r4) 8- and 16-bit grayscale and RGB, Compression 1
+(none), 32773 (PackBits RLE) and 5 (TIFF-flavor LZW: MSB-first bit
+packing with the spec's "early change" code-width rule — one code
+earlier than GIF's variant), Predictor 2 (horizontal differencing at
+the sample width), and multi-page files via the IFD chain (the
 frame-sampling tie-in: pages play the role GIF frames do).
 
-Tiled TIFF, 16-bit samples, palette color, and JPEG-in-TIFF raise
+Palette color and JPEG/deflate/fax-in-TIFF raise
 ``NotImplementedError`` at the same documented codec slot the other
 formats use (`multimodal.py`).
 
 The encoder is the test-vector generator: II or MM order, any of the
-three compressions, optional predictor, configurable rows-per-strip (to
-exercise multi-strip assembly), multi-page.
+three compressions, optional predictor, configurable rows-per-strip or
+tile geometry (to exercise multi-strip/tile assembly), multi-page.
 
 North-star extension (SURVEY.md §2.10 N5); decode runs executor-side in
 Arrow-batched ``mapInPandas`` like every other codec here.
@@ -256,35 +257,63 @@ def _decode_ifd_page(payload: bytes, tags: dict, e: str = "<") -> np.ndarray:
             f"TIFF compression {comp} (JPEG/deflate/fax) needs a real "
             "codec; plug PIL here"
         )
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF needs a real codec")
-    raw = bytearray()
-    for so, sc in zip(tags[273], tags[279]):
-        strip = payload[so:so + sc]
+
+    def decompress(chunk: bytes) -> bytes:
         if comp == 5:
-            strip = _tiff_lzw_decode(strip)
-        elif comp == 32773:
-            strip = _packbits_decode(strip)
-        raw += strip
+            return _tiff_lzw_decode(chunk)
+        if comp == 32773:
+            return _packbits_decode(chunk)
+        return chunk
+
     sb = 2 if wide else 1
-    need = h * w * spp * sb
-    if len(raw) < need:
-        raise ValueError("truncated TIFF strip data")
+
+    def to_values(raw: bytes, rows_: int, cols_: int) -> np.ndarray:
+        """Decoded bytes of one strip/tile region -> (rows, cols, spp)
+        int64 with the predictor undone at the sample width."""
+        count = rows_ * cols_ * spp
+        if len(raw) < count * sb:
+            raise ValueError("truncated TIFF pixel data")
+        if wide:
+            vals = np.frombuffer(raw, dtype=e + "u2", count=count).astype(
+                np.int64
+            )
+        else:
+            vals = np.frombuffer(raw, dtype=np.uint8, count=count).astype(
+                np.int64
+            )
+        vals = vals.reshape(rows_, cols_, spp)
+        if pred == 2:  # horizontal differencing at the sample width
+            vals = np.cumsum(vals, axis=1) % (65536 if wide else 256)
+        return vals
+
+    if 322 in tags or 324 in tags:  # tile organization (r4)
+        tw = tags[322][0]
+        th = tags[323][0]
+        vals = np.zeros((h, w, spp), dtype=np.int64)
+        tiles_x = -(-w // tw)
+        tiles_y = -(-h // th)
+        offsets = tags[324]
+        counts = tags[325]
+        ti = 0
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                raw = decompress(payload[offsets[ti]:offsets[ti] + counts[ti]])
+                tile = to_values(raw, th, tw)  # tiles are always full-size
+                y0, x0 = ty * th, tx * tw
+                vals[y0:y0 + th, x0:x0 + tw] = tile[
+                    : min(th, h - y0), : min(tw, w - x0)
+                ]
+                ti += 1
+    else:  # strip organization
+        raw = bytearray()
+        for so, sc in zip(tags[273], tags[279]):
+            raw += decompress(payload[so:so + sc])
+        vals = to_values(bytes(raw), h, w)
+
     if wide:
-        vals = np.frombuffer(
-            bytes(raw), dtype=e + "u2", count=h * w * spp
-        ).reshape(h, w, spp)
-        if pred == 2:  # horizontal differencing at 16-bit width
-            vals = (np.cumsum(vals.astype(np.int64), axis=1) % 65536)
         arr = (vals >> 8).astype(np.uint8)  # standard top-byte 8-bit view
     else:
-        arr = np.frombuffer(
-            bytes(raw), dtype=np.uint8, count=need
-        ).reshape(h, w, spp)
-        if pred == 2:  # horizontal differencing: undo with a row cumsum
-            arr = (np.cumsum(arr.astype(np.int64), axis=1) % 256).astype(
-                np.uint8
-            )
+        arr = vals.astype(np.uint8)
     if photo == 0:  # WhiteIsZero: invert to the usual BlackIsZero
         arr = 255 - arr
     return arr
@@ -366,15 +395,20 @@ def encode_tiff(
     predictor: bool = False,
     rows_per_strip: int | None = None,
     byte_order: str = "II",
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """TIFF writer for one (h, w, c) page or a list of pages (c in {1, 3};
     uint8, or uint16 for 16-bit samples in the file byte order).
     ``compression``: 'none' | 'packbits' | 'lzw'; ``predictor`` applies
     horizontal differencing at the sample width (meaningful with 'lzw');
     ``rows_per_strip`` defaults to the full page (set small to exercise
-    multi-strip assembly); ``byte_order`` 'II' or 'MM'."""
+    multi-strip assembly); ``byte_order`` 'II' or 'MM'; ``tile=(tw, th)``
+    writes tile organization instead of strips (edge tiles padded to full
+    tile size per spec; tw/th must be multiples of 16)."""
     if isinstance(pages, np.ndarray) and pages.ndim == 3:
         pages = [pages]
+    if tile is not None and (tile[0] % 16 or tile[1] % 16):
+        raise ValueError("tile dimensions must be multiples of 16")
     e = "<" if byte_order == "II" else ">"
     comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
 
@@ -382,45 +416,66 @@ def encode_tiff(
     out += (b"II*\x00" if byte_order == "II" else b"MM\x00*")
     out += struct.pack(e + "I", 8)  # first IFD right after the header
 
-    # layout: [header][IFD+strip data per page]...
+    # layout: [header][IFD+strip/tile data per page]...
     pos = 8
     blobs = []
     for p, arr in enumerate(pages):
         h, w, c = arr.shape
         wide = arr.dtype == np.uint16
-        rps = rows_per_strip or h
-        plane = arr
-        if predictor:
-            mod = 65536 if wide else 256
-            d = plane.astype(np.int64)
-            plane = np.concatenate(
-                [d[:, :1], (d[:, 1:] - d[:, :-1]) % mod], axis=1
-            ).astype(np.uint16 if wide else np.uint8)
-        strips = []
-        for y0 in range(0, h, rps):
-            block = plane[y0:y0 + rps]
+
+        def compress_block(block) -> bytes:
+            if predictor:
+                mod = 65536 if wide else 256
+                d = block.astype(np.int64)
+                block = np.concatenate(
+                    [d[:, :1], (d[:, 1:] - d[:, :-1]) % mod], axis=1
+                ).astype(np.uint16 if wide else np.uint8)
             chunk = (
                 np.ascontiguousarray(block.astype(e + "u2")).tobytes()
                 if wide
                 else block.astype(np.uint8).tobytes()
             )
             if compression == "packbits":
-                chunk = _packbits_encode(chunk)
-            elif compression == "lzw":
-                chunk = _tiff_lzw_encode(chunk)
-            strips.append(chunk)
+                return _packbits_encode(chunk)
+            if compression == "lzw":
+                return _tiff_lzw_encode(chunk)
+            return chunk
+
+        strips = []
+        if tile is not None:
+            tw, th = tile
+            padded = np.pad(
+                arr,
+                ((0, -(-h // th) * th - h), (0, -(-w // tw) * tw - w), (0, 0)),
+                mode="edge",
+            )
+            for ty in range(0, padded.shape[0], th):
+                for tx in range(0, padded.shape[1], tw):
+                    strips.append(
+                        compress_block(padded[ty:ty + th, tx:tx + tw])
+                    )
+        else:
+            rps = rows_per_strip or h
+            for y0 in range(0, h, rps):
+                strips.append(compress_block(arr[y0:y0 + rps]))
 
         n_strips = len(strips)
+        offsets_tag = 324 if tile is not None else 273
+        counts_tag = 325 if tile is not None else 279
         entries = []  # (tag, type, count, value_or_data)
         entries.append((256, 4, 1, w))
         entries.append((257, 4, 1, h))
         entries.append((258, 3, c, [16 if wide else 8] * c))
         entries.append((259, 3, 1, comp_code))
         entries.append((262, 3, 1, 1 if c == 1 else 2))
-        entries.append((273, 4, n_strips, None))  # patched below
+        entries.append((offsets_tag, 4, n_strips, None))  # patched below
         entries.append((277, 3, 1, c))
-        entries.append((278, 4, 1, rps))
-        entries.append((279, 4, n_strips, [len(s) for s in strips]))
+        if tile is not None:
+            entries.append((322, 4, 1, tile[0]))
+            entries.append((323, 4, 1, tile[1]))
+        else:
+            entries.append((278, 4, 1, rows_per_strip or h))
+        entries.append((counts_tag, 4, n_strips, [len(s) for s in strips]))
         if predictor:
             entries.append((317, 3, 1, 2))
         blobs.append((entries, strips))
@@ -445,7 +500,7 @@ def encode_tiff(
         patched = []
         overflow_alloc = []
         for tag, typ, count, val in entries:
-            if tag == 273:
+            if tag in (273, 324):  # data offsets: patched below
                 patched.append((tag, typ, count, None))
                 continue
             vals = val if isinstance(val, list) else [val]
@@ -470,15 +525,16 @@ def encode_tiff(
         acc = data_start
         # strip-offset values may themselves overflow the 4-byte slot
         so_idx = next(
-            i for i, (t, _, _, _) in enumerate(patched) if t == 273
+            i for i, (t, _, _, _) in enumerate(patched) if t in (273, 324)
         )
+        off_tag = patched[so_idx][0]
         n_strips = len(strips)
         if n_strips * 4 <= 4:
             for s in strips:
                 strip_offsets.append(acc)
                 acc += len(s)
             patched[so_idx] = (
-                273, 4, n_strips,
+                off_tag, 4, n_strips,
                 struct.pack(e + "I", strip_offsets[0]).ljust(4, b"\x00"),
             )
         else:
@@ -490,7 +546,7 @@ def encode_tiff(
                 acc += len(s)
             extra += struct.pack(e + "I" * n_strips, *strip_offsets)
             patched[so_idx] = (
-                273, 4, n_strips, struct.pack(e + "I", so_pos)
+                off_tag, 4, n_strips, struct.pack(e + "I", so_pos)
             )
 
         ifd = bytearray(struct.pack(e + "H", len(patched)))

@@ -1407,3 +1407,37 @@ def test_jpeg_progressive_dispatch():
     )
     for ch, key in enumerate(["mean_r", "mean_g", "mean_b"]):
         assert abs(got[key] - float(img[:, :, ch].mean())) < 2.0
+
+
+def test_tiff_tiled_roundtrip():
+    """Tile organization (tags 322-325): full-size edge-padded tiles
+    reassemble exactly, across compressions, both sample widths, and the
+    predictor — and compose with multi-page files."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(61)
+    img = rng.randint(0, 256, size=(37, 53, 3)).astype("uint8")
+    g16 = rng.randint(0, 65536, size=(20, 40, 1)).astype("uint16")
+    for comp in ("none", "packbits", "lzw"):
+        dec = decode_tiff_pages(
+            encode_tiff(img, compression=comp, predictor=(comp == "lzw"),
+                        tile=(16, 16), byte_order="MM")
+        )
+        assert np.array_equal(dec[0], img)
+        dec16 = decode_tiff_pages(
+            encode_tiff(g16, compression=comp, tile=(32, 16))
+        )
+        assert np.array_equal(dec16[0], (g16 >> 8).astype("uint8"))
+    pages = [rng.randint(0, 256, size=(18, 20, 3)).astype("uint8")
+             for _ in range(3)]
+    dec = decode_tiff_pages(
+        encode_tiff(pages, compression="packbits", tile=(16, 16))
+    )
+    assert all(np.array_equal(a, b) for a, b in zip(dec, pages))
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(img, tile=(10, 16))
