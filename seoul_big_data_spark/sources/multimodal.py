@@ -955,17 +955,26 @@ def encode_wav(sample_rate: int, channels: int, samples) -> bytes:
 def decode_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas audio-decode stage: (doc_id, payload binary) → sample
     rate / duration / RMS / zero-crossing metadata. Same executor-side
-    Arrow-batched shape as ``decode_features``."""
+    Arrow-batched shape as ``decode_features``. Containers are sniffed:
+    RIFF/WAVE (PCM, G.711, IMA ADPCM) and, r4, FLAC
+    (``flaccodec.decode_flac``)."""
 
     from ..session import ensure_package_shipped
 
     ensure_package_shipped(df.sparkSession)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flaccodec import decode_flac
+
+        def one(payload: bytes) -> dict:
+            if payload[:4] == b"fLaC":
+                return decode_flac(payload)
+            return _decode_wav(payload)
+
         for pdf in batches:
             rows = [
                 {"doc_id": doc_id, "n_bytes": len(bytes(payload)),
-                 **_decode_wav(bytes(payload))}
+                 **one(bytes(payload))}
                 for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col])
             ]
             yield pd.DataFrame(rows, columns=_AUDIO_COLS)

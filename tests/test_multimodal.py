@@ -151,13 +151,13 @@ def test_audio_decode_query_runs(spark, sf_dir):
     out = QUERIES["multimodal_audio_decode"](spark, sf_dir).collect()
     assert len(out) == 500
     for r in out[:20]:
-        assert r["format"] == "wav"
+        codec = r["doc_id"] % 5
+        assert r["format"] == ("flac" if codec == 4 else "wav")
         assert r["sample_rate"] == 8000
         assert 800 <= r["n_samples"] <= 1000
         amp = (r["doc_id"] % 20000) + 4000
-        codec = r["doc_id"] % 4
-        if codec == 0:
-            # linear PCM square wave: rms == amplitude/32768 exactly
+        if codec in (0, 4):
+            # linear PCM and lossless FLAC: rms == amplitude/32768 exactly
             assert abs(r["rms"] - amp / 32768) < 1e-6
         elif codec == 3:
             # IMA ADPCM: slew at square-wave transitions (worst swept
@@ -787,26 +787,25 @@ def test_pcm8_wav_decode():
 
 
 def test_audio_query_mixed_codecs(spark, sf_dir):
-    """The registered audio query spans PCM-16 / mu-law / A-law by
-    doc_id % 3; every row decodes with the right geometry, and the
-    companded rows' RMS tracks the PCM rows' RMS for the same amplitude
-    rule (companding error ~1%, amplitudes differ by doc, so just assert
-    plausibility bounds and coverage)."""
+    """The registered audio query spans PCM-16 / mu-law / A-law / ADPCM /
+    FLAC by doc_id % 5; every row decodes with the right geometry, lossless
+    codecs reproduce the exact RMS, lossy ones stay within their
+    quantization/slew bounds."""
     from seoul_big_data_spark.queries import QUERIES
 
     rows = QUERIES["multimodal_audio_decode"](spark, sf_dir).collect()
     assert len(rows) == 500
     for r in rows:
-        assert r["format"] == "wav"
+        codec = r["doc_id"] % 5
+        assert r["format"] == ("flac" if codec == 4 else "wav")
         assert r["sample_rate"] == 8000
         assert r["n_samples"] == 800 + (r["doc_id"] % 200)
         amp = (r["doc_id"] % 20000) + 4000
-        # square wave: RMS == amplitude — exact for PCM up to the query's
-        # round(6); within G.711 segment-quantization error (~2.5%
+        # square wave: RMS == amplitude — exact for PCM and FLAC up to the
+        # query's round(6); within G.711 segment-quantization error (~2.5%
         # worst-case near amplitude 4000); within ADPCM transition slew
-        # (~5% worst-case) for the delta-coded rows
-        codec = r["doc_id"] % 4
-        if codec == 0:
+        # (~10% worst-case) for the delta-coded rows
+        if codec in (0, 4):
             assert r["rms"] == pytest.approx(amp / 32768.0, abs=1e-6)
         elif codec == 3:
             assert r["rms"] == pytest.approx(amp / 32768.0, rel=0.13)
@@ -1441,3 +1440,93 @@ def test_tiff_tiled_roundtrip():
     assert all(np.array_equal(a, b) for a, b in zip(dec, pages))
     with pytest.raises(ValueError, match="multiples of 16"):
         encode_tiff(img, tile=(10, 16))
+
+
+# --- FLAC (r4: flaccodec.py) ------------------------------------------------
+
+
+def test_flac_lossless_all_subframe_types():
+    """FLAC is lossless through every subframe type the codec writes:
+    FIXED-order prediction with Rice partitions, VERBATIM, the LPC layout
+    (order-2 polynomial through quantized coefficients), and CONSTANT for
+    flat signals."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.flaccodec import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    t = np.arange(5000)
+    sine = (12000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(int)
+    for mode in ("fixed", "verbatim", "lpc"):
+        dec, rate, bps = decode_flac_samples(
+            encode_flac(sine, 8000, 1, subframe_mode=mode)
+        )
+        assert (rate, bps) == (8000, 16)
+        assert np.array_equal(dec[:, 0], sine), mode
+    flat = np.full(3000, -123, dtype=int)
+    dec, _, _ = decode_flac_samples(encode_flac(flat, 8000, 1))
+    assert np.array_equal(dec[:, 0], flat)
+
+
+def test_flac_stereo_decorrelation_modes_lossless():
+    """independent / left-side / right-side / mid-side all reconstruct
+    both channels exactly (the side channel carries its extra bit)."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.flaccodec import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(67)
+    t = np.arange(4000)
+    left = (12000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(int)
+    right = (left * 0.7).astype(int) + rng.randint(-50, 50, 4000)
+    inter = np.empty(8000, dtype=int)
+    inter[0::2] = left
+    inter[1::2] = right
+    for sm in ("independent", "left_side", "right_side", "mid_side"):
+        dec, _, _ = decode_flac_samples(
+            encode_flac(inter, 8000, 2, stereo_mode=sm)
+        )
+        assert np.array_equal(dec[:, 0], left), sm
+        assert np.array_equal(dec[:, 1], right), sm
+
+
+def test_flac_partition_orders_and_partial_tail():
+    """Rice partition orders 0-3 and a final block shorter than
+    block_size (partition order falls back to 0 there) all roundtrip."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.flaccodec import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    t = np.arange(2500)
+    sig = (9000 * np.sin(2 * np.pi * 300 * t / 8000)).astype(int)
+    for po in (0, 1, 2, 3):
+        dec, _, _ = decode_flac_samples(
+            encode_flac(sig, 8000, 1, block_size=512, partition_order=po)
+        )
+        assert np.array_equal(dec[:, 0], sig), po
+
+
+def test_flac_crc_detects_corruption():
+    """Both frame CRCs are verified: a flipped bit in the entropy data
+    raises instead of returning wrong audio."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.flaccodec import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    t = np.arange(1024)
+    sig = (8000 * np.sin(2 * np.pi * 200 * t / 8000)).astype(int)
+    enc = bytearray(encode_flac(sig, 8000, 1))
+    enc[-20] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac_samples(bytes(enc))
