@@ -1,6 +1,6 @@
 """N5 multimodal plumbing — mapInPandas decode stage with REAL pure-Python
 codecs (BMP 24/32-bit, PPM/PGM, PNG incl. palette, baseline JPEG, GIF incl.
-animation, TIFF incl. multi-page; WAV PCM8/16 + G.711 + IMA ADPCM), all
+animation, TIFF incl. multi-page; WAV PCM8/16 + G.711 + IMA ADPCM + FLAC), all
 producing content-derived stats, with an explicit codec slot for the
 entropy formats that remain (arithmetic JPEG, MP3/AAC)."""
 
