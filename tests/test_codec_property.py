@@ -291,3 +291,41 @@ def test_jpeg_progressive_equals_baseline_property(
         encode_jpeg_progressive(img, quality=quality, subsampling=subsampling)
     )
     assert np.array_equal(base, prog)
+
+
+# --- FLAC -------------------------------------------------------------------
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 3000),
+    channels=st.sampled_from([1, 2]),
+    block_size=st.sampled_from([192, 256, 512, 1024]),
+    mode=st.sampled_from(["fixed", "verbatim", "lpc"]),
+    stereo=st.sampled_from(
+        ["independent", "left_side", "right_side", "mid_side"]
+    ),
+    po=st.integers(0, 3),
+)
+def test_flac_lossless_property(seed, n, channels, block_size, mode, stereo, po):
+    """FLAC decode(encode(x)) == x for any signal, length, block size,
+    subframe mode, stereo decorrelation, and partition order."""
+    from seoul_big_data_spark.sources.flaccodec import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(seed)
+    x = rng.randint(-32768, 32768, size=n * channels)
+    enc = encode_flac(
+        x, 8000, channels,
+        block_size=block_size,
+        subframe_mode=mode,
+        stereo_mode=stereo if channels == 2 else "independent",
+        partition_order=po,
+    )
+    dec, rate, bps = decode_flac_samples(enc)
+    assert (rate, bps) == (8000, 16)
+    want = np.asarray(x[: n * channels]).reshape(n, channels)
+    assert np.array_equal(dec, want)
