@@ -2,16 +2,16 @@
 
 Implements the public TIFF 6.0 specification's baseline + extensions:
 both byte orders (II little-endian / MM big-endian), strip- AND
-tile-organized (r4) 8- and 16-bit grayscale and RGB, Compression 1
-(none), 32773 (PackBits RLE) and 5 (TIFF-flavor LZW: MSB-first bit
-packing with the spec's "early change" code-width rule — one code
-earlier than GIF's variant), Predictor 2 (horizontal differencing at
-the sample width), and multi-page files via the IFD chain (the
-frame-sampling tie-in: pages play the role GIF frames do).
+tile-organized (r4) 8- and 16-bit grayscale and RGB plus photometric-3
+palette pages (ColorMap tag 320), Compression 1 (none), 32773 (PackBits
+RLE), 5 (TIFF-flavor LZW: MSB-first bit packing with the spec's "early
+change" code-width rule — one code earlier than GIF's variant), and 8
+(Adobe deflate via stdlib zlib, r4), Predictor 2 (horizontal
+differencing at the sample width), and multi-page files via the IFD
+chain (the frame-sampling tie-in: pages play the role GIF frames do).
 
-Palette color and JPEG/deflate/fax-in-TIFF raise
-``NotImplementedError`` at the same documented codec slot the other
-formats use (`multimodal.py`).
+JPEG-in-TIFF and fax compressions raise ``NotImplementedError`` at the
+same documented codec slot the other formats use (`multimodal.py`).
 
 The encoder is the test-vector generator: II or MM order, any of the
 three compressions, optional predictor, configurable rows-per-strip or
@@ -247,20 +247,26 @@ def _decode_ifd_page(payload: bytes, tags: dict, e: str = "<") -> np.ndarray:
             f"TIFF BitsPerSample {bits} needs a real codec"
         )
     wide = bits[0] == 16
-    if photo not in (0, 1, 2):
+    if photo not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"TIFF photometric {photo} (palette/CMYK/YCbCr) needs a "
-            "real codec; plug PIL here"
+            f"TIFF photometric {photo} (CMYK/YCbCr) needs a real codec; "
+            "plug PIL here"
         )
-    if comp not in (1, 5, 32773):
+    if photo == 3 and (320 not in tags or wide):
+        raise ValueError("palette TIFF missing ColorMap or non-8-bit")
+    if comp not in (1, 5, 8, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} (JPEG/deflate/fax) needs a real "
-            "codec; plug PIL here"
+            f"TIFF compression {comp} (JPEG/fax) needs a real codec; "
+            "plug PIL here"
         )
 
     def decompress(chunk: bytes) -> bytes:
         if comp == 5:
             return _tiff_lzw_decode(chunk)
+        if comp == 8:  # Adobe deflate (r4): stdlib zlib
+            import zlib
+
+            return zlib.decompress(chunk)
         if comp == 32773:
             return _packbits_decode(chunk)
         return chunk
@@ -316,6 +322,14 @@ def _decode_ifd_page(payload: bytes, tags: dict, e: str = "<") -> np.ndarray:
         arr = vals.astype(np.uint8)
     if photo == 0:  # WhiteIsZero: invert to the usual BlackIsZero
         arr = 255 - arr
+    elif photo == 3:  # palette (r4): ColorMap holds 16-bit RGB planes
+        cmap = np.array(tags[320], dtype=np.int64)
+        n_colors = len(cmap) // 3
+        rgb16 = cmap.reshape(3, n_colors)  # R plane, G plane, B plane
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("palette TIFF index out of range")
+        arr = (rgb16[:, idx] >> 8).astype(np.uint8).transpose(1, 2, 0)
     return arr
 
 
@@ -396,6 +410,7 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     byte_order: str = "II",
     tile: tuple[int, int] | None = None,
+    colormap=None,
 ) -> bytes:
     """TIFF writer for one (h, w, c) page or a list of pages (c in {1, 3};
     uint8, or uint16 for 16-bit samples in the file byte order).
@@ -410,7 +425,9 @@ def encode_tiff(
     if tile is not None and (tile[0] % 16 or tile[1] % 16):
         raise ValueError("tile dimensions must be multiples of 16")
     e = "<" if byte_order == "II" else ">"
-    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
+        compression
+    ]
 
     out = bytearray()
     out += (b"II*\x00" if byte_order == "II" else b"MM\x00*")
@@ -439,6 +456,10 @@ def encode_tiff(
                 return _packbits_encode(chunk)
             if compression == "lzw":
                 return _tiff_lzw_encode(chunk)
+            if compression == "deflate":
+                import zlib
+
+                return zlib.compress(chunk)
             return chunk
 
         strips = []
@@ -467,7 +488,8 @@ def encode_tiff(
         entries.append((257, 4, 1, h))
         entries.append((258, 3, c, [16 if wide else 8] * c))
         entries.append((259, 3, 1, comp_code))
-        entries.append((262, 3, 1, 1 if c == 1 else 2))
+        entries.append((262, 3, 1, 3 if colormap is not None
+                        else (1 if c == 1 else 2)))
         entries.append((offsets_tag, 4, n_strips, None))  # patched below
         entries.append((277, 3, 1, c))
         if tile is not None:
@@ -478,6 +500,12 @@ def encode_tiff(
         entries.append((counts_tag, 4, n_strips, [len(s) for s in strips]))
         if predictor:
             entries.append((317, 3, 1, 2))
+        if colormap is not None:
+            cm = np.asarray(colormap, dtype=np.int64)
+            planes = [int(v) << 8 for v in cm[:, 0]] + \
+                     [int(v) << 8 for v in cm[:, 1]] + \
+                     [int(v) << 8 for v in cm[:, 2]]
+            entries.append((320, 3, len(planes), planes))
         blobs.append((entries, strips))
 
     # serialize page by page, chaining IFD offsets

@@ -1530,3 +1530,38 @@ def test_flac_crc_detects_corruption():
     enc[-20] ^= 0x40
     with pytest.raises(ValueError):
         decode_flac_samples(bytes(enc))
+
+
+def test_tiff_deflate_and_palette():
+    """Compression 8 (Adobe deflate, stdlib zlib) roundtrips across
+    strips/tiles/sample widths; photometric-3 palette pages gather the
+    index plane through the 16-bit ColorMap planes exactly."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(71)
+    img = rng.randint(0, 256, size=(23, 31, 3)).astype("uint8")
+    assert np.array_equal(
+        decode_tiff_pages(
+            encode_tiff(img, compression="deflate", predictor=True,
+                        rows_per_strip=7, byte_order="MM")
+        )[0],
+        img,
+    )
+    assert np.array_equal(
+        decode_tiff_pages(
+            encode_tiff(img, compression="deflate", tile=(16, 16))
+        )[0],
+        img,
+    )
+    cmap = rng.randint(0, 256, size=(7, 3)).astype("uint8")
+    idx = rng.randint(0, 7, size=(13, 9, 1)).astype("uint8")
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        dec = decode_tiff_pages(
+            encode_tiff(idx, compression=comp, colormap=cmap)
+        )
+        assert np.array_equal(dec[0], cmap[idx[:, :, 0]]), comp
