@@ -592,8 +592,10 @@ def _decode_prog_scan(
     reader = _BitReader(payload, pos)
     idxs = []
     for cs, td, ta in sel:
-        ci = next(i for i, c in enumerate(comps) if c[0] == cs)
-        idxs.append((ci, td, ta))
+        matches = [i for i, c in enumerate(comps) if c[0] == cs]
+        if not matches:
+            raise ValueError(f"scan references unknown component {cs}")
+        idxs.append((matches[0], td, ta))
     eobrun = 0
     unit = 0
 
