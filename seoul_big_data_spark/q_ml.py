@@ -542,14 +542,15 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N5 — video-column plumbing over a MIXED-CONTAINER corpus: each
     document becomes a deterministic multi-frame clip (count/size derived
-    from doc_id) stored as either a concatenated-P6 stream (even doc_ids)
-    or an animated GIF89a with delta-coded frames (odd doc_ids — r4's
-    pure-Python LZW codec, ``sources/gifcodec.py``); the frame-sampling
-    stage extracts every 2nd frame. For the PPM stream unsampled frames
-    are never decoded; for GIF (delta-coded by design) the LZW pass runs
-    per frame but per-frame statistics are sampled — both are the
-    decode-budget-first ordering that matters when frames are the 100 TB
-    payload. Round-trip exactness and PPM/GIF stat parity are pinned in
+    from doc_id) stored per ``doc_id % 3`` as a concatenated-P6 stream,
+    an animated GIF89a with delta-coded frames (r4 LZW codec,
+    ``sources/gifcodec.py``), or an uncompressed-DIB AVI (r4 RIFF parser,
+    ``sources/avicodec.py``); the frame-sampling stage extracts every
+    2nd frame. PPM streams and intra-only AVI never decode unsampled
+    frames; delta-coded GIF runs its LZW pass per frame but samples the
+    statistics work — each the decode-budget-first ordering that matters
+    when frames are the 100 TB payload. Docs 3k/3k+1/3k+2 are exact
+    cross-container triplets; stat parity across all three is pinned in
     tests/test_multimodal.py."""
     from collections.abc import Iterator
 
@@ -557,6 +558,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from .session import ensure_package_shipped
+    from .sources.avicodec import encode_avi
     from .sources.gifcodec import encode_gif
     from .sources.multimodal import encode_ppm
 
@@ -567,13 +569,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                # geometry keys off doc_id // 2 so docs 2k / 2k+1 are exact
-                # cross-container twins (PPM vs GIF) — the parity property
-                # tests/test_multimodal.py pins
-                g = int(doc_id) // 2
+                # geometry keys off doc_id // 3 so docs 3k / 3k+1 / 3k+2 are
+                # exact cross-container triplets (PPM / GIF / AVI) — the
+                # parity property tests/test_multimodal.py pins
+                g = int(doc_id) // 3
                 n_frames = g % 5 + 2
                 w, h = g % 4 + 2, g % 3 + 2
-                if int(doc_id) % 2 == 0:
+                container = int(doc_id) % 3
+                if container == 0:
                     clip = b""
                     for f in range(n_frames):
                         clip += encode_ppm(
@@ -589,7 +592,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         [(ff * 40) % 256, (xx * 60) % 256, (yy * 80) % 256],
                         axis=3,
                     ).astype(np.uint8)
-                    payloads.append(bytearray(encode_gif(frames, delta=True)))
+                    if container == 1:
+                        payloads.append(
+                            bytearray(encode_gif(frames, delta=True))
+                        )
+                    else:
+                        payloads.append(
+                            bytearray(encode_avi(frames, codec="dib"))
+                        )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     blobs = d.mapInPandas(_render, schema="doc_id bigint, payload binary")

@@ -1057,6 +1057,14 @@ def sample_frames(
                     for meta in tiff_page_stats(payload, every_k):
                         rows.append({"doc_id": doc_id, **meta})
                     continue
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    # AVI (r4): intra-only frames — same true
+                    # sample-before-decode property as TIFF pages
+                    from .avicodec import avi_frame_stats
+
+                    for meta in avi_frame_stats(payload, every_k):
+                        rows.append({"doc_id": doc_id, **meta})
+                    continue
                 frames = split_ppm_stream(payload)
                 for i in range(0, len(frames), every_k):
                     meta = _decode_ppm(frames[i])

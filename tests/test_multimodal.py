@@ -201,7 +201,7 @@ def test_frame_sample_query_runs(spark, sf_dir):
         by_doc.setdefault(r["doc_id"], []).append(r)
     assert len(by_doc) == 500
     for doc_id, frames in list(by_doc.items())[:30]:
-        n_frames = (doc_id // 2 % 5) + 2
+        n_frames = (doc_id // 3 % 5) + 2
         want_idx = list(range(0, n_frames, 2))
         assert sorted(r["frame_idx"] for r in frames) == want_idx
         for r in frames:
@@ -678,30 +678,32 @@ def test_gif_encoder_rejects_wide_palettes():
         encode_gif(noisy)
 
 
-def test_frame_sample_query_mixed_ppm_gif(spark, sf_dir):
-    """The registered frame-sample query carries both containers; the frame
-    rule is identical for both, so sampled stats agree across formats for
-    doc_ids with equal (n_frames, w, h) geometry."""
+def test_frame_sample_query_mixed_containers(spark, sf_dir):
+    """The registered frame-sample query carries three containers (PPM
+    stream / animated GIF / DIB AVI); the frame rule is identical for
+    all, so sampled stats agree across formats for doc_ids with equal
+    (n_frames, w, h) geometry — docs 3k/3k+1/3k+2 are exact triplets."""
     from seoul_big_data_spark.queries import QUERIES
 
     rows = QUERIES["multimodal_frame_sample"](spark, sf_dir).collect()
     assert rows
     fmts = {r["format"] for r in rows}
-    assert fmts == {"ppm", "gif"}
-    # geometry key → per-frame means must agree between the two containers
+    assert fmts == {"ppm", "gif", "avi/dib"}
+    # geometry key → per-frame means must agree across all containers
     by_key = {}
     for r in rows:
         key = (r["n_frames"], r["width"], r["height"], r["frame_idx"])
         by_key.setdefault(key, {})[r["format"]] = (
             r["mean_r"], r["mean_g"], r["mean_b"]
         )
-    both = [v for v in by_key.values() if len(v) == 2]
-    assert both, "expected geometry keys covered by both containers"
-    for v in both:
+    full = [v for v in by_key.values() if len(v) == 3]
+    assert full, "expected geometry keys covered by all three containers"
+    for v in full:
         assert v["ppm"] == pytest.approx(v["gif"])
+        assert v["ppm"] == pytest.approx(v["avi/dib"])
     for r in rows:
         assert r["frame_idx"] % 2 == 0
-        assert r["n_frames"] == (r["doc_id"] // 2 % 5) + 2
+        assert r["n_frames"] == (r["doc_id"] // 3 % 5) + 2
 
 
 # --- G.711 mu-law / A-law + PCM8 audio (r4) ---------------------------------
@@ -1565,3 +1567,50 @@ def test_tiff_deflate_and_palette():
             encode_tiff(idx, compression=comp, colormap=cmap)
         )
         assert np.array_equal(dec[0], cmap[idx[:, :, 0]]), comp
+
+
+# --- AVI (r4: avicodec.py — RIFF container, DIB + MJPEG frames) -------------
+
+
+def test_avi_dib_lossless_and_mjpeg_bounded():
+    import numpy as np
+
+    from seoul_big_data_spark.sources.avicodec import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    frames = np.stack([_smooth_arr(23, 31) for _ in range(4)])
+    dec = decode_avi_frames(encode_avi(frames, codec="dib"))
+    assert np.array_equal(dec, frames)
+    decj = decode_avi_frames(encode_avi(frames, codec="mjpg", quality=95))
+    assert decj.shape == frames.shape
+    assert np.abs(decj.astype(int) - frames.astype(int)).mean() < 5.0
+
+
+def test_avi_frame_sampling_and_unknown_codec():
+    """avi_frame_stats samples without decoding unsampled frames (frames
+    are intra-only); an unknown fourcc hits the codec slot."""
+    import struct as _s
+
+    import numpy as np
+
+    from seoul_big_data_spark.sources.avicodec import (
+        avi_frame_stats,
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    frames = np.stack([_smooth_arr(12, 16) for _ in range(5)])
+    enc = encode_avi(frames, codec="dib")
+    stats = avi_frame_stats(enc, every_k=2)
+    assert [s["frame_idx"] for s in stats] == [0, 2, 4]
+    for s in stats:
+        src = frames[s["frame_idx"]]
+        assert s["n_frames"] == 5
+        assert s["mean_b"] == pytest.approx(float(src[:, :, 2].mean()))
+    bad = bytearray(enc)
+    pos = enc.find(b"strf")
+    _s.pack_into("<I", bad, pos + 8 + 16, _s.unpack("<I", b"XVID")[0])
+    with pytest.raises(NotImplementedError):
+        decode_avi_frames(bytes(bad))
