@@ -10,8 +10,13 @@ change" code-width rule — one code earlier than GIF's variant), and 8
 differencing at the sample width), and multi-page files via the IFD
 chain (the frame-sampling tie-in: pages play the role GIF frames do).
 
-JPEG-in-TIFF and fax compressions raise ``NotImplementedError`` at the
-same documented codec slot the other formats use (`multimodal.py`).
+Compression 7 (new-style JPEG-in-TIFF per TIFF Technical Note 2) rides
+the in-repo T.81 codec (`jpegcodec.py`): each strip/tile is a JPEG
+stream, optionally abbreviated against the shared JPEGTables tag (347)
+whose DQT/DHT segments are spliced in after the strip's SOI before
+decode. Old-style compression 6 and the fax compressions raise
+``NotImplementedError`` at the same documented codec slot the other
+formats use (`multimodal.py`).
 
 The encoder is the test-vector generator: II or MM order, any of the
 three compressions, optional predictor, configurable rows-per-strip or
@@ -186,9 +191,56 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# --- JPEG-in-TIFF (compression 7, TIFF Technical Note 2) --------------------
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a standalone JPEG interchange stream into (tables, abbreviated):
+    ``tables`` is a JPEGTables-tag payload (SOI + every DQT/DHT segment +
+    EOI), ``abbreviated`` is the stream with those segments removed — the
+    two TN2 halves that ``_merge_jpeg_tables`` recombines. Marker walk only
+    runs up to SOS; entropy-coded data never contains table segments."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray(b"\xff\xd8")
+    abbrev = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("corrupt JPEG segment chain")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: rest of the stream is entropy data + EOI
+            abbrev += stream[pos:]
+            break
+        seg_len = struct.unpack_from(">H", stream, pos + 2)[0]
+        seg = stream[pos:pos + 2 + seg_len]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            abbrev += seg
+        pos += 2 + seg_len
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(abbrev)
+
+
+def _merge_jpeg_tables(tables: bytes, abbrev: bytes) -> bytes:
+    """Splice a JPEGTables payload's segments (strip its SOI/EOI) into an
+    abbreviated strip stream right after the strip's SOI — the TN2 decode
+    rule: tables tag segments apply first, strip-local segments may then
+    override."""
+    if not tables:
+        return abbrev
+    if tables[:2] != b"\xff\xd8" or abbrev[:2] != b"\xff\xd8":
+        raise ValueError("corrupt JPEG-in-TIFF stream")
+    body = tables[2:]
+    if body[-2:] == b"\xff\xd9":
+        body = body[:-2]
+    return abbrev[:2] + body + abbrev[2:]
+
+
 # --- IFD parsing ------------------------------------------------------------
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 def _read_ifd(payload: bytes, offset: int, e: str) -> tuple[dict, int]:
@@ -206,7 +258,7 @@ def _read_ifd(payload: bytes, offset: int, e: str) -> tuple[dict, int]:
             vbase = base + 8
         else:
             vbase = struct.unpack_from(e + "I", payload, base + 8)[0]
-        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}.get(typ)
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I", 7: "B"}.get(typ)
         if fmt is None:  # RATIONAL etc. — not needed for the baseline tags
             continue
         tags[tag] = list(
@@ -231,6 +283,52 @@ def _iter_ifds(payload: bytes):
         yield tags, e
 
 
+def _decode_jpeg_page(
+    payload: bytes, tags: dict, w: int, h: int, spp: int, photo: int
+) -> np.ndarray:
+    """Compression-7 page: every strip/tile is a JPEG stream (abbreviated
+    streams get the JPEGTables tag-347 segments spliced in after SOI), each
+    decoded by the in-repo T.81 codec and placed by strip/tile geometry.
+    Strips carry their true height in their own SOF, so the last short
+    strip needs no special case; edge tiles are full-size per spec and
+    crop at placement, exactly like the uncompressed tile path."""
+    from .jpegcodec import decode_jpeg_pixels
+
+    jpeg_tables = bytes(tags[347]) if 347 in tags else b""
+
+    def decode_chunk(chunk: bytes) -> np.ndarray:
+        px = decode_jpeg_pixels(_merge_jpeg_tables(jpeg_tables, chunk))
+        if px.ndim == 2:
+            px = px[:, :, None]
+        return px
+
+    out = np.zeros((h, w, spp), dtype=np.uint8)
+    if 322 in tags or 324 in tags:  # tile organization
+        tw, th = tags[322][0], tags[323][0]
+        tiles_x = -(-w // tw)
+        offsets, counts = tags[324], tags[325]
+        for ti, (to, tc) in enumerate(zip(offsets, counts)):
+            tile = decode_chunk(payload[to:to + tc])
+            y0 = (ti // tiles_x) * th
+            x0 = (ti % tiles_x) * tw
+            ys, xs = min(th, h - y0), min(tw, w - x0)
+            out[y0:y0 + ys, x0:x0 + xs] = tile[:ys, :xs, :spp]
+    else:
+        y0 = 0
+        for so, sc in zip(tags[273], tags[279]):
+            strip = decode_chunk(payload[so:so + sc])
+            rows = strip.shape[0]
+            if strip.shape[1] != w or y0 + rows > h:
+                raise ValueError("JPEG strip geometry disagrees with IFD")
+            out[y0:y0 + rows] = strip[:, :, :spp]
+            y0 += rows
+        if y0 != h:
+            raise ValueError("JPEG strips do not cover the page")
+    if photo == 0:
+        out = 255 - out
+    return out
+
+
 def _decode_ifd_page(payload: bytes, tags: dict, e: str = "<") -> np.ndarray:
     """Decode one IFD's image to (h, w, channels) uint8. 16-bit samples
     (r4) decode in the file's byte order, undo the predictor at 16-bit
@@ -247,18 +345,22 @@ def _decode_ifd_page(payload: bytes, tags: dict, e: str = "<") -> np.ndarray:
             f"TIFF BitsPerSample {bits} needs a real codec"
         )
     wide = bits[0] == 16
-    if photo not in (0, 1, 2, 3):
+    if photo not in (0, 1, 2, 3) and not (photo == 6 and comp == 7):
         raise NotImplementedError(
-            f"TIFF photometric {photo} (CMYK/YCbCr) needs a real codec; "
+            f"TIFF photometric {photo} (CMYK) needs a real codec; "
             "plug PIL here"
         )
     if photo == 3 and (320 not in tags or wide):
         raise ValueError("palette TIFF missing ColorMap or non-8-bit")
-    if comp not in (1, 5, 8, 32773):
+    if comp not in (1, 5, 7, 8, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} (JPEG/fax) needs a real codec; "
-            "plug PIL here"
+            f"TIFF compression {comp} (old-style JPEG/fax) needs a real "
+            "codec; plug PIL here"
         )
+    if comp == 7:
+        if wide:
+            raise NotImplementedError("12-bit JPEG-in-TIFF needs a real codec")
+        return _decode_jpeg_page(payload, tags, w, h, spp, photo)
 
     def decompress(chunk: bytes) -> bytes:
         if comp == 5:
@@ -411,11 +513,17 @@ def encode_tiff(
     byte_order: str = "II",
     tile: tuple[int, int] | None = None,
     colormap=None,
+    quality: int = 90,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """TIFF writer for one (h, w, c) page or a list of pages (c in {1, 3};
     uint8, or uint16 for 16-bit samples in the file byte order).
-    ``compression``: 'none' | 'packbits' | 'lzw'; ``predictor`` applies
-    horizontal differencing at the sample width (meaningful with 'lzw');
+    ``compression``: 'none' | 'packbits' | 'lzw' | 'deflate' | 'jpeg'
+    (new-style compression 7 — each strip/tile is a T.81 stream at
+    ``quality``; ``jpeg_tables=True`` factors the shared DQT/DHT segments
+    into a JPEGTables tag 347 and writes abbreviated strip streams, the
+    TN2 layout real writers emit); ``predictor`` applies horizontal
+    differencing at the sample width (meaningful with 'lzw');
     ``rows_per_strip`` defaults to the full page (set small to exercise
     multi-strip assembly); ``byte_order`` 'II' or 'MM'; ``tile=(tw, th)``
     writes tile organization instead of strips (edge tiles padded to full
@@ -424,10 +532,14 @@ def encode_tiff(
         pages = [pages]
     if tile is not None and (tile[0] % 16 or tile[1] % 16):
         raise ValueError("tile dimensions must be multiples of 16")
+    if compression == "jpeg" and (
+        predictor or colormap is not None
+        or any(p.dtype == np.uint16 for p in pages)
+    ):
+        raise ValueError("jpeg compression is 8-bit gray/RGB only")
     e = "<" if byte_order == "II" else ">"
-    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
-        compression
-    ]
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
+                 "jpeg": 7}[compression]
 
     out = bytearray()
     out += (b"II*\x00" if byte_order == "II" else b"MM\x00*")
@@ -440,7 +552,22 @@ def encode_tiff(
         h, w, c = arr.shape
         wide = arr.dtype == np.uint16
 
+        page_jpeg_tables = b""
+
         def compress_block(block) -> bytes:
+            nonlocal page_jpeg_tables
+            if compression == "jpeg":
+                from .jpegcodec import encode_jpeg
+
+                stream = encode_jpeg(
+                    np.ascontiguousarray(block), quality=quality,
+                    subsampling="444",
+                )
+                if not jpeg_tables:
+                    return stream
+                tables, abbrev = _split_jpeg_tables(stream)
+                page_jpeg_tables = tables  # same quality -> same tables
+                return abbrev
             if predictor:
                 mod = 65536 if wide else 256
                 d = block.astype(np.int64)
@@ -488,8 +615,13 @@ def encode_tiff(
         entries.append((257, 4, 1, h))
         entries.append((258, 3, c, [16 if wide else 8] * c))
         entries.append((259, 3, 1, comp_code))
-        entries.append((262, 3, 1, 3 if colormap is not None
-                        else (1 if c == 1 else 2)))
+        if compression == "jpeg":
+            photo_tag = 1 if c == 1 else 6  # YCbCr, per TN2
+        elif colormap is not None:
+            photo_tag = 3
+        else:
+            photo_tag = 1 if c == 1 else 2
+        entries.append((262, 3, 1, photo_tag))
         entries.append((offsets_tag, 4, n_strips, None))  # patched below
         entries.append((277, 3, 1, c))
         if tile is not None:
@@ -500,6 +632,10 @@ def encode_tiff(
         entries.append((counts_tag, 4, n_strips, [len(s) for s in strips]))
         if predictor:
             entries.append((317, 3, 1, 2))
+        if page_jpeg_tables:
+            entries.append(
+                (347, 7, len(page_jpeg_tables), list(page_jpeg_tables))
+            )
         if colormap is not None:
             cm = np.asarray(colormap, dtype=np.int64)
             planes = [int(v) << 8 for v in cm[:, 0]] + \
@@ -522,7 +658,7 @@ def encode_tiff(
         # strip data goes after the IFD's overflow area; compute offsets in
         # two passes (first: overflow values, then strip bytes)
         def value_bytes(typ, vals):
-            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
             return struct.pack(e + fmt * len(vals), *vals)
 
         patched = []

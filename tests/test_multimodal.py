@@ -941,12 +941,13 @@ def test_tiff_unsupported_variants_hit_codec_slot():
 
     img = np.zeros((4, 4, 3), dtype="uint8")
     enc = bytearray(encode_tiff(img))
-    # patch the compression tag value (tag 259) to 7 (JPEG-in-TIFF)
+    # patch the compression tag value (tag 259) to 6 (old-style JPEG —
+    # deprecated by TN2 and unsupported; new-style 7 decodes for real)
     n = _s.unpack_from("<H", enc, 8)[0]
     for i in range(n):
         base = 10 + 12 * i
         if _s.unpack_from("<H", enc, base)[0] == 259:
-            _s.pack_into("<H", enc, base + 8, 7)
+            _s.pack_into("<H", enc, base + 8, 6)
     with pytest.raises(NotImplementedError):
         decode_tiff_pages(bytes(enc))
 
@@ -1567,6 +1568,106 @@ def test_tiff_deflate_and_palette():
             encode_tiff(idx, compression=comp, colormap=cmap)
         )
         assert np.array_equal(dec[0], cmap[idx[:, :, 0]]), comp
+
+
+def test_tiff_jpeg_compression7_strips_tables_tiles():
+    """New-style JPEG-in-TIFF (compression 7, TN2): every strip/tile is a
+    T.81 stream decoded by the in-repo JPEG codec. Pinned properties:
+    (a) a single-strip page decodes BIT-IDENTICALLY to the standalone
+    JPEG of the same pixels; (b) multi-strip assembly equals per-strip
+    standalone decodes stacked; (c) the JPEGTables-tag abbreviated layout
+    decodes identically to the self-contained layout and is smaller
+    (shared DQT/DHT are factored out); (d) tiled geometry crops
+    edge-padded full-size tiles exactly; (e) grayscale."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+    from seoul_big_data_spark.sources.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff,
+    )
+
+    img = _smooth_arr(45, 62)
+
+    one = decode_tiff_pages(encode_tiff(img, compression="jpeg", quality=85))[0]
+    ref = decode_jpeg_pixels(encode_jpeg(img, quality=85, subsampling="444"))
+    assert np.array_equal(one, ref)
+
+    multi = encode_tiff(img, compression="jpeg", quality=85, rows_per_strip=16)
+    stacked = np.vstack(
+        [
+            decode_jpeg_pixels(encode_jpeg(img[y:y + 16], 85, "444"))
+            for y in range(0, 45, 16)
+        ]
+    )
+    assert np.array_equal(decode_tiff_pages(multi)[0], stacked)
+
+    abbrev = encode_tiff(
+        img, compression="jpeg", quality=85, rows_per_strip=16,
+        jpeg_tables=True,
+    )
+    assert np.array_equal(decode_tiff_pages(abbrev)[0], stacked)
+    assert len(abbrev) < len(multi)
+
+    tiled = decode_tiff_pages(
+        encode_tiff(img, compression="jpeg", quality=85, tile=(32, 16),
+                    jpeg_tables=True)
+    )[0]
+    pad = np.pad(img, ((0, 3), (0, 2), (0, 0)), mode="edge")
+    rows = [
+        np.hstack(
+            [
+                decode_jpeg_pixels(
+                    encode_jpeg(pad[ty:ty + 16, tx:tx + 32], 85, "444")
+                )
+                for tx in range(0, 64, 32)
+            ]
+        )
+        for ty in range(0, 48, 16)
+    ]
+    assert np.array_equal(tiled, np.vstack(rows)[:45, :62])
+
+    gray = img[:, :, :1]
+    gdec = decode_tiff_pages(
+        encode_tiff(gray, compression="jpeg", quality=90, jpeg_tables=True)
+    )[0]
+    gref = decode_jpeg_pixels(encode_jpeg(gray, 90, "444"))
+    assert np.array_equal(gdec[:, :, 0], gref.reshape(gdec.shape[:2]))
+
+    # lossy but close on smooth content; 8-bit-only guard
+    assert np.abs(one.astype(int) - img.astype(int)).mean() < 6.0
+    with pytest.raises(ValueError):
+        encode_tiff(img.astype("uint16"), compression="jpeg")
+
+
+def test_tiff_jpeg_multipage_and_multimodal_dispatch():
+    """Compression-7 pages chain through the IFD like any other; the
+    multimodal raster dispatcher reads a JPEG-in-TIFF payload without
+    knowing which compression the pages use."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff,
+        tiff_page_stats,
+    )
+
+    p0 = _smooth_arr(24, 33)
+    p1 = _smooth_arr(24, 33)[:, :, :1]
+    enc = encode_tiff([p0, p1], compression="jpeg", quality=92)
+    pages = decode_tiff_pages(enc)
+    assert [p.shape for p in pages] == [(24, 33, 3), (24, 33, 1)]
+    stats = tiff_page_stats(enc, every_k=1)
+    assert [s["frame_idx"] for s in stats] == [0, 1]
+    assert stats[0]["mean_r"] == pytest.approx(
+        float(pages[0][:, :, 0].mean())
+    )
+
+    got = _decode_payload(enc)
+    assert (got["format"], got["width"], got["height"]) == ("tiff", 33, 24)
 
 
 # --- AVI (r4: avicodec.py — RIFF container, DIB + MJPEG frames) -------------
