@@ -94,6 +94,15 @@ def test_fuzz_tiff():
                                          predictor=True), 0xB0)
 
 
+def test_fuzz_tiff_jpeg_compression7():
+    """JPEG-in-TIFF stacks two parsers (IFD walk + per-strip T.81); both
+    layers must reject corrupt strip data and corrupt JPEGTables cleanly."""
+    img = _img()
+    enc = encode_tiff(img, compression="jpeg", quality=90,
+                      rows_per_strip=8, jpeg_tables=True)
+    _fuzz(decode_tiff_pages, enc, 0xB0)
+
+
 def test_fuzz_wav_adpcm():
     rng = np.random.RandomState(5)
     wave = rng.randint(-20000, 20000, size=1000)
