@@ -10,9 +10,12 @@ successive approximation, EOBn end-of-band runs, and the refinement
 correction-bit algorithm, accumulated across scans into a coefficient
 store and reconstructed once at EOI. A completed progressive stream
 decodes BIT-IDENTICALLY to the equivalent baseline stream (pinned in
-tests). Arithmetic-coded and 12-bit streams raise ``NotImplementedError``
-at the same documented codec slot the other compressed formats use
-(`multimodal.py`).
+tests). The EXTENDED SEQUENTIAL process (SOF1) with 12-bit precision
+decodes and encodes too: 16-bit DQT entries (Pq=1), extended-range
+Huffman tables, 2048 level shift, output reduced to the standard
+top-byte 8-bit view. Arithmetic-coded streams and 12-bit progressive
+raise ``NotImplementedError`` at the same documented codec slot the
+other compressed formats use (`multimodal.py`).
 
 The encoders are the test-vector generators (the inverse direction):
 baseline 4:4:4/4:2:2/4:2:0 with the spec's Annex K example tables scaled
@@ -372,10 +375,11 @@ def _prog_ac_refine(reader, ac_tbl, coef, Ss, Se, Al, eobrun):
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     """(h, w, channels) uint8, y=0 at top — grayscale (1) or RGB (3).
 
-    Sequential Huffman (SOF0/SOF1) and progressive (SOF2, r4: spectral
+    Sequential Huffman (SOF0/SOF1, 8-bit; SOF1 also 12-bit, reduced to
+    the top-byte 8-bit view) and progressive (SOF2, r4: spectral
     selection + successive approximation, multi-scan). Arithmetic,
-    hierarchical, and 12-bit streams raise NotImplementedError (the
-    documented codec slot)."""
+    hierarchical, and 12-bit progressive streams raise
+    NotImplementedError (the documented codec slot)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
 
@@ -409,12 +413,16 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 15
                 p += 1
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables (12-bit JPEG)")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZZ] = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                if pq == 0:
+                    tbl[_ZZ] = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                    p += 64
+                elif pq == 1:  # 16-bit entries (12-bit precision streams)
+                    tbl[_ZZ] = np.frombuffer(seg[p:p + 128], dtype=">u2")
+                    p += 128
+                else:
+                    raise ValueError(f"bad DQT element precision {pq}")
                 quant[tq] = tbl.reshape(8, 8)
-                p += 64
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(seg):
@@ -429,8 +437,12 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive SOF
             progressive = marker == 0xC2
             precision = seg[0]
-            if precision != 8:
-                raise NotImplementedError("12-bit JPEG precision")
+            # T.81: baseline (SOF0) is 8-bit only; extended sequential
+            # (SOF1) also allows 12. 12-bit progressive stays a boundary.
+            if not (precision == 8 or (precision == 12 and marker == 0xC1)):
+                raise NotImplementedError(
+                    f"JPEG precision {precision} with SOF{marker - 0xC0}"
+                )
             h = struct.unpack_from(">H", seg, 1)[0]
             w = struct.unpack_from(">H", seg, 3)[0]
             ncomp = seg[5]
@@ -439,7 +451,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 cid = seg[6 + 3 * i]
                 hv = seg[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * i]))
-            frame = (w, h, comps)
+            frame = (w, h, comps, precision)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
@@ -463,7 +475,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah_al = seg[3 + 2 * ns]
-            w, h, comps = frame
+            w, h, comps, _prec = frame
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus_x = -(-w // (8 * hmax))
@@ -483,7 +495,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     if progressive:
         if frame is None or coef_store is None:
             raise ValueError("progressive JPEG missing SOF/SOS")
-        w, h, comps = frame
+        w, h, comps, _prec = frame
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         planes = []
@@ -497,7 +509,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
 
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
-    w, h, comps = frame
+    w, h, comps, precision = frame
+    mid = float(1 << (precision - 1))
     sel, data_pos = scan
     if len(sel) != len(comps):
         raise NotImplementedError("non-interleaved multi-scan JPEG")
@@ -550,35 +563,42 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                                 raise ValueError("AC run past block end")
                             coef[_ZZ[k]] = _extend(reader.receive(s), s)
                         block = (coef.reshape(8, 8) * qtbl).astype(np.float64)
-                        px = _C.T @ block @ _C + 128.0
+                        px = _C.T @ block @ _C + mid
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
 
-    return _assemble_output(comps, planes, hmax, vmax, w, h)
+    return _assemble_output(comps, planes, hmax, vmax, w, h, precision)
 
 
-def _assemble_output(comps, planes, hmax, vmax, w, h) -> np.ndarray:
+def _assemble_output(comps, planes, hmax, vmax, w, h, precision=8) -> np.ndarray:
     """Upsample component planes to the full grid (sample replication),
     crop, and color-convert — shared by the sequential and progressive
-    decode paths."""
+    decode paths. 12-bit samples clamp to [0, 4095] and reduce to the
+    standard top-byte 8-bit view (same convention as 16-bit TIFF/PNG)."""
+    mid = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    shift = precision - 8
+
+    def finish(vals: np.ndarray) -> np.ndarray:
+        out = np.clip(np.round(vals), 0, maxv).astype(np.int64)
+        return (out >> shift).astype(np.uint8) if shift else out.astype(np.uint8)
+
     full = []
     for (cid, ch, cv, _tq), plane in zip(comps, planes):
         if ch != hmax or cv != vmax:
             plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
         full.append(plane[:h, :w])
     if len(full) == 1:
-        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return out.reshape(h, w, 1)
+        return finish(full[0]).reshape(h, w, 1)
     if len(full) != 3:
         raise NotImplementedError(f"{len(full)}-component JPEG (CMYK?)")
     y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - mid)
+    g = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+    b = y + 1.772 * (cb - mid)
+    return finish(np.stack([r, g, b], axis=2))
 
 
 def _decode_prog_scan(
@@ -733,12 +753,31 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
 
 
-def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+def _scale_quant(base: np.ndarray, quality: int, precision: int = 8) -> np.ndarray:
     """The ubiquitous quality mapping: scale = 5000/q below 50, 200-2q
-    above; entries clamped to [1, 255]."""
+    above; entries clamped to [1, 255]. For 12-bit samples the scaled
+    table shifts up by the precision delta (entries x16, 16-bit DQT) so
+    the quantized coefficients land in the same range as the 8-bit
+    pipeline — the standard way libjpeg-style encoders extend Annex K."""
     quality = min(100, max(1, quality))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+    tbl = np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+    return tbl << (precision - 8) if precision > 8 else tbl
+
+
+# 12-bit Huffman table specs (tables always travel in-stream, so any valid
+# prefix code works): DC categories 0..15 as a flat 5-bit code (16/32
+# Kraft, all-ones unused), AC symbols (run<<4)|size for size 1..14 plus
+# EOB and ZRL = 226 symbols as a flat 8-bit code (226/256 Kraft, all-ones
+# unused) — same construction as the progressive writer's table.
+_DC_12BIT_SPEC = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+_AC_12BIT_SPEC = (
+    [0] * 7 + [226] + [0] * 8,
+    sorted(
+        [(r << 4) | s for r in range(16) for s in range(1, 15)]
+        + [0x00, 0xF0]
+    ),
+)
 
 
 def _encode_coefficients(
@@ -782,13 +821,13 @@ def _encode_coefficients(
     return int(coef_zz[0])
 
 
-def _plane_blocks(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+def _plane_blocks(plane: np.ndarray, qtbl: np.ndarray, mid: float = 128.0) -> np.ndarray:
     """Forward DCT + quantization of a (H, W) plane already padded to
     multiples of 8; returns (H//8, W//8, 64) zigzag-ordered int coefficients.
     Fully vectorized: one einsum for every block's 2-D DCT."""
     ph, pw = plane.shape
     blocks = (
-        plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+        plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - mid
     )
     coef = np.einsum("ux,ijxy,vy->ijuv", _C, blocks, _C)
     q = np.round(coef / qtbl).astype(np.int64)
@@ -804,16 +843,22 @@ def _pad_to_multiple(plane: np.ndarray, my: int, mx: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def _prepare_components(arr: np.ndarray, quality: int, subsampling: str):
+def _prepare_components(arr: np.ndarray, quality: int, subsampling: str,
+                        precision: int = 8):
     """Shared encoder front half: color transform, chroma downsample,
     MCU-grid padding, per-block DCT + quantization. Returns
     (gray, spec [(qtbl, ch, cv)], coefs [per-component (by, bx, 64)
-    zigzag ints], mcus_x, mcus_y, qy, qc)."""
+    zigzag ints], mcus_x, mcus_y, qy, qc). ``precision`` 12 expects
+    uint16 samples in [0, 4095]; the chroma offset and DCT level shift
+    move to 2048 and the quant tables shift up with them."""
     h, w, nc = arr.shape
     if nc not in (1, 3):
         raise ValueError("expected (h, w, 1|3) array")
     if subsampling not in ("444", "422", "420"):
         raise ValueError("subsampling must be '444', '422', or '420'")
+    if precision == 12 and (arr.dtype != np.uint16 or arr.max(initial=0) > 4095):
+        raise ValueError("12-bit JPEG expects uint16 samples in [0, 4095]")
+    mid = float(1 << (precision - 1))
     gray = nc == 1
     # luma sampling factors (chroma is always 1x1)
     if gray or subsampling == "444":
@@ -823,8 +868,8 @@ def _prepare_components(arr: np.ndarray, quality: int, subsampling: str):
     else:
         sh = sv = 2
 
-    qy = _scale_quant(_QUANT_LUMA, quality)
-    qc = _scale_quant(_QUANT_CHROMA, quality)
+    qy = _scale_quant(_QUANT_LUMA, quality, precision)
+    qc = _scale_quant(_QUANT_CHROMA, quality, precision)
 
     a = arr.astype(np.float64)
     if gray:
@@ -832,8 +877,8 @@ def _prepare_components(arr: np.ndarray, quality: int, subsampling: str):
     else:
         r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + mid
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + mid
         if sh > 1 or sv > 1:  # box-mean chroma downsample by (sv, sh)
             def ds(p):
                 pp = _pad_to_multiple(p, sv, sh)
@@ -868,7 +913,7 @@ def _prepare_components(arr: np.ndarray, quality: int, subsampling: str):
             ),
             mode="edge",
         )
-        coefs.append(_plane_blocks(padded, qtbl))
+        coefs.append(_plane_blocks(padded, qtbl, mid))
     spec = [(qtbl, ch, cv) for _, qtbl, ch, cv in plane_spec]
     return gray, spec, coefs, mcus_x, mcus_y, qy, qc
 
@@ -881,33 +926,47 @@ def _header_segments(
     qy,
     qc,
     sof_marker: int,
+    precision: int = 8,
 ) -> bytes:
     """SOI + APP0 + DQT + SOFn + DHT segments (shared by the baseline and
-    progressive writers; tables always travel in-stream)."""
+    progressive writers; tables always travel in-stream). 12-bit streams
+    write 16-bit DQT entries (Pq=1) and the extended-range DHT specs."""
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
 
+    def dqt(tq: int, tbl) -> bytes:
+        zz = tbl.reshape(-1)[_ZZ]
+        if precision > 8:
+            return seg(0xDB, bytes([(1 << 4) | tq]) + zz.astype(">u2").tobytes())
+        return seg(0xDB, bytes([tq]) + bytes(zz.astype(np.uint8)))
+
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0]) + bytes(qy.reshape(-1)[_ZZ].astype(np.uint8)))
+    out += dqt(0, qy)
     if not gray:
-        out += seg(0xDB, bytes([1]) + bytes(qc.reshape(-1)[_ZZ].astype(np.uint8)))
+        out += dqt(1, qc)
     comp_spec = b""
     for ci, (_, ch, cv) in enumerate(spec):
         comp_spec += bytes((ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1))
     out += seg(
         sof_marker,
-        bytes([8]) + struct.pack(">HH", h, w) + bytes([len(spec)]) + comp_spec,
+        bytes([precision]) + struct.pack(">HH", h, w)
+        + bytes([len(spec)]) + comp_spec,
     )
 
     def dht(tc: int, th: int, spec_pair: tuple) -> bytes:
         bits, vals = spec_pair
         return seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
 
-    out += dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC)
-    if not gray:
-        out += dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_CHROMA_SPEC)
+    if precision > 8:
+        out += dht(0, 0, _DC_12BIT_SPEC) + dht(1, 0, _AC_12BIT_SPEC)
+        if not gray:
+            out += dht(0, 1, _DC_12BIT_SPEC) + dht(1, 1, _AC_12BIT_SPEC)
+    else:
+        out += dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC)
+        if not gray:
+            out += dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_CHROMA_SPEC)
     return bytes(out)
 
 
@@ -916,22 +975,31 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Baseline JFIF writer. ``arr`` is (h, w, 1) grayscale or (h, w, 3)
     RGB uint8; ``subsampling`` is '444', '422' (horizontal-only), or
     '420' (color only); ``restart_interval`` > 0 emits DRI + RSTn every N
     MCUs (exercises the decoder's restart path). Tables used are written
-    into the stream."""
+    into the stream. ``precision=12`` takes uint16 samples in [0, 4095]
+    and writes the T.81 extended sequential process (SOF1, 16-bit DQT,
+    extended-range Huffman tables)."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     h, w, _nc = arr.shape
     gray, spec, coefs, mcus_x, mcus_y, qy, qc = _prepare_components(
-        arr, quality, subsampling
+        arr, quality, subsampling, precision
     )
 
-    dc_codes = [_build_huffman_codes(*_DC_LUMA_SPEC)]
-    ac_codes = [_build_huffman_codes(*_AC_LUMA_SPEC)]
-    if not gray:
-        dc_codes.append(_build_huffman_codes(*_DC_CHROMA_SPEC))
-        ac_codes.append(_build_huffman_codes(*_AC_CHROMA_SPEC))
+    if precision == 12:
+        dc_codes = [_build_huffman_codes(*_DC_12BIT_SPEC)] * 2
+        ac_codes = [_build_huffman_codes(*_AC_12BIT_SPEC)] * 2
+    else:
+        dc_codes = [_build_huffman_codes(*_DC_LUMA_SPEC)]
+        ac_codes = [_build_huffman_codes(*_AC_LUMA_SPEC)]
+        if not gray:
+            dc_codes.append(_build_huffman_codes(*_DC_CHROMA_SPEC))
+            ac_codes.append(_build_huffman_codes(*_AC_CHROMA_SPEC))
 
     writer = _BitWriter()
     preds = [0] * len(spec)
@@ -958,7 +1026,12 @@ def encode_jpeg(
     def seg(marker: int, body: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
 
-    out = bytearray(_header_segments(h, w, gray, spec, qy, qc, 0xC0))
+    out = bytearray(
+        _header_segments(
+            h, w, gray, spec, qy, qc,
+            0xC1 if precision == 12 else 0xC0, precision,
+        )
+    )
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(spec)])

@@ -505,9 +505,11 @@ def test_jpeg_dispatch_and_metadata():
 
 
 def test_jpeg_remaining_boundaries_hit_codec_slot():
-    """Progressive (SOF2) decodes for real since r4 — the remaining JPEG
-    boundaries are arithmetic coding (SOF9) and 12-bit precision, both
-    explicit NotImplementedError at the documented codec slot."""
+    """Progressive (SOF2) and 12-bit extended sequential (SOF1) decode for
+    real since r4 — the remaining JPEG boundaries are arithmetic coding
+    (SOF9), 12-bit in the wrong process (baseline SOF0 is 8-bit-only per
+    T.81; 12-bit progressive unimplemented), both explicit
+    NotImplementedError at the documented codec slot."""
     import struct as _s
 
     from seoul_big_data_spark.sources.jpegcodec import decode_jpeg_pixels
@@ -521,7 +523,57 @@ def test_jpeg_remaining_boundaries_hit_codec_slot():
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(sof(0xC9, 8))  # arithmetic sequential
     with pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(sof(0xC0, 12))  # 12-bit precision
+        decode_jpeg_pixels(sof(0xC0, 12))  # 12-bit baseline: spec-invalid
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(sof(0xC2, 12))  # 12-bit progressive
+
+
+def test_jpeg_12bit_extended_sequential():
+    """12-bit extended sequential (SOF1, 16-bit DQT, extended Huffman
+    range): samples x16 through quant tables x16 produce the SAME
+    quantized coefficients as the 8-bit pipeline, so the decoded top-byte
+    view may differ from the 8-bit twin only by the final rounding step
+    (|diff| <= 1) — across subsamplings, grayscale, and restart markers."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    img8 = _smooth_arr(45, 62)
+    img12 = img8.astype("uint16") << 4
+
+    for q in (75, 95):
+        for sub in ("444", "422", "420"):
+            d12 = decode_jpeg_pixels(
+                encode_jpeg(img12, quality=q, subsampling=sub, precision=12)
+            )
+            d8 = decode_jpeg_pixels(
+                encode_jpeg(img8, quality=q, subsampling=sub)
+            )
+            assert np.abs(d12.astype(int) - d8.astype(int)).max() <= 1, (q, sub)
+
+    g12 = img12[:, :, :1]
+    dg = decode_jpeg_pixels(encode_jpeg(g12, quality=90, precision=12))
+    dg8 = decode_jpeg_pixels(encode_jpeg(img8[:, :, :1], quality=90))
+    assert np.abs(dg.astype(int) - dg8.astype(int)).max() <= 1
+
+    # restart markers reset the DC predictor identically in both precisions
+    a = decode_jpeg_pixels(
+        encode_jpeg(img12, quality=90, precision=12, restart_interval=3)
+    )
+    b = decode_jpeg_pixels(encode_jpeg(img12, quality=90, precision=12))
+    assert np.array_equal(a, b)
+
+    # quality still rides the full 12-bit headroom
+    near = decode_jpeg_pixels(encode_jpeg(img12, quality=100, precision=12))
+    assert np.abs(near.astype(int) - img8.astype(int)).mean() < 2.0
+
+    with pytest.raises(ValueError):
+        encode_jpeg(img8, precision=12)  # uint8 input rejected
+    with pytest.raises(ValueError):
+        encode_jpeg(img12 << 3, precision=12)  # out of 12-bit range
 
 
 def test_jpeg_phash_hamming_locality():
