@@ -177,20 +177,26 @@ _ADAM7_PASSES = (
 
 
 def _png_unfilter_lines(
-    raw: bytes, pos: int, h: int, w: int, channels: int, sample_bytes: int = 1
+    raw: bytes, pos: int, h: int, w: int, channels: int,
+    sample_bytes: int = 1, bit_depth: int = 8,
 ):
     """Reverse the five PNG row filters over ``h`` scanlines of ``w``
     pixels starting at ``pos`` in the inflated stream; returns the
-    (h, w*channels*sample_bytes) byte matrix and the advanced position.
-    Shared by the sequential path and each Adam7 sub-image (filtering
-    restarts per pass, exactly as the spec requires). Filters operate on
-    BYTES with the left-neighbor distance equal to bytes-per-pixel, so
-    16-bit samples (r4) reuse the identical recurrences with
-    ``sample_bytes=2``."""
+    (h, stride) byte matrix and the advanced position. Shared by the
+    sequential path and each Adam7 sub-image (filtering restarts per
+    pass, exactly as the spec requires). Filters operate on BYTES with
+    the left-neighbor distance equal to bytes-per-pixel, so 16-bit
+    samples (r4) reuse the identical recurrences with ``sample_bytes=2``
+    and sub-byte depths (r4: 1/2/4-bit gray and palette) with a 1-byte
+    neighbor distance over the bit-packed scanline, per spec §9."""
     import numpy as np
 
-    stride = w * channels * sample_bytes
-    bpp = channels * sample_bytes
+    if bit_depth < 8:
+        stride = (w * channels * bit_depth + 7) // 8
+        bpp = 1
+    else:
+        stride = w * channels * sample_bytes
+        bpp = channels * sample_bytes
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -202,7 +208,7 @@ def _png_unfilter_lines(
             pass
         elif ftype == 1:  # Sub: + left — a per-channel mod-256 prefix sum
             row = (
-                np.cumsum(row.reshape(w, bpp).astype(np.int64), axis=0) % 256
+                np.cumsum(row.reshape(-1, bpp).astype(np.int64), axis=0) % 256
             ).astype(np.uint8).reshape(stride)
         elif ftype == 2:  # Up: + above (uint8 add wraps mod 256 by design)
             row += prev
@@ -272,34 +278,49 @@ def _decode_png_pixels(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
+    # the spec's full legal matrix (§11.2.2) — everything in it decodes
+    _valid = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+              4: (8, 16), 6: (8, 16)}
     if (
-        depth not in (8, 16)
-        or color not in (0, 2, 3, 6)
+        color not in _valid
+        or depth not in _valid[color]
         or interlace not in (0, 1)
-        or (depth == 16 and color == 3)  # 16-bit palette does not exist
     ):
         raise NotImplementedError(
             f"PNG variant (depth={depth}, color={color}, "
-            f"interlace={interlace}) needs a real codec; plug PIL here"
+            f"interlace={interlace}) is not a legal spec combination"
         )
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-    sb = depth // 8  # sample bytes (r4: 16-bit decodes, top byte kept)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    sb = max(1, depth // 8)  # sample bytes (r4: 16-bit decodes, top byte)
     raw = zlib.decompress(bytes(idat))
 
     def _to_px(lines, ph, pw):
         """Byte matrix -> (ph, pw, channels) uint8; 16-bit samples are
         big-endian pairs reduced to their high byte (the standard 8-bit
-        view; full-precision consumers would keep uint16 here)."""
+        view; full-precision consumers would keep uint16 here); sub-byte
+        samples (r4) unpack MSB-first, gray scaled to 8-bit by the
+        spec's 255/(2^d-1) replication factor, palette indices kept raw."""
+        if depth < 8:
+            nbits = pw * channels * depth
+            bits = np.unpackbits(lines, axis=1)[:, :nbits]
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+            vals = (bits.reshape(ph, pw * channels, depth) * weights).sum(axis=2)
+            if color == 0:  # sample scaling; indices (color 3) stay raw
+                vals = vals * (255 // ((1 << depth) - 1))
+            return vals.astype(np.uint8).reshape(ph, pw, channels)
         if sb == 1:
             return lines.reshape(ph, pw, channels)
         return lines.reshape(ph, pw, channels, 2)[:, :, :, 0]
 
+    def _stride(pw):
+        return (pw * channels * depth + 7) // 8 if depth < 8 else pw * channels * sb
+
     if interlace == 0:
-        if len(raw) < h * (w * channels * sb + 1):
+        if len(raw) < h * (_stride(w) + 1):
             raise ValueError("truncated PNG pixel data")
-        lines, _ = _png_unfilter_lines(raw, 0, h, w, channels, sb)
+        lines, _ = _png_unfilter_lines(raw, 0, h, w, channels, sb, depth)
         px = _to_px(lines, h, w)
     else:  # Adam7 (r4): 7 sub-images, each filtered independently
         px = np.empty((h, w, channels), dtype=np.uint8)
@@ -309,7 +330,7 @@ def _decode_png_pixels(payload: bytes):
             ph = (h - y0 + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes no bytes at all
-            lines, pos = _png_unfilter_lines(raw, pos, ph, pw, channels, sb)
+            lines, pos = _png_unfilter_lines(raw, pos, ph, pw, channels, sb, depth)
             px[y0::ys, x0::xs] = _to_px(lines, ph, pw)
     if color == 3:  # palette gather: index plane -> RGB(A)
         idx = px[:, :, 0]
@@ -333,7 +354,7 @@ def _decode_png(payload: bytes) -> dict:
 
     n_px = h * w
     sums = px.astype(np.int64).sum(axis=(0, 1))
-    if channels == 1:
+    if channels <= 2:  # gray / gray+alpha: channel 0 is the gray plane
         r = g = b = int(sums[0]) / n_px
         feat = r
     else:
@@ -399,17 +420,18 @@ def encode_png(
     arr, filters: list[int] | None = None, interlace: bool = False
 ) -> bytes:
     """Minimal PNG writer (test-vector generator, inverse of
-    ``_decode_png_pixels``). ``arr`` is (h, w, c) uint8 with c in {1, 3, 4};
-    ``filters`` optionally forces per-row filter types (0-4, cycled) so
-    tests can exercise every unfilter path; ``interlace`` writes the
-    seven Adam7 passes (each filtered independently, per spec)."""
+    ``_decode_png_pixels``). ``arr`` is (h, w, c) uint8 with c in
+    {1, 3, 4} or c=2 for gray+alpha (color type 4, r4); ``filters``
+    optionally forces per-row filter types (0-4, cycled) so tests can
+    exercise every unfilter path; ``interlace`` writes the seven Adam7
+    passes (each filtered independently, per spec)."""
     import zlib
 
     import numpy as np
 
     h, w, c = arr.shape
     arr = np.asarray(arr, dtype=np.uint8)
-    color = {1: 0, 3: 2, 4: 6}[c]
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     if not interlace:
         raw = _png_filter_lines(arr.reshape(h, w * c), c, filters)
     else:
@@ -447,17 +469,65 @@ def encode_png(
     )
 
 
+def encode_png_subbyte(
+    vals, depth: int, palette=None, trns=None,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Sub-byte PNG writer (test-vector generator, inverse of the
+    depth<8 path in ``_decode_png_pixels``): ``vals`` is (h, w) ints
+    < 2**depth with depth in {1, 2, 4} — grayscale levels (color 0) when
+    ``palette`` is None, else palette indices (color 3). Samples pack
+    MSB-first into scanline bytes (spec §7.2); filters then run over the
+    PACKED bytes with a 1-byte left-neighbor distance."""
+    import zlib
+
+    import numpy as np
+
+    if depth not in (1, 2, 4):
+        raise ValueError("sub-byte depth must be 1, 2, or 4")
+    v = np.asarray(vals, dtype=np.uint8)
+    if v.max(initial=0) >= (1 << depth):
+        raise ValueError("sample exceeds bit depth")
+    h, w = v.shape
+    bits = ((v[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(
+        np.uint8
+    ).reshape(h, w * depth)
+    packed = np.packbits(bits, axis=1)  # zero-pads to the byte boundary
+    raw = _png_filter_lines(packed, 1, filters)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _z.crc32(ctype + data))
+        )
+
+    color = 0 if palette is None else 3
+    out = _PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+        if trns is not None:
+            out += chunk(b"tRNS", bytes(trns))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
 def encode_png16(arr16, filters: list[int] | None = None) -> bytes:
     """16-bit PNG writer (test-vector generator): ``arr16`` is (h, w, c)
-    uint16 with c in {1, 3, 4}, written big-endian per spec; filters
-    cycle per row like ``encode_png``."""
+    uint16 with c in {1, 3, 4} or c=2 for gray+alpha, written big-endian
+    per spec; filters cycle per row like ``encode_png``."""
     import zlib
 
     import numpy as np
 
     a = np.asarray(arr16, dtype=np.uint16)
     h, w, c = a.shape
-    color = {1: 0, 3: 2, 4: 6}[c]
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     # big-endian byte planes, then filter as raw bytes (bpp = 2c)
     be = np.ascontiguousarray(a.astype(">u2")).view(np.uint8)
     raw = _png_filter_lines(be.reshape(h, w * c * 2), 2 * c, filters)
@@ -1150,8 +1220,8 @@ def _decode_pixels_rgb(payload: bytes):
         return px[::-1, :, ::-1]
     if payload[:8] == _PNG_SIG:
         px = _decode_png_pixels(payload)
-        if px.shape[2] == 1:
-            return np.repeat(px, 3, axis=2)
+        if px.shape[2] <= 2:  # gray or gray+alpha: replicate the gray plane
+            return np.repeat(px[:, :, :1], 3, axis=2)
         return px[:, :, :3]
     if payload[:3] == b"\xff\xd8\xff":
         from .jpegcodec import decode_jpeg_pixels

@@ -14,9 +14,11 @@ Compression 7 (new-style JPEG-in-TIFF per TIFF Technical Note 2) rides
 the in-repo T.81 codec (`jpegcodec.py`): each strip/tile is a JPEG
 stream, optionally abbreviated against the shared JPEGTables tag (347)
 whose DQT/DHT segments are spliced in after the strip's SOI before
-decode. Old-style compression 6 and the fax compressions raise
-``NotImplementedError`` at the same documented codec slot the other
-formats use (`multimodal.py`).
+decode. Old-style compression 6 decodes in its one interoperable
+layout — JPEGInterchangeFormat(+Length) tags 513/514 pointing at a
+complete per-page stream; its per-strip tag-zoo variants and the fax
+compressions raise ``NotImplementedError`` at the same documented codec
+slot the other formats use (`multimodal.py`).
 
 The encoder is the test-vector generator: II or MM order, any of the
 three compressions, optional predictor, configurable rows-per-strip or
@@ -345,21 +347,42 @@ def _decode_ifd_page(payload: bytes, tags: dict, e: str = "<") -> np.ndarray:
             f"TIFF BitsPerSample {bits} needs a real codec"
         )
     wide = bits[0] == 16
-    if photo not in (0, 1, 2, 3) and not (photo == 6 and comp == 7):
+    if photo not in (0, 1, 2, 3) and not (photo == 6 and comp in (6, 7)):
         raise NotImplementedError(
             f"TIFF photometric {photo} (CMYK) needs a real codec; "
             "plug PIL here"
         )
     if photo == 3 and (320 not in tags or wide):
         raise ValueError("palette TIFF missing ColorMap or non-8-bit")
-    if comp not in (1, 5, 7, 8, 32773):
+    if comp not in (1, 5, 6, 7, 8, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} (old-style JPEG/fax) needs a real "
-            "codec; plug PIL here"
+            f"TIFF compression {comp} (fax) needs a real codec; "
+            "plug PIL here"
         )
-    if comp == 7:
+    if comp in (6, 7):
         if wide:
             raise NotImplementedError("12-bit JPEG-in-TIFF needs a real codec")
+        if comp == 6:
+            # Old-style JPEG (deprecated by TN2): the only interoperable
+            # layout is JPEGInterchangeFormat (513) + ...Length (514)
+            # pointing at one complete stream for the whole page; the
+            # tag-zoo per-strip variants stay a documented boundary.
+            if 513 not in tags:
+                raise NotImplementedError(
+                    "old-style JPEG-in-TIFF without JPEGInterchangeFormat "
+                    "needs a real codec; plug PIL here"
+                )
+            from .jpegcodec import decode_jpeg_pixels
+
+            off = tags[513][0]
+            ln = tags[514][0] if 514 in tags else len(payload) - off
+            px = decode_jpeg_pixels(payload[off:off + ln])
+            if px.ndim == 2:
+                px = px[:, :, None]
+            if px.shape[0] < h or px.shape[1] < w:
+                raise ValueError("old-style JPEG smaller than the IFD page")
+            out = px[:h, :w, :spp]
+            return (255 - out) if photo == 0 else out
         return _decode_jpeg_page(payload, tags, w, h, spp, photo)
 
     def decompress(chunk: bytes) -> bytes:
@@ -532,14 +555,16 @@ def encode_tiff(
         pages = [pages]
     if tile is not None and (tile[0] % 16 or tile[1] % 16):
         raise ValueError("tile dimensions must be multiples of 16")
-    if compression == "jpeg" and (
+    if compression in ("jpeg", "jpeg_old") and (
         predictor or colormap is not None
         or any(p.dtype == np.uint16 for p in pages)
     ):
         raise ValueError("jpeg compression is 8-bit gray/RGB only")
+    if compression == "jpeg_old" and tile is not None:
+        raise ValueError("old-style JPEG is one stream per page, not tiled")
     e = "<" if byte_order == "II" else ">"
     comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
-                 "jpeg": 7}[compression]
+                 "jpeg": 7, "jpeg_old": 6}[compression]
 
     out = bytearray()
     out += (b"II*\x00" if byte_order == "II" else b"MM\x00*")
@@ -556,7 +581,7 @@ def encode_tiff(
 
         def compress_block(block) -> bytes:
             nonlocal page_jpeg_tables
-            if compression == "jpeg":
+            if compression in ("jpeg", "jpeg_old"):
                 from .jpegcodec import encode_jpeg
 
                 stream = encode_jpeg(
@@ -603,7 +628,8 @@ def encode_tiff(
                         compress_block(padded[ty:ty + th, tx:tx + tw])
                     )
         else:
-            rps = rows_per_strip or h
+            # old-style JPEG is one interchange stream per page
+            rps = h if compression == "jpeg_old" else (rows_per_strip or h)
             for y0 in range(0, h, rps):
                 strips.append(compress_block(arr[y0:y0 + rps]))
 
@@ -615,7 +641,7 @@ def encode_tiff(
         entries.append((257, 4, 1, h))
         entries.append((258, 3, c, [16 if wide else 8] * c))
         entries.append((259, 3, 1, comp_code))
-        if compression == "jpeg":
+        if compression in ("jpeg", "jpeg_old"):
             photo_tag = 1 if c == 1 else 6  # YCbCr, per TN2
         elif colormap is not None:
             photo_tag = 3
@@ -636,6 +662,11 @@ def encode_tiff(
             entries.append(
                 (347, 7, len(page_jpeg_tables), list(page_jpeg_tables))
             )
+        if compression == "jpeg_old":
+            # JPEGInterchangeFormat(+Length): the whole-page stream the
+            # decoder actually reads; strip tags stay for compatibility
+            entries.append((513, 4, 1, None))  # patched with the offset
+            entries.append((514, 4, 1, len(strips[0])))
         if colormap is not None:
             cm = np.asarray(colormap, dtype=np.int64)
             planes = [int(v) << 8 for v in cm[:, 0]] + \
@@ -664,7 +695,7 @@ def encode_tiff(
         patched = []
         overflow_alloc = []
         for tag, typ, count, val in entries:
-            if tag in (273, 324):  # data offsets: patched below
+            if tag in (273, 324, 513):  # data offsets: patched below
                 patched.append((tag, typ, count, None))
                 continue
             vals = val if isinstance(val, list) else [val]
@@ -712,6 +743,11 @@ def encode_tiff(
             patched[so_idx] = (
                 off_tag, 4, n_strips, struct.pack(e + "I", so_pos)
             )
+        for i2, (t2, ty2, c2, v2) in enumerate(patched):
+            if t2 == 513 and v2 is None:  # old-style JPEG: page stream
+                patched[i2] = (
+                    513, ty2, c2, struct.pack(e + "I", strip_offsets[0])
+                )
 
         ifd = bytearray(struct.pack(e + "H", len(patched)))
         for tag, typ, count, vb in patched:

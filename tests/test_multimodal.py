@@ -355,15 +355,89 @@ def test_png_unsupported_variants_hit_codec_slot():
             + chunk(b"IEND", b"")
         )
 
-    # palette (color 3), Adam7 interlace, and 16-bit depth all decode for
-    # real since r4 — the remaining PNG boundaries are 16-bit palette
-    # (nonexistent per spec) and nonsense depths
-    for depth, color, interlace in ((16, 3, 0), (4, 2, 0), (1, 0, 0)):
+    # every LEGAL depth/color combination decodes for real since r4 —
+    # what remains is the spec's own illegal space: 16-bit palette,
+    # sub-byte truecolor/alpha, and color types that do not exist
+    for depth, color, interlace in ((16, 3, 0), (4, 2, 0), (2, 6, 0),
+                                    (8, 5, 0)):
         with pytest.raises(NotImplementedError):
             _decode_png_pixels(png_with_ihdr(depth, color, interlace))
     # palette stream without its PLTE is malformed, not unsupported
     with pytest.raises(ValueError, match="PLTE"):
         _decode_png_pixels(png_with_ihdr(8, 3, 0))
+
+
+def test_png_gray_alpha_color_type4():
+    """Gray+alpha (color type 4) — the last 8/16-bit color type — decodes
+    across every filter, Adam7, and 16-bit; the RGB normalizer replicates
+    the gray plane (alpha excluded) so phash matches the pure-gray twin."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _ahash_bits,
+        _decode_pixels_rgb,
+        _decode_png_pixels,
+        encode_png,
+        encode_png16,
+    )
+
+    rng = np.random.RandomState(23)
+    ga = rng.randint(0, 256, size=(21, 17, 2)).astype("uint8")
+    for filters in (None, [0, 1, 2, 3, 4]):
+        assert np.array_equal(
+            _decode_png_pixels(encode_png(ga, filters=filters)), ga
+        )
+    assert np.array_equal(
+        _decode_png_pixels(encode_png(ga, interlace=True)), ga
+    )
+
+    ga16 = (ga.astype("uint16") << 8) | 0x7F
+    assert np.array_equal(
+        _decode_png_pixels(encode_png16(ga16, filters=[3, 4])), ga
+    )
+
+    h_ga = _ahash_bits(_decode_pixels_rgb(encode_png(ga)))
+    h_g = _ahash_bits(_decode_pixels_rgb(encode_png(ga[:, :, :1])))
+    assert h_ga == h_g
+
+
+def test_png_subbyte_depths_gray_and_palette():
+    """1/2/4-bit PNGs: samples pack MSB-first into scanline bytes and the
+    filters run over the PACKED bytes with a 1-byte neighbor distance
+    (spec §9) — gray levels scale to 8-bit by the 255/(2^d-1) replication
+    factor, palette indices gather raw through PLTE (+ tRNS)."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_png_pixels,
+        encode_png_subbyte,
+    )
+
+    rng = np.random.RandomState(29)
+    for depth in (1, 2, 4):
+        v = rng.randint(0, 1 << depth, size=(13, 23)).astype("uint8")
+        scale = 255 // ((1 << depth) - 1)
+        for filters in (None, [1, 2, 3, 4, 0]):
+            d = _decode_png_pixels(encode_png_subbyte(v, depth,
+                                                      filters=filters))
+            assert np.array_equal(d[:, :, 0], v * scale), (depth, filters)
+
+    pal = rng.randint(0, 256, size=(16, 3)).astype("uint8")
+    for depth in (1, 2, 4):
+        v = rng.randint(0, 1 << depth, size=(9, 14)).astype("uint8")
+        d = _decode_png_pixels(encode_png_subbyte(v, depth, palette=pal))
+        assert np.array_equal(d, pal[v]), depth
+
+    trns = list(range(16))
+    v = rng.randint(0, 16, size=(9, 14)).astype("uint8")
+    d = _decode_png_pixels(encode_png_subbyte(v, 4, palette=pal, trns=trns))
+    expected = np.concatenate(
+        [pal[v], np.array(trns, dtype="uint8")[v][:, :, None]], axis=2
+    )
+    assert np.array_equal(d, expected)
+
+    with pytest.raises(ValueError):
+        encode_png_subbyte(np.full((4, 4), 4, dtype="uint8"), 2)
 
 
 def test_phash_container_invariant_bmp_vs_png():
@@ -1693,6 +1767,37 @@ def test_tiff_jpeg_compression7_strips_tables_tiles():
     assert np.abs(one.astype(int) - img.astype(int)).mean() < 6.0
     with pytest.raises(ValueError):
         encode_tiff(img.astype("uint16"), compression="jpeg")
+
+
+def test_tiff_jpeg_old_style_interchange_format():
+    """Old-style JPEG-in-TIFF (compression 6): the interoperable layout is
+    one complete interchange stream per page behind tags 513/514, decoded
+    bit-identically to the standalone JPEG; a compression-6 file WITHOUT
+    tag 513 (the deprecated per-strip tag zoo) stays a documented
+    boundary."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+    from seoul_big_data_spark.sources.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff,
+    )
+
+    img = _smooth_arr(37, 54)
+    dec = decode_tiff_pages(encode_tiff(img, compression="jpeg_old",
+                                        quality=88))[0]
+    assert np.array_equal(dec, decode_jpeg_pixels(encode_jpeg(img, 88, "444")))
+
+    pages = decode_tiff_pages(
+        encode_tiff([img, img[:, :, :1]], compression="jpeg_old", quality=88)
+    )
+    assert [p.shape for p in pages] == [(37, 54, 3), (37, 54, 1)]
+
+    with pytest.raises(ValueError):
+        encode_tiff(img, compression="jpeg_old", tile=(16, 16))
 
 
 def test_tiff_jpeg_multipage_and_multimodal_dispatch():
