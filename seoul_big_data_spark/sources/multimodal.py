@@ -734,10 +734,13 @@ _AUDIO_COLS = [
 
 
 def _decode_wav(payload: bytes) -> dict:
-    """RIFF/WAVE decode: linear PCM 16-bit and 8-bit, plus the G.711
+    """RIFF/WAVE decode: linear PCM 8/16/24/32-bit, IEEE float 32/64
+    (format 3), WAVE_FORMAT_EXTENSIBLE unwrapping (r4), plus the G.711
     companded telephony codecs — mu-law (format 7) and A-law (format 6),
     expanded through the published ITU-T segment tables (r4). Header per
     the public RIFF spec: chunked 'fmt '/'data', interleaved samples.
+    Deep formats reduce to the int16 grid (top bits / clipped float), the
+    audio analog of the raster top-byte convention.
     Perceptually-coded formats (MP3/AAC/opus) hit the NotImplementedError
     slot like arithmetic-coded JPEG does for images. Features are
     content-derived: RMS amplitude and zero-crossing rate of channel 0
@@ -760,6 +763,10 @@ def _decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if audio_format == 0xFFFE and len(fmt_body) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE (r4): the real format code leads the
+        # SubFormat GUID in the fmt extension
+        audio_format = struct.unpack_from("<H", fmt_body, 24)[0]
     if audio_format == 17 and bits == 4:
         # IMA ADPCM (r4): samples_per_block rides the fmt extension
         if len(fmt_body) < 20:
@@ -771,6 +778,19 @@ def _decode_wav(payload: bytes) -> dict:
     elif audio_format == 1 and bits == 8:
         # PCM8 is unsigned with midpoint 128 (RIFF convention)
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
+    elif audio_format == 1 and bits == 24:
+        # PCM24 (r4): 3-byte little-endian signed; top 16 bits kept (the
+        # same top-byte convention as 16-bit rasters)
+        b3 = np.frombuffer(data, dtype=np.uint8)[: len(data) // 3 * 3]
+        b3 = b3.reshape(-1, 3).astype(np.int32)
+        x32 = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        x = ((((x32 ^ 0x800000) - 0x800000) >> 8)).astype(np.int16)
+    elif audio_format == 1 and bits == 32:
+        x = (np.frombuffer(data, dtype="<i4") >> 16).astype(np.int16)
+    elif audio_format == 3 and bits in (32, 64):
+        # IEEE float (r4): nominal [-1, 1], clipped into the int16 grid
+        f = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
+        x = np.clip(np.round(f * 32768.0), -32768, 32767).astype(np.int16)
     elif audio_format in (6, 7) and bits == 8:
         # G.711 A-law (6) / mu-law (7): one 256-entry expand table, built
         # from the published companding formulas (_g711_table)
@@ -1017,6 +1037,51 @@ def encode_wav(sample_rate: int, channels: int, samples) -> bytes:
     byte_rate = sample_rate * channels * 2
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
                       channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(x)) + x
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def encode_wav_deep(
+    sample_rate: int, channels: int, samples, bits: int = 24,
+    float_fmt: bool = False, extensible: bool = False,
+) -> bytes:
+    """Deep-format WAV writer (test-vector generator for the r4 decode
+    paths): ``bits`` 24/32 integer PCM (``samples`` = ints in the native
+    range) or ``float_fmt`` IEEE float-32 (``samples`` = floats, nominal
+    [-1, 1]); ``extensible=True`` wraps the format in
+    WAVE_FORMAT_EXTENSIBLE with the real code leading the SubFormat
+    GUID."""
+    import numpy as np
+
+    if float_fmt:
+        code, bits = 3, 32
+        x = np.asarray(list(samples), dtype="<f4").tobytes()
+    elif bits == 24:
+        code = 1
+        v = np.asarray(list(samples), dtype=np.int32) & 0xFFFFFF
+        b = np.zeros((len(v), 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        x = b.tobytes()
+    elif bits == 32:
+        code = 1
+        x = np.asarray(list(samples), dtype="<i4").tobytes()
+    else:
+        raise ValueError("encode_wav_deep writes 24/32-bit or float-32")
+    ba = channels * bits // 8
+    if extensible:
+        guid = struct.pack("<H", code) + b"\x00\x00" + bytes(
+            (0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+             0x00, 0x38, 0x9B, 0x71)
+        )
+        fmt = struct.pack("<HHIIHH", 0xFFFE, channels, sample_rate,
+                          sample_rate * ba, ba, bits)
+        fmt += struct.pack("<HHI", 22, bits, 0x3) + guid
+    else:
+        fmt = struct.pack("<HHIIHH", code, channels, sample_rate,
+                          sample_rate * ba, ba, bits)
     body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(x)) + x
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body

@@ -139,10 +139,47 @@ def test_wav_rejects_non_pcm(spark):
     from seoul_big_data_spark.sources.multimodal import _decode_wav, encode_wav
 
     payload = bytearray(encode_wav(8000, 1, [0, 1, -1]))
-    # flip audio_format to 3 (IEEE float) in the fmt chunk
-    payload[20:22] = _s.pack("<H", 3)
+    # flip audio_format to 85 (MPEG Layer III) in the fmt chunk — the
+    # perceptual-coding boundary (IEEE float decodes for real since r4)
+    payload[20:22] = _s.pack("<H", 85)
     with _pt.raises(NotImplementedError):
         _decode_wav(bytes(payload))
+
+
+def test_wav_deep_formats_reduce_to_int16_grid():
+    """24/32-bit PCM and IEEE float-32 (incl. WAVE_FORMAT_EXTENSIBLE
+    wrapping) decode to the same int16-grid features as the 16-bit twin —
+    the audio analog of the raster top-byte convention."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_wav,
+        encode_wav,
+        encode_wav_deep,
+    )
+
+    rng = np.random.RandomState(9)
+    s16 = rng.randint(-30000, 30000, size=500).astype("int16")
+    ref = _decode_wav(encode_wav(8000, 1, s16))
+
+    d24 = _decode_wav(encode_wav_deep(8000, 1, s16.astype("int32") << 8,
+                                      bits=24))
+    assert d24["rms"] == pytest.approx(ref["rms"], abs=1e-12)
+    assert d24["zero_cross_rate"] == pytest.approx(ref["zero_cross_rate"])
+
+    d32 = _decode_wav(encode_wav_deep(8000, 1, s16.astype("int32") << 16,
+                                      bits=32))
+    assert d32["rms"] == pytest.approx(ref["rms"], abs=1e-12)
+
+    df_ = _decode_wav(encode_wav_deep(
+        8000, 1, (s16 / 32768.0).astype("float32"), float_fmt=True
+    ))
+    assert df_["rms"] == pytest.approx(ref["rms"], abs=1e-4)
+
+    dext = _decode_wav(encode_wav_deep(8000, 1, s16.astype("int32") << 8,
+                                       bits=24, extensible=True))
+    assert dext["rms"] == pytest.approx(ref["rms"], abs=1e-12)
+    assert dext["n_samples"] == ref["n_samples"]
 
 
 def test_audio_decode_query_runs(spark, sf_dir):
