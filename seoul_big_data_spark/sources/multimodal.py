@@ -57,13 +57,27 @@ def _decode_bmp(payload: bytes) -> dict:
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
+    import numpy as np
+
+    if bpp in (1, 4, 8):  # palette family (r4): stats via the pixel path
+        px = _decode_bmp_pixels(payload)  # (h, w, 3) BGR
+        sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        n_px = px.shape[0] * px.shape[1]
+        return {
+            "format": "bmp",
+            "width": px.shape[1],
+            "height": px.shape[0],
+            "channels": 3,
+            "mean_r": int(sums[2]) / n_px,
+            "mean_g": int(sums[1]) / n_px,
+            "mean_b": int(sums[0]) / n_px,
+            "feat_mean": int(sums.sum()) / (3 * n_px),
+        }
     if bpp not in (24, 32) or compression != 0:
         raise NotImplementedError(
             f"BMP variant (bpp={bpp}, compression={compression}) needs a real "
             "codec; plug PIL here"
         )
-    import numpy as np
-
     n_rows = abs(height)
     bypp = bpp // 8  # bytes per pixel: BGR or BGRX (r4: 32-bit BI_RGB)
     row_bytes = width * bypp
@@ -699,6 +713,63 @@ def encode_bmp_array(arr) -> bytes:
     return header + body
 
 
+def encode_bmp_palette(indices, palette, bpp: int = 8, rle: bool = False) -> bytes:
+    """Palette-BMP writer (test-vector generator, inverse of the palette
+    path in ``_decode_bmp_pixels``): ``indices`` (h, w) with y=0 at TOP
+    (stored bottom-up per BMP convention) into ``palette`` (n, 3) RGB.
+    ``bpp`` in {1, 4, 8} packs indices MSB-first; ``rle=True`` writes
+    BI_RLE8 (bpp 8) / BI_RLE4 (bpp 4) as per-row encoded runs + EOL,
+    closed by EOB."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if bpp not in (1, 4, 8) or (rle and bpp == 1):
+        raise ValueError("palette BMP is 1/4/8-bit; RLE is 4/8-bit")
+    if int(idx.max(initial=0)) >= min(len(pal), 1 << bpp):
+        raise ValueError("palette index out of range")
+    bottom_up = idx[::-1]
+    if rle:
+        body = bytearray()
+        for row in bottom_up:
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and run < 255 and row[x + run] == row[x]:
+                    run += 1
+                v = int(row[x])
+                body += bytes((run, (v << 4) | v if bpp == 4 else v))
+                x += run
+            body += b"\x00\x00"  # EOL
+        body = bytes(body[:-2] + b"\x00\x01")  # final EOL -> EOB
+        compression = 1 if bpp == 8 else 2
+    else:
+        stride = ((w * bpp + 31) // 32) * 4
+        if bpp == 8:
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, :w] = bottom_up
+        else:
+            bits = (
+                (bottom_up[:, :, None] >> np.arange(bpp - 1, -1, -1)) & 1
+            ).astype(np.uint8).reshape(h, w * bpp)
+            packed = np.packbits(bits, axis=1)
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, :packed.shape[1]] = packed
+        body = rows.tobytes()
+        compression = 0
+    table = np.zeros((len(pal), 4), dtype=np.uint8)
+    table[:, :3] = pal[:, ::-1]  # stored BGRX
+    data_offset = 54 + table.size
+    header = b"BM" + struct.pack(
+        "<IHHI", data_offset + len(body), 0, 0, data_offset
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, bpp, compression, len(body), 2835, 2835, len(pal), 0,
+    )
+    return header + table.tobytes() + body
+
+
 def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas decode stage: (doc_id, payload binary) → typed metadata +
     content statistics. Arrow moves each partition's batch into pandas once;
@@ -1237,11 +1308,87 @@ def encode_ppm(width: int, height: int, pixel_fn) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + bytes(body)
 
 
+def _bmp_palette(payload: bytes, bpp: int):
+    """BGR color table following BITMAPINFOHEADER: ClrUsed entries (tag
+    at byte 46) or the full 2^bpp, 4 bytes each (BGRX)."""
+    import numpy as np
+
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    clr_used = (
+        struct.unpack_from("<I", payload, 46)[0] if hdr_size >= 36 else 0
+    )
+    n = clr_used or (1 << bpp)
+    base = 14 + hdr_size
+    tbl = np.frombuffer(payload[base:base + 4 * n], dtype=np.uint8)
+    if len(tbl) < 4 * n:
+        raise ValueError("truncated BMP color table")
+    return tbl.reshape(n, 4)[:, :3]  # BGR
+
+
+def _bmp_rle_decode(data: bytes, width: int, n_rows: int, rle4: bool):
+    """BI_RLE8/BI_RLE4 index plane, rows in stored bottom-up order.
+    Encoded mode (count, value — RLE4 alternates the two nibbles),
+    escapes 0=EOL 1=EOB 2=delta(dx,dy), absolute runs word-aligned."""
+    import numpy as np
+
+    idx = np.zeros((n_rows, width), dtype=np.uint8)
+    x = y = pos = 0
+    while pos + 1 < len(data):
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            if y >= n_rows or x + cnt > width:
+                raise ValueError("BMP RLE run past row end")
+            if rle4:
+                pair = np.tile(
+                    np.array([val >> 4, val & 15], dtype=np.uint8),
+                    (cnt + 1) // 2,
+                )[:cnt]
+                idx[y, x:x + cnt] = pair
+            else:
+                idx[y, x:x + cnt] = val
+            x += cnt
+        elif val == 0:  # end of line
+            y += 1
+            x = 0
+        elif val == 1:  # end of bitmap
+            return idx
+        elif val == 2:  # delta
+            if pos + 1 >= len(data):
+                raise ValueError("BMP RLE truncated delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > width or y > n_rows:
+                raise ValueError("BMP RLE delta out of range")
+        else:  # absolute run of `val` indices, word-aligned
+            n = val
+            nbytes = (n + 1) // 2 if rle4 else n
+            chunk = data[pos:pos + nbytes]
+            if len(chunk) < nbytes:
+                raise ValueError("BMP RLE truncated absolute run")
+            pos += nbytes + (nbytes & 1)
+            if y >= n_rows or x + n > width:
+                raise ValueError("BMP RLE absolute run past row end")
+            b = np.frombuffer(chunk, dtype=np.uint8)
+            if rle4:
+                vals = np.empty(nbytes * 2, dtype=np.uint8)
+                vals[0::2] = b >> 4
+                vals[1::2] = b & 15
+                idx[y, x:x + n] = vals[:n]
+            else:
+                idx[y, x:x + n] = b
+            x += n
+    return idx
+
+
 def _decode_bmp_pixels(payload: bytes):
-    """Full pixel array of a 24-bit BI_RGB BMP as an (h, w, 3) uint8 numpy
-    array in BGR sample order, rows in stored (bottom-up) order — the
-    decode path ``perceptual_hash`` consumes; header handling identical to
-    ``_decode_bmp``."""
+    """Full pixel array of a BMP as an (h, w, 3) uint8 numpy array in BGR
+    sample order, rows in stored (bottom-up) order — the decode path
+    ``perceptual_hash`` consumes; header handling identical to
+    ``_decode_bmp``. Covers uncompressed 24/32-bit BI_RGB plus (r4) the
+    palette family: 1/4/8-bit indices (MSB-first packing) uncompressed,
+    BI_RLE8, and BI_RLE4, gathered through the BGRX color table."""
     import numpy as np
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -1250,12 +1397,45 @@ def _decode_bmp_pixels(payload: bytes):
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
+    n_rows = abs(height)
+
+    if bpp in (1, 4, 8):
+        pal = _bmp_palette(payload, bpp)
+        if compression == 0:
+            stride = ((width * bpp + 31) // 32) * 4
+            need = n_rows * stride
+            buf = payload[data_offset:data_offset + need]
+            if len(buf) < need:
+                raise ValueError("truncated BMP pixel array")
+            rows = np.frombuffer(buf, dtype=np.uint8).reshape(n_rows, stride)
+            if bpp == 8:
+                idx = rows[:, :width]
+            else:
+                bits = np.unpackbits(rows, axis=1)[:, :width * bpp]
+                weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.int64)
+                idx = (
+                    (bits.reshape(n_rows, width, bpp) * weights)
+                    .sum(axis=2)
+                    .astype(np.uint8)
+                )
+        elif (compression, bpp) in ((1, 8), (2, 4)):
+            idx = _bmp_rle_decode(
+                payload[data_offset:], width, n_rows, rle4=bpp == 4
+            )
+        else:
+            raise NotImplementedError(
+                f"BMP variant (bpp={bpp}, compression={compression}) needs "
+                "a real codec; plug PIL here"
+            )
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        return pal[idx]
+
     if bpp not in (24, 32) or compression != 0:
         raise NotImplementedError(
             f"BMP variant (bpp={bpp}, compression={compression}) needs a real "
             "codec; plug PIL here"
         )
-    n_rows = abs(height)
     bypp = bpp // 8
     row_bytes = width * bypp
     stride = (row_bytes + 3) & ~3

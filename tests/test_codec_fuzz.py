@@ -32,8 +32,10 @@ from seoul_big_data_spark.sources.jpegcodec import (
     encode_jpeg_progressive,
 )
 from seoul_big_data_spark.sources.multimodal import (
+    _decode_bmp_pixels,
     _decode_png_pixels,
     _decode_wav,
+    encode_bmp_palette,
     encode_png,
     encode_wav_adpcm,
 )
@@ -92,6 +94,20 @@ def test_fuzz_tiff():
     # header_len past the IFD so width/height tags stay intact
     _fuzz(decode_tiff_pages, encode_tiff(img, compression="lzw",
                                          predictor=True), 0xB0)
+
+
+def test_fuzz_bmp_palette_rle():
+    """Corrupt RLE control bytes must reject via bounds checks, never
+    hang (every loop iteration advances the cursor) and never write
+    outside the index plane."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, size=(16, 3)).astype("uint8")
+    idx = rng.randint(0, 16, size=(12, 19)).astype("uint8")
+    for bpp in (4, 8):
+        enc = encode_bmp_palette(idx, pal, bpp=bpp, rle=True)
+        _fuzz(_decode_bmp_pixels, enc, 54 + 64)
 
 
 def test_fuzz_tiff_jpeg_compression7():

@@ -1311,6 +1311,87 @@ def test_bmp_32bit_decode_and_phash_parity():
     )
 
 
+def test_bmp_palette_family_uncompressed_and_rle():
+    """Palette BMPs (1/4/8-bit indices, MSB-first packing) gather through
+    the BGRX color table; BI_RLE8/BI_RLE4 decode encoded runs; a palette
+    BMP and the 24-bit BMP of the same pixels are identical through the
+    RGB normalizer (same phash)."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_bmp,
+        _decode_bmp_pixels,
+        _decode_pixels_rgb,
+        encode_bmp_array,
+        encode_bmp_palette,
+    )
+
+    rng = np.random.RandomState(13)
+    pal = rng.randint(0, 256, size=(16, 3)).astype("uint8")
+
+    for bpp, n in ((1, 2), (4, 16), (8, 16)):
+        idx = rng.randint(0, n, size=(11, 23)).astype("uint8")
+        rgb = _decode_bmp_pixels(
+            encode_bmp_palette(idx, pal[:n], bpp=bpp)
+        )[::-1, :, ::-1]
+        assert np.array_equal(rgb, pal[:n][idx]), bpp
+
+    for bpp in (4, 8):
+        idx = rng.randint(0, 16, size=(9, 31)).astype("uint8")
+        idx[:, 5:20] = 7  # long runs exercise the encoded-run path
+        rgb = _decode_bmp_pixels(
+            encode_bmp_palette(idx, pal, bpp=bpp, rle=True)
+        )[::-1, :, ::-1]
+        assert np.array_equal(rgb, pal[idx]), bpp
+
+    idx = rng.randint(0, 16, size=(8, 8)).astype("uint8")
+    meta = _decode_bmp(encode_bmp_palette(idx, pal, bpp=4))
+    assert meta["channels"] == 3
+    assert meta["mean_r"] == pytest.approx(float(pal[idx][:, :, 0].mean()))
+
+    assert np.array_equal(
+        _decode_pixels_rgb(encode_bmp_palette(idx, pal, bpp=8)),
+        _decode_pixels_rgb(encode_bmp_array(pal[idx])),
+    )
+
+
+def test_bmp_rle_absolute_and_delta_escapes():
+    """Hand-built BI_RLE8 exercising what the test encoder never emits:
+    an absolute run (word-aligned), a delta escape (skipped cells stay
+    index 0), and early EOB."""
+    import struct as _s
+
+    import numpy as np
+
+    from seoul_big_data_spark.sources.multimodal import _decode_bmp_pixels
+
+    pal = np.array([[i, i, i] for i in range(8)], dtype="uint8")
+    w, h = 6, 3
+    # bottom-up row 0: absolute run of 3 (1,2,3) + pad byte, then run 3x4
+    # bottom-up row 1: delta (+2,+0) then run 2x5, EOL
+    # remaining cells: implicit 0 via early EOB
+    rle = bytes(
+        [0, 3, 1, 2, 3, 0]      # absolute: 3 indices, word-aligned pad
+        + [3, 4]                 # encoded run: 4,4,4
+        + [0, 0]                 # EOL
+        + [0, 2, 2, 0]           # delta: skip 2 right
+        + [2, 5]                 # run: 5,5
+        + [0, 1]                 # EOB
+    )
+    table = np.zeros((8, 4), dtype="uint8")
+    table[:, :3] = pal[:, ::-1]
+    off = 54 + table.size
+    hdr = b"BM" + _s.pack("<IHHI", off + len(rle), 0, 0, off) + _s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 2835, 2835, 8, 0
+    )
+    px = _decode_bmp_pixels(hdr + table.tobytes() + rle)  # BGR bottom-up
+    idx = px[:, :, 0]  # grayscale palette: any channel is the index
+    expected = np.zeros((h, w), dtype="uint8")
+    expected[0] = [1, 2, 3, 4, 4, 4]
+    expected[1, 2:4] = 5
+    assert np.array_equal(idx, expected)
+
+
 # --- IMA ADPCM (r4) ---------------------------------------------------------
 
 
