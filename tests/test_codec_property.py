@@ -329,3 +329,122 @@ def test_flac_lossless_property(seed, n, channels, block_size, mode, stereo, po)
     assert (rate, bps) == (8000, 16)
     want = np.asarray(x[: n * channels]).reshape(n, channels)
     assert np.array_equal(dec, want)
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    c=st.sampled_from([1, 3]),
+    quality=st.integers(70, 98),
+    rps=st.integers(4, 16),
+    tables=st.booleans(),
+)
+def test_tiff_jpeg7_parity_property(seed, h, w, c, quality, rps, tables):
+    """Compression-7 TIFF decodes identically whether the DQT/DHT ride in
+    every strip or in the shared JPEGTables tag, and a single-strip page
+    is bit-equal to the standalone JPEG — any geometry/quality/strip
+    height/channel count."""
+    from seoul_big_data_spark.sources.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff,
+    )
+
+    img = _smooth(seed, h, w)[:, :, :c]
+    plain = decode_tiff_pages(
+        encode_tiff(img, compression="jpeg", quality=quality,
+                    rows_per_strip=rps)
+    )[0]
+    abbrev = decode_tiff_pages(
+        encode_tiff(img, compression="jpeg", quality=quality,
+                    rows_per_strip=rps, jpeg_tables=tables)
+    )[0]
+    assert np.array_equal(plain, abbrev)
+    single = decode_tiff_pages(
+        encode_tiff(img, compression="jpeg", quality=quality)
+    )[0]
+    ref = decode_jpeg_pixels(encode_jpeg(img, quality=quality))
+    assert np.array_equal(single[:, :, 0] if c == 1 else single,
+                          ref.reshape(h, w) if c == 1 else ref)
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    quality=st.integers(70, 98),
+    subsampling=st.sampled_from(["444", "422", "420"]),
+)
+def test_jpeg_12bit_parity_property(seed, h, w, quality, subsampling):
+    """12-bit extended sequential: samples x16 through tables x16 give the
+    same quantized coefficients as 8-bit, so the decoded top-byte view
+    differs from the 8-bit twin only by final rounding (|diff| <= 1)."""
+    img8 = _smooth(seed, h, w)
+    d8 = decode_jpeg_pixels(
+        encode_jpeg(img8, quality=quality, subsampling=subsampling)
+    )
+    d12 = decode_jpeg_pixels(
+        encode_jpeg(img8.astype("uint16") << 4, quality=quality,
+                    subsampling=subsampling, precision=12)
+    )
+    assert np.abs(d12.astype(int) - d8.astype(int)).max() <= 1
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    bpp=st.sampled_from([1, 4, 8]),
+    rle=st.booleans(),
+)
+def test_bmp_palette_roundtrip_property(seed, h, w, bpp, rle):
+    """Palette BMP is lossless for every bit width, geometry, and RLE
+    mode (RLE is 4/8-bit only)."""
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_bmp_pixels,
+        encode_bmp_palette,
+    )
+
+    if bpp == 1 and rle:
+        rle = False
+    rng = np.random.RandomState(seed)
+    n = 1 << bpp
+    pal = rng.randint(0, 256, size=(n, 3)).astype("uint8")
+    idx = rng.randint(0, n, size=(h, w)).astype("uint8")
+    dec = _decode_bmp_pixels(
+        encode_bmp_palette(idx, pal, bpp=bpp, rle=rle)
+    )[::-1, :, ::-1]
+    assert np.array_equal(dec, pal[idx])
+
+
+@_PROP
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 30),
+    w=st.integers(1, 30),
+    depth=st.sampled_from([1, 2, 4]),
+    palette=st.booleans(),
+    filt=st.sampled_from([None, [1, 2, 3, 4, 0]]),
+)
+def test_png_subbyte_property(seed, h, w, depth, palette, filt):
+    """Sub-byte PNG is lossless (gray via the 255/(2^d-1) scaling, palette
+    raw) for any geometry, depth, and filter pattern."""
+    from seoul_big_data_spark.sources.multimodal import (
+        _decode_png_pixels,
+        encode_png_subbyte,
+    )
+
+    rng = np.random.RandomState(seed)
+    v = rng.randint(0, 1 << depth, size=(h, w)).astype("uint8")
+    if palette:
+        pal = rng.randint(0, 256, size=(1 << depth, 3)).astype("uint8")
+        dec = _decode_png_pixels(
+            encode_png_subbyte(v, depth, palette=pal, filters=filt)
+        )
+        assert np.array_equal(dec, pal[v])
+    else:
+        dec = _decode_png_pixels(encode_png_subbyte(v, depth, filters=filt))
+        assert np.array_equal(dec[:, :, 0], v * (255 // ((1 << depth) - 1)))
