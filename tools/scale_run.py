@@ -1,0 +1,197 @@
+"""Empirical weak-scaling harness: does the engine's cost grow linearly?
+
+Builds scaled replicas of the sf0.1 test tables (xM rows via key-offset
+replication that PRESERVES referential integrity — each replica's orders
+join its own lineitem, users keep their own event series), then times a
+representative headline subset at x1 / x8 / x32 and reports the growth
+ratios. The point: plan-shape audits (`tools/plan_audit.py`) argue scale
+safety statically; this measures it. A query whose time grows ~linearly
+with data on a fixed 32-core box is weak-scaling clean — the same plan on
+1000 executors at 100 TB keeps per-core work constant. A query whose
+x32/x8 ratio blows past ~6-8x is hiding a super-linear term (pair
+explosion, single-reducer sort, driver materialization) that no cluster
+size outruns.
+
+Replication is the standard scaling-surrogate for TPC-H-style data (the
+dbgen scale factor itself scales fact rows linearly while keeping value
+distributions fixed): group-key cardinality per replica is unchanged, so
+aggregate output grows linearly, join fan-out per key is constant, and
+skew ratios are preserved.
+
+Usage: python tools/scale_run.py [--mults 1,8,32] [--queries a,b,...]
+Writes SCALE_RUN.json at the repo root; scaled data lives under
+.scale_data/ (gitignored, rebuilt on demand).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from seoul_big_data_spark.queries import QUERIES  # noqa: E402
+from seoul_big_data_spark.session import get_spark  # noqa: E402
+from seoul_big_data_spark.sources.tables import TABLES  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE_SF = "/root/testdata/sf0.1"
+SCALE_DIR = os.path.join(ROOT, ".scale_data")
+
+# (table, [key columns to offset]) — every FK pair shares its offset so each
+# replica is a self-contained sub-database (joins never cross replicas).
+_KEYED = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# Dimension tables copied verbatim (fixed-size at every TPC-H scale factor).
+_STATIC = ("region", "nation")
+
+# One offset per key FAMILY (o_custkey must move in lockstep with c_custkey).
+_FAMILY = {
+    "c_custkey": "custkey", "o_custkey": "custkey",
+    "o_orderkey": "orderkey", "l_orderkey": "orderkey",
+    "p_partkey": "partkey", "l_partkey": "partkey",
+    "s_suppkey": "suppkey", "l_suppkey": "suppkey",
+    "event_id": "event_id", "user_id": "user_id",
+    "doc_id": "doc_id", "vec_id": "vec_id",
+}
+
+# Headline subset: one per scale-critical family, including the three
+# round-4 scale-safe rewrites (equidepth deciles, RFM, peak concurrency) —
+# the queries whose OLD single-reducer forms this harness would convict.
+DEFAULT_QUERIES = [
+    "flagship_pricing_summary",
+    "ingest_resume_load",
+    "filter_eq",
+    "join_catalog_dims",
+    "join_left_outer_agg",
+    "window_latest_per_group",
+    "agg_cube",
+    "agg_count_distinct",
+    "events_sessionization",
+    "events_asof_join",
+    "text_term_frequency",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_brute_force_topk",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "agg_equidepth_deciles",
+    "stats_rfm_segmentation",
+    "events_peak_concurrency",
+    "corpus_prep_pipeline",
+]
+
+
+def _offsets(spark) -> dict[str, int]:
+    """Power-of-ten stride per key family, from the base data's max key."""
+    strides: dict[str, int] = {}
+    for table, keys in _KEYED.items():
+        df = spark.read.parquet(os.path.join(BASE_SF, f"{table}.parquet"))
+        for k in keys:
+            fam = _FAMILY[k]
+            if k not in df.columns:
+                continue
+            mx = df.agg(F.max(F.col(k).cast("long"))).first()[0] or 0
+            stride = 10
+            while stride <= mx:
+                stride *= 10
+            strides[fam] = max(strides.get(fam, 0), stride)
+    return strides
+
+
+def build(spark, mult: int) -> str:
+    """Materialize the xM replica set; returns its sf_dir (cached)."""
+    out = os.path.join(SCALE_DIR, f"x{mult}")
+    marker = os.path.join(out, "_complete")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    strides = _offsets(spark)
+    reps = F.broadcast(
+        spark.range(mult).select(F.col("id").cast("long").alias("_rep"))
+    )
+    for table in TABLES:
+        src = os.path.join(BASE_SF, f"{table}.parquet")
+        dst = os.path.join(out, f"{table}.parquet")
+        df = spark.read.parquet(src)
+        if table in _STATIC:
+            df.write.mode("overwrite").parquet(dst)
+            continue
+        rep = df.crossJoin(reps)
+        for k in _KEYED[table]:
+            if k in df.columns:
+                dtype = dict(df.dtypes)[k]
+                rep = rep.withColumn(
+                    k,
+                    (F.col(k) + F.col("_rep") * strides[_FAMILY[k]]).cast(dtype),
+                )
+        rep.drop("_rep").write.mode("overwrite").parquet(dst)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,8,32")
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+    names = [q for q in args.queries.split(",") if q]
+
+    spark = get_spark("scale_run")
+    dirs: dict[int, str] = {}
+    for m in mults:
+        t0 = time.perf_counter()
+        dirs[m] = BASE_SF if m == 1 else build(spark, m)
+        print(f"[build x{m}] {time.perf_counter() - t0:.1f}s -> {dirs[m]}")
+
+    results: dict[str, dict] = {}
+    for name in names:
+        row: dict[str, float] = {}
+        for m in mults:
+            q = QUERIES[name]
+            q(spark, dirs[m]).count()  # warm: codegen + file listing
+            samples = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                q(spark, dirs[m]).count()
+                samples.append(time.perf_counter() - t0)
+            row[f"x{m}"] = round(min(samples), 3)
+        for lo, hi in zip(mults, mults[1:]):
+            denom = row[f"x{lo}"]
+            row[f"r{hi}_{lo}"] = round(row[f"x{hi}"] / denom, 2) if denom else None
+        results[name] = row
+        print(f"[{name}] " + json.dumps(row))
+
+    doc = {
+        "base_sf_dir": BASE_SF,
+        "mults": mults,
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "method": "key-offset replication; warm + min-of-2 per point",
+        "queries": results,
+    }
+    with open(os.path.join(ROOT, "SCALE_RUN.json"), "w") as fh:
+        json.dump(doc, fh, indent=1)
+    spark.stop()
+    print("SCALE_RUN.json written")
+
+
+if __name__ == "__main__":
+    main()
