@@ -22,6 +22,31 @@ def latest_per_group(
     )
 
 
+def latest_per_group_agg(
+    df: DataFrame, group_by: list[str], max_keys: list[Column | str]
+) -> DataFrame:
+    """W1 as an aggregate — top-1 per group via ``max_by`` over the key
+    struct, preserving every input column.
+
+    Same rows as :func:`latest_per_group` with ``orderBy(desc(*max_keys))``
+    PROVIDED the keys are a total order within each group (pass a unique
+    tie-breaker last, as you would to the window form). The difference is
+    the physical plan: the window form shuffles EVERY row to sort whole
+    groups; this form partial-aggregates map-side, so the shuffle carries
+    one candidate row per (task, group) — at 100 TB that's the difference
+    between moving the table and moving roughly the group count. Struct
+    comparison is lexicographic field-by-field, i.e. exactly the
+    multi-column ORDER BY.
+    """
+    keys = [F.col(k) if isinstance(k, str) else k for k in max_keys]
+    payload = F.max_by(F.struct(*df.columns), F.struct(*keys)).alias("_top")
+    return (
+        df.groupBy(*group_by)
+        .agg(payload)
+        .select(*group_by, *[F.col(f"_top.{c}") for c in df.columns if c not in group_by])
+    )
+
+
 def top_k_per_group(
     df: DataFrame, group_by: list[str], order_by: list[Column | str], k: int
 ) -> DataFrame:

@@ -374,10 +374,16 @@ def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 — latest order per customer (ref: per-row ORDER BY ID DESC +
-    fetchall()[0], data_seoul_2_csv_noopenapi.py:74-79)."""
+    fetchall()[0], data_seoul_2_csv_noopenapi.py:74-79).
+
+    Registered plan is the max_by aggregate form (map-side combine: the
+    shuffle carries one candidate per task x customer, not every order);
+    (o_orderdate, o_orderkey) is a total order per customer, so it returns
+    exactly the window form's rows — equivalence pinned in
+    tests/test_operators.py."""
     o = load(spark, "orders", sf_dir)
-    latest = windows.latest_per_group(
-        o, ["o_custkey"], [F.desc("o_orderdate"), F.desc("o_orderkey")]
+    latest = windows.latest_per_group_agg(
+        o, ["o_custkey"], ["o_orderdate", "o_orderkey"]
     )
     return latest.select(
         "o_custkey",

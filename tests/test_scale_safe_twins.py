@@ -122,3 +122,18 @@ def test_peak_concurrency_matches_global_window_twin(spark, sf_dir):
     )
     assert got["peak_concurrent_sessions"] == twin_peak
     assert got["n_sessions"] == sess.count()
+
+
+def test_latest_per_group_agg_matches_window_form(spark, sf_dir):
+    # max_by aggregate (map-side combine) vs row_number window: identical
+    # rows whenever the max keys are a total order per group — here
+    # (o_orderdate, o_orderkey) with o_orderkey unique.
+    o = load(spark, "orders", sf_dir)
+    agg = windows.latest_per_group_agg(
+        o, ["o_custkey"], ["o_orderdate", "o_orderkey"]
+    )
+    win = windows.latest_per_group(
+        o, ["o_custkey"], [F.desc("o_orderdate"), F.desc("o_orderkey")]
+    )
+    cols = sorted(o.columns)
+    assert _rows(agg, *cols) == _rows(win, *cols)

@@ -37,7 +37,10 @@ CHECKS = {
     "filter_eq": ["PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"],
     "join_catalog_dims": ["BroadcastHashJoin"],
     "tpch_q5_local_supplier_volume": ["BroadcastHashJoin"],
-    "window_latest_per_group": ["Window"],
+    # top-1-per-key is the max_by aggregate form: partial_max_by proves the
+    # map-side combine (shuffle carries one candidate per task x group, not
+    # the orders table; SortAggregate because struct max_by is sort-based).
+    "window_latest_per_group": ["partial_max_by"],
     "project_rename_drop": ["ReadSchema"],
     # TPC-H shapes: dims must broadcast; date filters must reach parquet
     "tpch_q7_nation_volume": ["BroadcastHashJoin"],

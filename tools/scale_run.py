@@ -180,14 +180,23 @@ def main() -> None:
         results[name] = row
         print(f"[{name}] " + json.dumps(row))
 
+    out_path = os.path.join(ROOT, "SCALE_RUN.json")
+    merged: dict = {}
+    if os.path.exists(out_path):  # partial re-runs update, never clobber
+        try:
+            with open(out_path) as fh:
+                merged = json.load(fh).get("queries", {})
+        except (OSError, json.JSONDecodeError):
+            merged = {}
+    merged.update(results)
     doc = {
         "base_sf_dir": BASE_SF,
         "mults": mults,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "method": "key-offset replication; warm + min-of-2 per point",
-        "queries": results,
+        "queries": merged,
     }
-    with open(os.path.join(ROOT, "SCALE_RUN.json"), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=1)
     spark.stop()
     print("SCALE_RUN.json written")
