@@ -191,8 +191,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from .session import ensure_package_shipped
+    from .sources.icocodec import encode_ico
     from .sources.jpegcodec import encode_jpeg, encode_jpeg_progressive
     from .sources.multimodal import decode_features, encode_bmp_array, encode_png
+    from .sources.tgacodec import encode_tga
     from .sources.tiffcodec import encode_tiff
 
     ensure_package_shipped(spark)
@@ -200,6 +202,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _tiff(arr):
         return encode_tiff(arr, compression="lzw", predictor=True)
+
+    def _ico(arr):
+        return encode_ico([encode_bmp_array(arr)])
 
     def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -210,14 +215,19 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 idx = (np.arange(h * w * 3)) % len(data)
                 arr = np.frombuffer(data, dtype=np.uint8)[idx].reshape(h, w, 3)
                 # the JPEG slot alternates the sequential and progressive
-                # processes so both decode paths run in the registered query
+                # processes, the TGA slot alternates raw/RLE — every decode
+                # path runs inside the registered query
                 jpg = (
                     encode_jpeg_progressive
-                    if (int(doc_id) // 4) % 2
+                    if (int(doc_id) // 6) % 2
                     else encode_jpeg
                 )
-                enc = (encode_bmp_array, encode_png, jpg, _tiff)[
-                    int(doc_id) % 4
+
+                def tga(a, _rle=bool((int(doc_id) // 6) % 2)):
+                    return encode_tga(a, rle=_rle)
+
+                enc = (encode_bmp_array, encode_png, jpg, _tiff, tga, _ico)[
+                    int(doc_id) % 6
                 ]
                 payloads.append(bytearray(enc(arr)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

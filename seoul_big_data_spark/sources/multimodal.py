@@ -645,6 +645,18 @@ def _decode_payload(payload: bytes, fmt: str | None = None) -> dict:
 
         out.update(decode_tiff(payload))
         return out
+    # TGA before ICO: a truecolor TGA header begins 00 00 02 00 — byte-equal
+    # to the CUR magic — but only TGA carries the v2 footer signature.
+    if payload[-18:] == b"TRUEVISION-XFILE.\x00":
+        from .tgacodec import decode_tga
+
+        out.update(decode_tga(payload))
+        return out
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        from .icocodec import decode_ico
+
+        out.update(decode_ico(payload))
+        return out
     if fmt is None or fmt.startswith("fake/"):
         # Deterministic fake: "dimensions" from byte length, "feature" = mean
         # byte — keeps plumbing tests codec-independent.
@@ -1486,6 +1498,14 @@ def _decode_pixels_rgb(payload: bytes):
         if px.shape[2] == 1:
             return np.repeat(px, 3, axis=2)
         return px
+    if payload[-18:] == b"TRUEVISION-XFILE.\x00":  # before ICO: TGA type-2
+        from .tgacodec import decode_tga_pixels  # headers collide with CUR
+
+        return decode_tga_pixels(payload)
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        from .icocodec import decode_ico_pixels
+
+        return decode_ico_pixels(payload)
     raise ValueError("unsupported raster payload for pixel decode")
 
 

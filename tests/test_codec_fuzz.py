@@ -139,3 +139,26 @@ def test_fuzz_flac_crc_rejects_every_data_corruption():
         b[pos] ^= 1 << rng.randint(0, 8)
         with pytest.raises(_CLEAN):
             decode_flac_samples(bytes(b))
+
+
+def test_fuzz_tga_rle():
+    from seoul_big_data_spark.sources.tgacodec import (
+        decode_tga_pixels,
+        encode_tga,
+    )
+
+    payload = encode_tga(_img(8), rle=True)
+    _fuzz(decode_tga_pixels, payload, header_len=18)
+
+
+def test_fuzz_ico():
+    from seoul_big_data_spark.sources.icocodec import (
+        decode_ico_pixels,
+        encode_ico,
+    )
+    from seoul_big_data_spark.sources.multimodal import encode_bmp_array
+
+    payload = encode_ico([encode_bmp_array(_img(9))])
+    # header = ICONDIR + one entry (22 bytes): keep the directory sane and
+    # corrupt the embedded DIB instead
+    _fuzz(decode_ico_pixels, payload, header_len=22)

@@ -723,7 +723,7 @@ def test_multimodal_decode_query_mixed_containers(spark, sf_dir):
         assert r["width"] == (r["doc_id"] % 6) + 2
         assert r["height"] == (r["doc_id"] % 4) + 2
         assert r["channels"] == 3
-    assert set(by_fmt) == {"bmp", "png", "jpeg", "tiff"}
+    assert set(by_fmt) == {"bmp", "png", "jpeg", "tiff", "tga", "ico"}
 
 
 # --- GIF (r4: pure-Python LZW codec, gifcodec.py) ---------------------------
