@@ -171,11 +171,13 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N5 — REAL image decode over a MIXED-CONTAINER binary payload column:
     each document renders as a deterministic image (dimensions and pixels
     derived from doc_id and text bytes) in a container chosen by
-    ``doc_id % 4`` — BMP, PNG (stdlib zlib), JPEG alternating the
+    ``doc_id % 6`` — BMP, PNG (stdlib zlib), JPEG alternating the
     sequential and PROGRESSIVE processes (r4: pure-numpy T.81 codec incl.
     SOF2 spectral selection + successive approximation,
-    ``sources/jpegcodec.py``), or LZW-compressed predictor-2 TIFF (r4:
-    ``sources/tiffcodec.py``) — then decodes back through
+    ``sources/jpegcodec.py``), LZW-compressed predictor-2 TIFF (r4:
+    ``sources/tiffcodec.py``), TGA alternating raw/RLE
+    (``sources/tgacodec.py``), or ICO wrapping a DIB
+    (``sources/icocodec.py``) — then decodes back through
     ``_decode_payload``'s format sniffing: content-derived
     width/height/channel means, not length heuristics. Both the render
     and the decode run as Arrow-batched ``mapInPandas``: payload bytes
