@@ -13,9 +13,13 @@ decodes BIT-IDENTICALLY to the equivalent baseline stream (pinned in
 tests). The EXTENDED SEQUENTIAL process (SOF1) with 12-bit precision
 decodes and encodes too: 16-bit DQT entries (Pq=1), extended-range
 Huffman tables, 2048 level shift, output reduced to the standard
-top-byte 8-bit view. Arithmetic-coded streams and 12-bit progressive
-raise ``NotImplementedError`` at the same documented codec slot the
-other compressed formats use (`multimodal.py`).
+top-byte 8-bit view — and composes with the progressive process:
+12-bit SOF2 streams decode bit-identically to their 12-bit sequential
+twins (the scans are coefficient-domain; only the level shift, DQT
+width, and the extended DC / category-14 progressive AC tables change).
+Arithmetic-coded streams raise ``NotImplementedError`` at the same
+documented codec slot the other compressed formats use
+(`multimodal.py`).
 
 The encoders are the test-vector generators (the inverse direction):
 baseline 4:4:4/4:2:2/4:2:0 with the spec's Annex K example tables scaled
@@ -438,8 +442,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             progressive = marker == 0xC2
             precision = seg[0]
             # T.81: baseline (SOF0) is 8-bit only; extended sequential
-            # (SOF1) also allows 12. 12-bit progressive stays a boundary.
-            if not (precision == 8 or (precision == 12 and marker == 0xC1)):
+            # (SOF1) and progressive (SOF2) also allow 12.
+            if not (precision == 8 or (precision == 12 and marker in (0xC1, 0xC2))):
                 raise NotImplementedError(
                     f"JPEG precision {precision} with SOF{marker - 0xC0}"
                 )
@@ -498,14 +502,15 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         w, h, comps, _prec = frame
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
+        mid = float(1 << (_prec - 1))  # 128 at 8-bit, 2048 at 12-bit
         planes = []
         for (cid, ch, cv, tq), blocks in zip(comps, coef_store):
             qtbl = quant[tq].astype(np.float64)
             rows, cols = blocks.shape[:2]
             deq = blocks.reshape(rows, cols, 8, 8).astype(np.float64) * qtbl
-            px = np.einsum("ux,ijuv,vy->ijxy", _C, deq, _C) + 128.0
+            px = np.einsum("ux,ijuv,vy->ijxy", _C, deq, _C) + mid
             planes.append(px.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8))
-        return _assemble_output(comps, planes, hmax, vmax, w, h)
+        return _assemble_output(comps, planes, hmax, vmax, w, h, _prec)
 
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
@@ -1062,6 +1067,17 @@ _AC_PROG_SPEC = (
     ),
 )
 
+# 12-bit progressive AC: magnitude categories reach 14 (T.81 table F.4's
+# extended range), plus the same EOBn/ZRL symbols — 240 flat 8-bit codes.
+_AC_PROG_12BIT_SPEC = (
+    [0] * 7 + [240] + [0] * 8,
+    sorted(
+        [(r << 4) | s for r in range(16) for s in range(1, 15)]
+        + [r << 4 for r in range(15)]
+        + [0xF0]
+    ),
+)
+
 
 class _ProgACState:
     """Per-scan AC state: the pending end-of-band run and the correction
@@ -1173,7 +1189,10 @@ def _emit_ac_refine_block(state: _ProgACState, zz, Ss, Se, Al) -> None:
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    precision: int = 8,
 ) -> bytes:
     """Progressive (SOF2) JFIF writer — the test-vector inverse of the
     progressive decode path. Scan script: interleaved first DC (Al=1),
@@ -1181,15 +1200,24 @@ def encode_jpeg_progressive(
     then per-component AC refinements (Al=0) — exercising spectral
     selection, successive approximation, EOB runs, and the correction-bit
     algorithm on both sides. Same tables and quality mapping as the
-    baseline writer; tables travel in-stream."""
+    baseline writer; tables travel in-stream. ``precision=12`` takes
+    uint16 samples in [0, 4095] (16-bit DQT, extended-range DC table, the
+    category-14 progressive AC table) — the scan machinery itself is
+    coefficient-domain and precision-free."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     h, w, _nc = arr.shape
     gray, spec, coefs, mcus_x, mcus_y, qy, qc = _prepare_components(
-        arr, quality, subsampling
+        arr, quality, subsampling, precision
     )
-    dc_codes = [_build_huffman_codes(*_DC_LUMA_SPEC)]
-    if not gray:
-        dc_codes.append(_build_huffman_codes(*_DC_CHROMA_SPEC))
-    prog_ac = _build_huffman_codes(*_AC_PROG_SPEC)
+    if precision == 12:
+        dc_codes = [_build_huffman_codes(*_DC_12BIT_SPEC)] * 2
+        prog_ac = _build_huffman_codes(*_AC_PROG_12BIT_SPEC)
+    else:
+        dc_codes = [_build_huffman_codes(*_DC_LUMA_SPEC)]
+        if not gray:
+            dc_codes.append(_build_huffman_codes(*_DC_CHROMA_SPEC))
+        prog_ac = _build_huffman_codes(*_AC_PROG_SPEC)
     ac_codes = [prog_ac, prog_ac]
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1212,7 +1240,7 @@ def encode_jpeg_progressive(
         rows = -(-(-(-(h * cv) // vmax)) // 8)
         return rows, cols
 
-    out = bytearray(_header_segments(h, w, gray, spec, qy, qc, 0xC2))
+    out = bytearray(_header_segments(h, w, gray, spec, qy, qc, 0xC2, precision))
 
     # scan 1: first DC, all components interleaved, Al=1
     wtr = _BitWriter()
@@ -1238,7 +1266,7 @@ def encode_jpeg_progressive(
 
     # mid-stream DHT: override the AC tables with the progressive set
     # (EOBn symbols) before any AC scan — decoders rebuild on every DHT
-    bits, vals = _AC_PROG_SPEC
+    bits, vals = _AC_PROG_12BIT_SPEC if precision == 12 else _AC_PROG_SPEC
     out += seg(0xC4, bytes([(1 << 4) | 0] + bits + vals))
     if not gray:
         out += seg(0xC4, bytes([(1 << 4) | 1] + bits + vals))

@@ -616,10 +616,10 @@ def test_jpeg_dispatch_and_metadata():
 
 
 def test_jpeg_remaining_boundaries_hit_codec_slot():
-    """Progressive (SOF2) and 12-bit extended sequential (SOF1) decode for
-    real since r4 — the remaining JPEG boundaries are arithmetic coding
-    (SOF9), 12-bit in the wrong process (baseline SOF0 is 8-bit-only per
-    T.81; 12-bit progressive unimplemented), both explicit
+    """Progressive (SOF2, 8- AND 12-bit since this round) and 12-bit
+    extended sequential (SOF1) decode for real — the remaining JPEG
+    boundaries are arithmetic coding (SOF9) and 12-bit in the wrong
+    process (baseline SOF0 is 8-bit-only per T.81), both explicit
     NotImplementedError at the documented codec slot."""
     import struct as _s
 
@@ -635,8 +635,49 @@ def test_jpeg_remaining_boundaries_hit_codec_slot():
         decode_jpeg_pixels(sof(0xC9, 8))  # arithmetic sequential
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(sof(0xC0, 12))  # 12-bit baseline: spec-invalid
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(sof(0xC2, 12))  # 12-bit progressive
+
+
+def test_jpeg_12bit_progressive_matches_sequential():
+    """12-bit progressive (SOF2, precision 12): a completed progressive
+    stream decodes BIT-IDENTICALLY to the equivalent 12-bit extended
+    sequential stream — the scan machinery is coefficient-domain, so the
+    only 12-bit deltas are the level shift (2048), 16-bit DQT, and the
+    extended-range DC / category-14 progressive AC tables. Checked across
+    subsamplings, grayscale, and a full-range noise image (the worst case
+    for magnitude categories)."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img12 = _smooth_arr(45, 62).astype("uint16") << 4
+    for q in (75, 95):
+        for sub in ("444", "422", "420"):
+            seq = decode_jpeg_pixels(
+                encode_jpeg(img12, quality=q, subsampling=sub, precision=12)
+            )
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive(
+                    img12, quality=q, subsampling=sub, precision=12
+                )
+            )
+            assert np.array_equal(seq, prog), (q, sub)
+
+    g12 = img12[:, :, :1]
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg(g12, quality=90, precision=12)),
+        decode_jpeg_pixels(encode_jpeg_progressive(g12, quality=90, precision=12)),
+    )
+
+    rng = np.random.default_rng(11)
+    noisy = rng.integers(0, 4096, size=(17, 23, 3), dtype=np.uint16)
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg(noisy, quality=25, precision=12)),
+        decode_jpeg_pixels(encode_jpeg_progressive(noisy, quality=25, precision=12)),
+    )
 
 
 def test_jpeg_12bit_extended_sequential():
