@@ -141,6 +141,32 @@ def build(spark, mult: int) -> str:
                     k,
                     (F.col(k) + F.col("_rep") * strides[_FAMILY[k]]).cast(dtype),
                 )
+        if table == "documents":
+            # Per-replica Caesar shift of the letters (translate() is a
+            # character bijection): WITHIN-replica near-dup structure is
+            # preserved exactly — shingle sets transform identically on
+            # both sides of every pair — while CROSS-replica shingle
+            # overlap drops to ~zero. Without this, verbatim replication
+            # turns every document into an M-way duplicate clique and the
+            # corpus's true duplicate-pair count is quadratic in M — an
+            # adversarial input, not a scaled one (see SCALE.md).
+            lower = "abcdefghijklmnopqrstuvwxyz"
+            upper = lower.upper()
+            shifted = None
+            for i in range(1, mult):
+                rot = lower[i % 26:] + lower[: i % 26]
+                expr = F.translate(
+                    F.col("text"), lower + upper, rot + rot.upper()
+                )
+                shifted = (
+                    F.when(F.col("_rep") == i, expr)
+                    if shifted is None
+                    else shifted.when(F.col("_rep") == i, expr)
+                )
+            if shifted is not None:
+                rep = rep.withColumn(
+                    "text", shifted.otherwise(F.col("text"))
+                )
         rep.drop("_rep").write.mode("overwrite").parquet(dst)
     with open(marker, "w") as fh:
         fh.write("ok\n")
