@@ -173,13 +173,92 @@ def build(spark, mult: int) -> str:
     return out
 
 
+def build_skew(spark, mult: int = 32, hot_reps: int = 8, hot_user: int = 42) -> str:
+    """x{mult} variant with a deliberately hot events key: replicas
+    0..hot_reps-1 keep ONE shared user_id, so one user owns
+    hot_reps/mult of all events (25% at the defaults — the bot/celebrity
+    shape). Non-events tables are symlinked from the uniform build."""
+    base = build(spark, mult)
+    out = os.path.join(SCALE_DIR, f"x{mult}skew")
+    marker = os.path.join(out, "_complete")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for table in TABLES:
+        if table != "events":
+            os.symlink(
+                os.path.join(base, f"{table}.parquet"),
+                os.path.join(out, f"{table}.parquet"),
+            )
+    df = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+    reps = F.broadcast(
+        spark.range(mult).select(F.col("id").cast("long").alias("_rep"))
+    )
+    strides = _offsets(spark)
+    rep = df.crossJoin(reps)
+    rep = rep.withColumn(
+        "event_id", F.col("event_id") + F.col("_rep") * strides["event_id"]
+    )
+    rep = rep.withColumn(
+        "user_id",
+        F.when(F.col("_rep") < hot_reps, F.lit(hot_user)).otherwise(
+            F.col("user_id") + F.col("_rep") * strides["user_id"]
+        ),
+    )
+    rep.drop("_rep").write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,8,32")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="also time each query on the hot-key events variant "
+        "(one user owns 25%% of x32 events) and record the skew ratio",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     names = [q for q in args.queries.split(",") if q]
+
+    if args.skew:
+        spark = get_spark("scale_run_skew")
+        uniform, skewed = build(spark, 32), build_skew(spark, 32)
+        skew_out = {}
+        for name in names:
+            row = {}
+            for tag, d in (("x32", uniform), ("x32skew", skewed)):
+                q = QUERIES[name]
+                q(spark, d).count()
+                samples = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    q(spark, d).count()
+                    samples.append(time.perf_counter() - t0)
+                row[tag] = round(min(samples), 3)
+            row["skew_ratio"] = (
+                round(row["x32skew"] / row["x32"], 2) if row["x32"] else None
+            )
+            skew_out[name] = row
+            print(f"[skew:{name}] " + json.dumps(row))
+        out_path = os.path.join(ROOT, "SCALE_RUN.json")
+        doc = {}
+        if os.path.exists(out_path):
+            with open(out_path) as fh:
+                doc = json.load(fh)
+        doc.setdefault("skew", {}).update(skew_out)
+        with open(out_path, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        spark.stop()
+        print("SCALE_RUN.json written (skew)")
+        return
 
     spark = get_spark("scale_run")
     dirs: dict[int, str] = {}
