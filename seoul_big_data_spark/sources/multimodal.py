@@ -645,6 +645,11 @@ def _decode_payload(payload: bytes, fmt: str | None = None) -> dict:
 
         out.update(decode_tiff(payload))
         return out
+    if payload[:4] == b"qoif":
+        from .qoicodec import decode_qoi
+
+        out.update(decode_qoi(payload))
+        return out
     # TGA before ICO: a truecolor TGA header begins 00 00 02 00 — byte-equal
     # to the CUR magic — but only TGA carries the v2 footer signature.
     if payload[-18:] == b"TRUEVISION-XFILE.\x00":
@@ -1506,6 +1511,10 @@ def _decode_pixels_rgb(payload: bytes):
         if px.shape[2] == 1:
             return np.repeat(px, 3, axis=2)
         return px
+    if payload[:4] == b"qoif":
+        from .qoicodec import decode_qoi_pixels
+
+        return decode_qoi_pixels(payload)[:, :, :3]
     if payload[-18:] == b"TRUEVISION-XFILE.\x00":  # before ICO: TGA type-2
         from .tgacodec import decode_tga_pixels  # headers collide with CUR
 

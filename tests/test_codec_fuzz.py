@@ -162,3 +162,13 @@ def test_fuzz_ico():
     # header = ICONDIR + one entry (22 bytes): keep the directory sane and
     # corrupt the embedded DIB instead
     _fuzz(decode_ico_pixels, payload, header_len=22)
+
+
+def test_fuzz_qoi():
+    from seoul_big_data_spark.sources.qoicodec import (
+        decode_qoi_pixels,
+        encode_qoi,
+    )
+
+    payload = encode_qoi(_img(7))
+    _fuzz(decode_qoi_pixels, payload, header_len=14)
