@@ -1192,6 +1192,10 @@ def decode_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFr
         def one(payload: bytes) -> dict:
             if payload[:4] == b"fLaC":
                 return decode_flac(payload)
+            if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+                from .aiffcodec import decode_aiff
+
+                return decode_aiff(payload)
             return _decode_wav(payload)
 
         for pdf in batches:
