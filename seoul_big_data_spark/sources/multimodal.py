@@ -1196,6 +1196,10 @@ def decode_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFr
                 from .aiffcodec import decode_aiff
 
                 return decode_aiff(payload)
+            if payload[:4] == b".snd":
+                from .aucodec import decode_au
+
+                return decode_au(payload)
             return _decode_wav(payload)
 
         for pdf in batches:
