@@ -488,13 +488,15 @@ def embedding_pc1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N5 — REAL audio decode over a MIXED-CODEC binary payload column:
     each document renders as a deterministic square wave (frequency,
-    duration, and amplitude derive from doc_id) encoded per ``doc_id % 5``
+    duration, and amplitude derive from doc_id) encoded per ``doc_id % 7``
     as linear PCM-16, G.711 mu-law, G.711 A-law (r4: ITU-T companding
     tables), IMA ADPCM (r4: the 4-bit adaptive-delta codec, public
-    IMA/DVI algorithm), or FLAC (r4: lossless FIXED-prediction + Rice
-    coding, ``sources/flaccodec.py``), then decoded back through the
-    container-sniffing audio stage — content-derived sample-rate/
-    duration/RMS/zero-crossing features across all five codecs. Render
+    IMA/DVI algorithm), FLAC (r4: lossless FIXED-prediction + Rice
+    coding, ``sources/flaccodec.py``), big-endian AIFF
+    (``sources/aiffcodec.py``), or Sun AU mu-law (``sources/aucodec.py``),
+    then decoded back through the container-sniffing audio stage —
+    content-derived sample-rate/duration/RMS/zero-crossing features
+    across all seven codec/container forms. Render
     and decode both run as Arrow-batched ``mapInPandas`` executor-side;
     decode exactness on known waveforms, companding-law reference points,
     ADPCM state-tracking, and FLAC losslessness are pinned in
@@ -504,6 +506,8 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from .session import ensure_package_shipped
+    from .sources.aiffcodec import encode_aiff
+    from .sources.aucodec import encode_au
     from .sources.flaccodec import encode_flac
     from .sources.multimodal import (
         decode_audio_features,
@@ -525,7 +529,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wave = [
                     amp if (i // period) % 2 == 0 else -amp for i in range(n)
                 ]
-                codec = int(doc_id) % 5
+                codec = int(doc_id) % 7
                 if codec == 0:
                     p = encode_wav(8000, 1, wave)
                 elif codec == 3:
@@ -533,6 +537,10 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     p = encode_wav_adpcm(8000, 1, wave, samples_per_block=n)
                 elif codec == 4:
                     p = encode_flac(wave, 8000, 1, block_size=256)
+                elif codec == 5:
+                    p = encode_aiff(8000, 1, wave)
+                elif codec == 6:
+                    p = encode_au(8000, 1, wave, encoding=1)
                 else:
                     p = encode_wav_g711(
                         8000, 1, wave, "ulaw" if codec == 1 else "alaw"

@@ -187,21 +187,22 @@ def test_audio_decode_query_runs(spark, sf_dir):
 
     out = QUERIES["multimodal_audio_decode"](spark, sf_dir).collect()
     assert len(out) == 500
+    fmts = {0: "wav", 1: "wav", 2: "wav", 3: "wav", 4: "flac", 5: "aiff", 6: "au"}
     for r in out[:20]:
-        codec = r["doc_id"] % 5
-        assert r["format"] == ("flac" if codec == 4 else "wav")
+        codec = r["doc_id"] % 7
+        assert r["format"] == fmts[codec]
         assert r["sample_rate"] == 8000
         assert 800 <= r["n_samples"] <= 1000
         amp = (r["doc_id"] % 20000) + 4000
-        if codec in (0, 4):
-            # linear PCM and lossless FLAC: rms == amplitude/32768 exactly
+        if codec in (0, 4, 5):
+            # linear PCM (WAV or AIFF) and lossless FLAC: exact RMS
             assert abs(r["rms"] - amp / 32768) < 1e-6
         elif codec == 3:
             # IMA ADPCM: slew at square-wave transitions (worst swept
             # case over the render space: rel 0.10 at period 9)
             assert r["rms"] == pytest.approx(amp / 32768, rel=0.13)
         else:
-            # G.711-companded rows: within segment-quantization error
+            # G.711-companded rows (WAV or AU): segment-quantization error
             assert r["rms"] == pytest.approx(amp / 32768, rel=0.04)
 
 
@@ -994,24 +995,26 @@ def test_pcm8_wav_decode():
 
 def test_audio_query_mixed_codecs(spark, sf_dir):
     """The registered audio query spans PCM-16 / mu-law / A-law / ADPCM /
-    FLAC by doc_id % 5; every row decodes with the right geometry, lossless
-    codecs reproduce the exact RMS, lossy ones stay within their
-    quantization/slew bounds."""
+    FLAC / AIFF / AU mu-law by doc_id % 7; every row decodes with the right
+    geometry, lossless codecs reproduce the exact RMS, lossy ones stay
+    within their quantization/slew bounds."""
     from seoul_big_data_spark.queries import QUERIES
 
     rows = QUERIES["multimodal_audio_decode"](spark, sf_dir).collect()
     assert len(rows) == 500
+    fmts = {0: "wav", 1: "wav", 2: "wav", 3: "wav", 4: "flac", 5: "aiff", 6: "au"}
     for r in rows:
-        codec = r["doc_id"] % 5
-        assert r["format"] == ("flac" if codec == 4 else "wav")
+        codec = r["doc_id"] % 7
+        assert r["format"] == fmts[codec]
         assert r["sample_rate"] == 8000
         assert r["n_samples"] == 800 + (r["doc_id"] % 200)
         amp = (r["doc_id"] % 20000) + 4000
-        # square wave: RMS == amplitude — exact for PCM and FLAC up to the
-        # query's round(6); within G.711 segment-quantization error (~2.5%
-        # worst-case near amplitude 4000); within ADPCM transition slew
+        # square wave: RMS == amplitude — exact for PCM (WAV/AIFF) and FLAC
+        # up to the query's round(6); within G.711 segment-quantization
+        # error (~2.5% worst-case near amplitude 4000) for the companded
+        # rows (WAV mu/A-law and AU mu-law); within ADPCM transition slew
         # (~10% worst-case) for the delta-coded rows
-        if codec in (0, 4):
+        if codec in (0, 4, 5):
             assert r["rms"] == pytest.approx(amp / 32768.0, abs=1e-6)
         elif codec == 3:
             assert r["rms"] == pytest.approx(amp / 32768.0, rel=0.13)
