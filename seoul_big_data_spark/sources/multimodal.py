@@ -662,6 +662,13 @@ def _decode_payload(payload: bytes, fmt: str | None = None) -> dict:
 
         out.update(decode_ico(payload))
         return out
+    from .pcxcodec import sniff_pcx
+
+    if sniff_pcx(payload):
+        from .pcxcodec import decode_pcx
+
+        out.update(decode_pcx(payload))
+        return out
     if fmt is None or fmt.startswith("fake/"):
         # Deterministic fake: "dimensions" from byte length, "feature" = mean
         # byte — keeps plumbing tests codec-independent.
@@ -1531,6 +1538,12 @@ def _decode_pixels_rgb(payload: bytes):
         from .icocodec import decode_ico_pixels
 
         return decode_ico_pixels(payload)
+    from .pcxcodec import sniff_pcx
+
+    if sniff_pcx(payload):
+        from .pcxcodec import decode_pcx_pixels
+
+        return decode_pcx_pixels(payload)
     raise ValueError("unsupported raster payload for pixel decode")
 
 

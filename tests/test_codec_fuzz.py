@@ -172,3 +172,13 @@ def test_fuzz_qoi():
 
     payload = encode_qoi(_img(7))
     _fuzz(decode_qoi_pixels, payload, header_len=14)
+
+
+def test_fuzz_pcx():
+    from seoul_big_data_spark.sources.pcxcodec import (
+        decode_pcx_pixels,
+        encode_pcx,
+    )
+
+    payload = encode_pcx(_img(9))
+    _fuzz(decode_pcx_pixels, payload, header_len=128)
