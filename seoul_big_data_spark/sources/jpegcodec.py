@@ -17,9 +17,12 @@ top-byte 8-bit view — and composes with the progressive process:
 12-bit SOF2 streams decode bit-identically to their 12-bit sequential
 twins (the scans are coefficient-domain; only the level shift, DQT
 width, and the extended DC / category-14 progressive AC tables change).
-Arithmetic-coded streams raise ``NotImplementedError`` at the same
-documented codec slot the other compressed formats use
-(`multimodal.py`).
+The LOSSLESS process (SOF3, Annex H) decodes and
+encodes too: all seven predictors, point transform, precisions 2-16,
+the category-16 diff special case — bit-exact roundtrip by
+construction (the DNG/medical-imaging JPEG process). Arithmetic-coded
+streams raise ``NotImplementedError`` at the same documented codec slot
+the other compressed formats use (`multimodal.py`).
 
 The encoders are the test-vector generators (the inverse direction):
 baseline 4:4:4/4:2:2/4:2:0 with the spec's Annex K example tables scaled
@@ -47,6 +50,7 @@ __all__ = [
     "decode_jpeg",
     "encode_jpeg",
     "encode_jpeg_progressive",
+    "encode_jpeg_lossless",
 ]
 
 
@@ -394,6 +398,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     restart_interval = 0
     scan = None  # ([(comp_idx, dc_id, ac_id)], data_pos)
     progressive = False
+    lossless = False
     coef_store = None  # per-component (rows, cols, 64) accumulated coefs
 
     pos = 2
@@ -438,12 +443,19 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman_decoder(
                     bits, vals
                 )
-        elif marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive SOF
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # Huffman SOF family
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             precision = seg[0]
             # T.81: baseline (SOF0) is 8-bit only; extended sequential
-            # (SOF1) and progressive (SOF2) also allow 12.
-            if not (precision == 8 or (precision == 12 and marker in (0xC1, 0xC2))):
+            # (SOF1) and progressive (SOF2) also allow 12; the LOSSLESS
+            # process (SOF3, Annex H) allows 2-16.
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise ValueError(f"bad lossless precision {precision}")
+            elif not (
+                precision == 8 or (precision == 12 and marker in (0xC1, 0xC2))
+            ):
                 raise NotImplementedError(
                     f"JPEG precision {precision} with SOF{marker - 0xC0}"
                 )
@@ -456,11 +468,11 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 hv = seg[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * i]))
             frame = (w, h, comps, precision)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG process SOF{marker - 0xC0} (arithmetic/"
-                "hierarchical/lossless) needs a real codec; plug PIL here"
+                "hierarchical) needs a real codec; plug PIL here"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -471,6 +483,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 cs = seg[1 + 2 * i]
                 td_ta = seg[2 + 2 * i]
                 sel.append((cs, td_ta >> 4, td_ta & 15))
+            if lossless:
+                ss = seg[1 + 2 * ns]  # predictor selector 1-7
+                al = seg[3 + 2 * ns] & 15  # point transform Pt
+                return _decode_lossless_scan(
+                    payload, pos, sel, ss, al, frame, huff_dc,
+                    restart_interval,
+                )
             if not progressive:
                 scan = (sel, pos)
                 break  # sequential: single scan; decode below
@@ -1315,4 +1334,159 @@ def encode_jpeg_progressive(
         out += sos([ci], 1, 63, 1, 0) + wtr.out
 
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- lossless process (SOF3, T.81 Annex H) ----------------------------------
+
+# DC-style Huffman spec covering the lossless difference categories 0-16
+# (category 16 is the no-extra-bits diff = 32768 special case).
+_DC_LOSSLESS_SPEC = ([0, 0, 0, 0, 17] + [0] * 11, list(range(17)))
+
+
+def _lossless_predict(
+    plane, x: int, y: int, predictor: int, default: int
+) -> int:
+    """T.81 table H.1. a = left, b = above, c = above-left; first sample
+    (and the first of each restart interval) uses the mid-range default,
+    the rest of row 0 uses a, column 0 uses b."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(plane[y, x - 1])
+    if x == 0:
+        return int(plane[y - 1, x])
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    c = int(plane[y - 1, x - 1])
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    if predictor == 7:
+        return (a + b) >> 1
+    raise ValueError(f"bad lossless predictor {predictor}")
+
+
+def _decode_lossless_scan(
+    payload, pos, sel, predictor, pt, frame, huff_dc, restart_interval
+):
+    """Decode a complete SOF3 scan → (h, w, n_comp) array in the standard
+    top-byte view (samples are reconstructed at full precision, then the
+    point transform shifts back and >8-bit reduces to the top byte)."""
+    w, h, comps, precision = frame
+    if any(ch != 1 or cv != 1 for _cid, ch, cv, _tq in comps):
+        raise NotImplementedError("subsampled lossless JPEG")
+    if len(sel) != len(comps):
+        raise ValueError("lossless scan must cover every component")
+    tables = []
+    for (cs, td, _ta), (cid, _ch, _cv, _tq) in zip(sel, comps):
+        if cs != cid:
+            raise ValueError("scan/frame component mismatch")
+        tables.append(huff_dc[td])
+    default = 1 << (precision - pt - 1)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+    reader = _BitReader(payload, pos)
+    count = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                reader.restart()
+            restarted = (
+                restart_interval and count and count % restart_interval == 0
+            )
+            for plane, tbl in zip(planes, tables):
+                t = reader.decode_huffman(tbl)
+                if t == 16:
+                    diff = 32768  # H.1.2.2: no additional bits
+                elif t:
+                    diff = _extend(reader.receive(t), t)
+                else:
+                    diff = 0
+                pred = (
+                    default
+                    if restarted
+                    else _lossless_predict(plane, x, y, predictor, default)
+                )
+                plane[y, x] = (pred + diff) & 0xFFFF
+            count += 1
+    # Reconstruct at full scale (coded samples << Pt; P is the ORIGINAL
+    # sample precision per Annex H, so Pt lives inside it), then the
+    # standard top-byte view for >8-bit grids.
+    shift = max(0, precision - 8)
+    out = [
+        np.clip((plane << pt) >> shift, 0, 255).astype(np.uint8)
+        for plane in planes
+    ]
+    return np.stack(out, axis=2)
+
+
+def encode_jpeg_lossless(
+    arr: np.ndarray, predictor: int = 4, precision: int = 8, pt: int = 0
+) -> bytes:
+    """SOF3 writer — the test-vector inverse of the lossless decode path.
+
+    ``arr`` is (h, w, 1|3) with 1x1 sampling; uint8 for precision 8,
+    uint16 in [0, 2^precision - 1] for deeper grids. ``pt`` (point
+    transform) drops low bits before coding, per Annex H. Decode of an
+    encode is BIT-EXACT on the coded samples by construction (pinned in
+    tests) — this is the DNG/medical-imaging JPEG process.
+    """
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7")
+    arr = np.asarray(arr)
+    h, w, nc = arr.shape
+    samples = (arr.astype(np.int64) >> pt)
+    codes = _build_huffman_codes(*_DC_LOSSLESS_SPEC)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    comp_spec = b""
+    for ci in range(nc):
+        comp_spec += bytes((ci + 1, 0x11, 0))
+    out += seg(
+        0xC3,
+        bytes([precision]) + struct.pack(">HH", h, w)
+        + bytes([nc]) + comp_spec,
+    )
+    bits, vals = _DC_LOSSLESS_SPEC
+    out += seg(0xC4, bytes([0x00] + bits + vals))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes((ci + 1, 0x00))
+    sos += bytes((predictor, 0, pt))
+    out += seg(0xDA, sos)
+
+    wtr = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                plane = samples[:, :, ci]
+                pred = _lossless_predict(plane, x, y, predictor, default)
+                diff = (int(plane[y, x]) - pred) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536  # representative in [-32768, 32767]
+                if diff == -32768 or diff == 32768:
+                    code, length = codes[16]
+                    wtr.write(code, length)
+                    continue
+                t = abs(diff).bit_length()
+                code, length = codes[t]
+                wtr.write(code, length)
+                if t:
+                    wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    wtr.align()
+    out += wtr.out + b"\xff\xd9"
     return bytes(out)

@@ -2034,3 +2034,34 @@ def test_avi_frame_sampling_and_unknown_codec():
     _s.pack_into("<I", bad, pos + 8 + 16, _s.unpack("<I", b"XVID")[0])
     with pytest.raises(NotImplementedError):
         decode_avi_frames(bytes(bad))
+
+
+def test_jpeg_lossless_sof3_bit_exact():
+    """Lossless JPEG (SOF3, Annex H): every predictor roundtrips
+    bit-exactly at 8-bit; 12/16-bit reduce to the standard top-byte
+    view; the point transform codes src >> Pt and reconstructs << Pt;
+    diff category 16 (the +-32768 wrap) decodes per H.1.2.2."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    for p in range(1, 8):
+        got = decode_jpeg_pixels(encode_jpeg_lossless(src, predictor=p))
+        assert np.array_equal(got, src), p
+
+    s12 = rng.integers(0, 4096, size=(7, 6, 1), dtype=np.uint16)
+    got = decode_jpeg_pixels(encode_jpeg_lossless(s12, predictor=4, precision=12))
+    assert np.array_equal(got[:, :, 0], (s12[:, :, 0] >> 4).astype(np.uint8))
+
+    # category-16: successive samples exactly 32768 apart at 16-bit
+    s16 = np.array([[[0], [32768], [0], [65535]]], dtype=np.uint16)
+    got = decode_jpeg_pixels(encode_jpeg_lossless(s16, predictor=1, precision=16))
+    assert got[:, :, 0].tolist() == (s16[:, :, 0] >> 8).tolist()
+
+    got = decode_jpeg_pixels(encode_jpeg_lossless(src, predictor=2, pt=2))
+    assert np.array_equal(got, (src >> 2) << 2)
