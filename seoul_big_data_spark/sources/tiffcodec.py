@@ -555,7 +555,7 @@ def encode_tiff(
         pages = [pages]
     if tile is not None and (tile[0] % 16 or tile[1] % 16):
         raise ValueError("tile dimensions must be multiples of 16")
-    if compression in ("jpeg", "jpeg_old") and (
+    if compression in ("jpeg", "jpeg_old", "jpeg_lossless") and (
         predictor or colormap is not None
         or any(p.dtype == np.uint16 for p in pages)
     ):
@@ -564,7 +564,7 @@ def encode_tiff(
         raise ValueError("old-style JPEG is one stream per page, not tiled")
     e = "<" if byte_order == "II" else ">"
     comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
-                 "jpeg": 7, "jpeg_old": 6}[compression]
+                 "jpeg": 7, "jpeg_old": 6, "jpeg_lossless": 7}[compression]
 
     out = bytearray()
     out += (b"II*\x00" if byte_order == "II" else b"MM\x00*")
@@ -581,13 +581,20 @@ def encode_tiff(
 
         def compress_block(block) -> bytes:
             nonlocal page_jpeg_tables
-            if compression in ("jpeg", "jpeg_old"):
-                from .jpegcodec import encode_jpeg
+            if compression in ("jpeg", "jpeg_old", "jpeg_lossless"):
+                from .jpegcodec import encode_jpeg, encode_jpeg_lossless
 
-                stream = encode_jpeg(
-                    np.ascontiguousarray(block), quality=quality,
-                    subsampling="444",
-                )
+                if compression == "jpeg_lossless":
+                    # the DNG shape: SOF3 streams inside compression-7
+                    # strips — bit-exact pixels through the same tag layout
+                    stream = encode_jpeg_lossless(
+                        np.ascontiguousarray(block), predictor=4
+                    )
+                else:
+                    stream = encode_jpeg(
+                        np.ascontiguousarray(block), quality=quality,
+                        subsampling="444",
+                    )
                 if not jpeg_tables:
                     return stream
                 tables, abbrev = _split_jpeg_tables(stream)
@@ -643,6 +650,8 @@ def encode_tiff(
         entries.append((259, 3, 1, comp_code))
         if compression in ("jpeg", "jpeg_old"):
             photo_tag = 1 if c == 1 else 6  # YCbCr, per TN2
+        elif compression == "jpeg_lossless":
+            photo_tag = 1 if c == 1 else 2  # SOF3 carries RGB as-is
         elif colormap is not None:
             photo_tag = 3
         else:

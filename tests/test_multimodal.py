@@ -2065,3 +2065,25 @@ def test_jpeg_lossless_sof3_bit_exact():
 
     got = decode_jpeg_pixels(encode_jpeg_lossless(src, predictor=2, pt=2))
     assert np.array_equal(got, (src >> 2) << 2)
+
+
+def test_tiff_lossless_jpeg_strips_bit_exact():
+    """The DNG shape: compression-7 strips carrying SOF3 lossless JPEG
+    streams decode bit-exactly through the same TN2 tag layout (multi-
+    strip RGB with photometric 2 — SOF3 stores components as-is — and
+    single-strip grayscale)."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.tiffcodec import (
+        decode_tiff_pages,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(8)
+    src = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    blob = encode_tiff(src, compression="jpeg_lossless", rows_per_strip=10)
+    assert np.array_equal(decode_tiff_pages(blob)[0], src)
+    g = src[:, :, :1]
+    assert np.array_equal(
+        decode_tiff_pages(encode_tiff(g, compression="jpeg_lossless"))[0], g
+    )
