@@ -293,7 +293,8 @@ def main() -> None:
                 merged = json.load(fh).get("queries", {})
         except (OSError, json.JSONDecodeError):
             merged = {}
-    merged.update(results)
+    for name, row in results.items():  # deep-merge: keep other mults' points
+        merged.setdefault(name, {}).update(row)
     doc = {
         "base_sf_dir": BASE_SF,
         "mults": mults,
