@@ -182,6 +182,10 @@ def _read_residual(bits: _Bits, block_size: int, order: int) -> list[int]:
     nparts = 1 << po
     if block_size % nparts:
         raise ValueError("partition order does not divide block size")
+    if nparts > 1 and block_size // nparts <= order:
+        # first partition holds (blocksize >> po) - order samples; a
+        # non-positive count means the stream is malformed
+        raise ValueError("partition order leaves no room for warmup")
     out: list[int] = []
     for p in range(nparts):
         count = block_size // nparts - (order if p == 0 else 0)
@@ -447,7 +451,13 @@ def _encode_subframe(
         w.write(0, 1)
         for v in s[:order]:
             w.write_signed(v, cbps)
-    po = partition_order if (len(s) % (1 << partition_order)) == 0 else 0
+    # a partition order is legal only if it divides the block size AND the
+    # first partition ((blocksize >> po) - order samples) is non-empty —
+    # a short final frame with po=2 and order 2 would otherwise go negative
+    # and desync the whole stream (caught by the round-4 codec soak)
+    po = partition_order
+    if (len(s) % (1 << po)) != 0 or (len(s) >> po) <= order:
+        po = 0
     _write_residual(w, res, order, po)
 
 

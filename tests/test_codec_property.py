@@ -448,3 +448,34 @@ def test_png_subbyte_property(seed, h, w, depth, palette, filt):
     else:
         dec = _decode_png_pixels(encode_png_subbyte(v, depth, filters=filt))
         assert np.array_equal(dec[:, :, 0], v * (255 // ((1 << depth) - 1)))
+
+
+def test_flac_short_final_frame_partition_order():
+    """Round-4 soak regression: a final frame whose size divides by
+    2^partition_order but leaves the first partition no room for the
+    predictor warmup ((blocksize >> po) <= order) must fall back to one
+    partition — the old guard only checked divisibility, desyncing the
+    stream (CRC mismatch / phantom subframe types) on e.g. a 4-sample
+    tail at po=2, order 2. The decoder now also rejects such malformed
+    partition orders outright."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.flaccodec import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    x = [0] * 37 + [1]  # frames of 34 + 4; the 4-tail triggers the bug
+    dec, _rate, _bits = decode_flac_samples(
+        encode_flac(x, 8000, 1, block_size=34)
+    )
+    assert np.asarray(dec).reshape(-1).tolist() == x
+
+    rng = np.random.default_rng(7)
+    for bs in (16, 17, 34, 36, 68):
+        for tail in (1, 2, 3, 4, 8):
+            arr = rng.integers(-32768, 32768, size=bs + tail).tolist()
+            dec, _r, _b = decode_flac_samples(
+                encode_flac(arr, 8000, 1, block_size=bs)
+            )
+            assert np.asarray(dec).reshape(-1).tolist() == arr, (bs, tail)
