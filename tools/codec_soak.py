@@ -153,6 +153,69 @@ def main() -> int:
             print(f"FAIL y4m trial={trial}")
             traceback.print_exc(limit=3)
 
+        # tier 2: palette / deep / multi-channel variants
+        from seoul_big_data_spark.sources.multimodal import (
+            _decode_bmp_pixels,
+            _decode_png_pixels,
+            encode_bmp_palette,
+            encode_png16,
+            encode_png_palette,
+        )
+
+        pal_n = int(rng.integers(2, 257))
+        pal = rng.integers(0, 256, size=(pal_n, 3), dtype=np.uint8)
+        idx = rng.integers(0, pal_n, size=(h, w), dtype=np.uint8)
+        a16 = rng.integers(0, 65536, size=(h, w, 3), dtype=np.uint16)
+        deep_cases = [
+            ("png-palette", lambda: _decode_png_pixels(
+                encode_png_palette(idx, pal))[:, :, :3], pal[idx]),
+            ("png16-topbyte", lambda: _decode_png_pixels(
+                encode_png16(a16))[:, :, :3], (a16 >> 8).astype(np.uint8)),
+            ("tiff16-topbyte", lambda: decode_tiff_pages(
+                encode_tiff(a16, compression="lzw", predictor=True))[0],
+                (a16 >> 8).astype(np.uint8)),
+            ("tga-palette", lambda: decode_tga_pixels(
+                encode_tga(idx, depth=8, rle=bool(trial % 2),
+                           palette=pal)), pal[idx]),
+            ("pcx-palette", lambda: decode_pcx_pixels(
+                encode_pcx(idx, palette=np.vstack(
+                    [pal, np.zeros((256 - pal_n, 3), np.uint8)]))), pal[idx]),
+        ]
+        if pal_n <= 256:
+            rle = bool(trial % 2) and pal_n <= 256
+            deep_cases.append(
+                ("bmp-palette8", lambda: _decode_bmp_pixels(
+                    encode_bmp_palette(idx, pal, bpp=8, rle=rle)
+                )[::-1, :, ::-1], pal[idx])
+            )
+        for name, fn, want in deep_cases:
+            try:
+                assert np.array_equal(fn(), want), "pixels differ"
+            except Exception:
+                fails += 1
+                print(f"FAIL {name} trial={trial} h={h} w={w} pal={pal_n}")
+                traceback.print_exc(limit=3)
+
+        # multi-channel FLAC + stereo decorrelation modes
+        ch4 = int(rng.integers(1, 5))
+        x4 = rng.integers(-32768, 32768, size=n * ch4, dtype=np.int16)
+        mode = (
+            ["independent", "left_side", "right_side", "mid_side"][trial % 4]
+            if ch4 == 2
+            else "independent"
+        )
+        try:
+            dec, _r, _b = decode_flac_samples(
+                encode_flac(x4.tolist(), 8000, ch4, block_size=bs,
+                            stereo_mode=mode)
+            )
+            d = np.asarray(dec).reshape(-1).astype(np.int16)
+            assert np.array_equal(d, x4), "flac multichannel differs"
+        except Exception:
+            fails += 1
+            print(f"FAIL flac-mc trial={trial} ch={ch4} mode={mode} bs={bs}")
+            traceback.print_exc(limit=3)
+
     print(f"soak done: {n_trials} trials, {fails} failures")
     return 1 if fails else 0
 
