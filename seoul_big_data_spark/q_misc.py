@@ -1349,3 +1349,125 @@ def mv_answer_from_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").cast("double").alias("min_qty"),
         F.col("max_value").cast("double").alias("max_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Storage-pruning decision twins (round 5, VERDICT r4 #7). The zone-map and
+# Bloom file-skipping operators (sources/zonemap.py, sources/bloomskip.py)
+# make KEEP/SKIP decisions over metadata tables; the runs themselves are
+# side-effecting reads, but the decisions are pure SQL. These twins rebuild
+# the metadata at a synthetic file grain and emit every decision so the
+# driver hash-checks the pruning logic bit-for-bit against DuckDB.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "zonemap_prune_decisions",
+    """
+    SELECT file, n_rows,
+           strftime(l_shipdate_min, '%Y-%m-%d %H:%M:%S') AS smin,
+           strftime(l_shipdate_max, '%Y-%m-%d %H:%M:%S') AS smax,
+           l_shipdate_nulls,
+           CAST(l_shipdate_max >= TIMESTAMP '1996-02-15 00:00:00'
+                AND l_shipdate_min <= TIMESTAMP '1996-09-10 00:00:00'
+                AS INTEGER) AS keep
+    FROM (
+      SELECT strftime(l_shipdate, '%Y-%m') AS file,
+             count(*) AS n_rows,
+             min(l_shipdate) AS l_shipdate_min,
+             max(l_shipdate) AS l_shipdate_max,
+             CAST(sum(CAST(l_shipdate IS NULL AS INTEGER)) AS BIGINT)
+               AS l_shipdate_nulls
+      FROM lineitem GROUP BY 1
+    )
+    """,
+)
+def zonemap_prune_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning decisions, certified (sources/zonemap.py). Files are
+    simulated at month grain (the time-partitioned layout zone maps actually
+    bite on); stats come from the operator's own ``zone_stats_aggs`` and the
+    KEEP decision from its ``survivor_condition`` — the exact Column
+    ``prune_files`` filters with — for the range probe
+    [1996-02-15, 1996-09-10]. Build is one map-side-combinable aggregate at
+    file cardinality; decisions are metadata-sized. A file pruned here
+    provably contains no matching row (no-false-skip pinned in
+    tests/test_zonemap.py); this twin pins the decision boundary itself
+    (the two straddling months must KEEP, disjoint months must SKIP)."""
+    from .functions.scalar import format_timestamp
+    from .sources.zonemap import survivor_condition, zone_stats_aggs
+
+    li = load(spark, "lineitem", sf_dir).select("l_shipdate")
+    zm = (
+        li.withColumn("file", F.date_format("l_shipdate", "yyyy-MM"))
+        .groupBy("file")
+        .agg(*zone_stats_aggs(["l_shipdate"]))
+    )
+    lo = F.lit("1996-02-15 00:00:00").cast("timestamp")
+    hi = F.lit("1996-09-10 00:00:00").cast("timestamp")
+    return zm.select(
+        "file",
+        "n_rows",
+        format_timestamp("l_shipdate_min").alias("smin"),
+        format_timestamp("l_shipdate_max").alias("smax"),
+        "l_shipdate_nulls",
+        survivor_condition("l_shipdate", lo, hi).cast("int").alias("keep"),
+    )
+
+
+@query(
+    "bloomskip_prune_decisions",
+    """
+    WITH bits AS (
+      SELECT DISTINCT c_custkey % 12 AS file_id,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                 || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+               % 4096 AS bit
+      FROM customer, range(0, 3) t(j)
+    ), probe AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':42'), 1, 8))::BIGINT
+               % 4096 AS pbit
+      FROM range(0, 3) t(j)
+    ), per_file AS (
+      SELECT file_id, count(*) AS n_bits_set FROM bits GROUP BY file_id
+    ), hits AS (
+      SELECT b.file_id, count(*) AS n_hit
+      FROM bits b JOIN probe p ON b.bit = p.pbit
+      GROUP BY b.file_id
+    )
+    SELECT f.file_id, f.n_bits_set,
+           CAST(coalesce(h.n_hit, 0) = (SELECT count(*) FROM probe)
+                AS INTEGER) AS keep
+    FROM per_file f LEFT JOIN hits h ON f.file_id = h.file_id
+    """,
+)
+def bloomskip_prune_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom file-skipping decisions, certified (sources/bloomskip.py).
+    Files are simulated as c_custkey % 12 shards (the unsorted layout where
+    zone maps are useless and Blooms are the only skip signal); per-file
+    bitsets use the operator's own ``bloom_bit_exprs`` (portable salted-md5
+    positions, m=4096, k=3) and the KEEP decision its ``probe_condition``
+    — the exact conjunction ``prune_files_bloom`` filters with — for the
+    point probe key 42. The oracle recomputes the identical md5 bit
+    arithmetic in DuckDB, so a survivor-set mismatch (a false skip, the
+    only correctness hazard of Bloom pruning) hashes red. Build is one
+    distinct + aggregate at metadata cardinality."""
+    from .sources.bloomskip import _bit_positions, bloom_bit_exprs, probe_condition
+
+    c = load(spark, "customer", sf_dir).select(
+        (F.col("c_custkey") % 12).alias("file_id"),
+        F.col("c_custkey").alias("_k"),
+    )
+    bits = c.select(
+        "file_id", F.explode(F.array(*bloom_bit_exprs("_k", 4096, 3))).alias("bit")
+    ).distinct()
+    per_file = bits.groupBy("file_id").agg(
+        F.count("*").alias("n_bits_set"),
+        F.sort_array(F.collect_set("bit")).alias("bits"),
+    )
+    probe = sorted(set(_bit_positions(42, 4096, 3)))
+    return per_file.select(
+        "file_id",
+        "n_bits_set",
+        probe_condition(probe).cast("int").alias("keep"),
+    )

@@ -326,10 +326,11 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            round(amax, 6) AS scale_amax,
-           CASE WHEN amax > 0 THEN
-             list_transform(embedding,
-                            x -> CAST(floor((x * 127.0) / amax + 0.5) AS INT))
-           ELSE list_transform(embedding, x -> 0) END AS q8
+           array_to_string(
+             CASE WHEN amax > 0 THEN
+               list_transform(embedding,
+                              x -> CAST(floor((x * 127.0) / amax + 0.5) AS INT))
+             ELSE list_transform(embedding, x -> 0) END, ',') AS q8
     FROM (
       SELECT vec_id, embedding,
              list_max(list_transform(embedding, x -> abs(x))) AS amax
@@ -344,7 +345,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions riding the scan — zero shuffle. Rounding is floor(v + 0.5)
     rather than round(): floor and IEEE add/mul/div are all exactly
     specified, so every quantized code is bit-identical cross-engine (an
-    engine's round() tie convention never decides a code)."""
+    engine's round() tie convention never decides a code).
+
+    The code vector is emitted as a comma-joined STRING, not array<int>:
+    the driver's canonicalizer pandas-sorts result frames and cannot hash
+    list-typed cells (the r4 gate failure). The serialization is lossless
+    (int codes, ',' never appears in an int) and keeps the comparison
+    bit-exact; complex output types in oracle-checked queries are now
+    rejected at audit time (tools/plan_audit.py) and in pytest."""
     emb = load(spark, "embeddings", sf_dir)
     amax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
     with_amax = emb.select("vec_id", "embedding", amax.alias("amax"))
@@ -358,7 +366,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.transform("embedding", lambda x: F.lit(0)))
     return with_amax.select(
-        "vec_id", F.round("amax", 6).alias("scale_amax"), q8.alias("q8")
+        "vec_id",
+        F.round("amax", 6).alias("scale_amax"),
+        F.concat_ws(",", q8.cast("array<string>")).alias("q8"),
     )
 
 
@@ -653,15 +663,66 @@ def similarity_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_mmr_rerank")  # iterative greedy selection → rows-only
+def _mmr_oracle_sql(k: int = 5, pool: int = 20) -> str:
+    """Unrolled greedy MMR as DuckDB SQL (VERDICT r4 #7): the recurrence has
+    a fixed depth (k=5), so each selection step is one argmax CTE over the
+    bounded pool — sel step t maximizes lam*rel - (1-lam)*max_sim_to_selected
+    with ties resolved in pool order (rel DESC, nid ASC), exactly numpy
+    argmax over the remaining-candidate ordering. (1e0 - 0.7e0) reproduces
+    Python's ``1.0 - lam`` bit-for-bit (a 0.3 literal would not); embeddings
+    are cast DOUBLE[] to match Spark's element-wise double accumulation."""
+    steps = []
+    prev_sel = "s1"
+    for t in range(2, k + 1):
+        steps.append(f"""
+    , sel{t - 1} AS (SELECT nid FROM {prev_sel})
+    , s{t} AS (
+      SELECT p.nid, p.rel, 0.7e0 * p.rel - (1e0 - 0.7e0) * max(s.s) AS score
+      FROM pool p JOIN sim s ON s.ia = p.nid
+           AND s.ib IN (SELECT nid FROM sel{t - 1})
+      WHERE p.nid NOT IN (SELECT nid FROM sel{t - 1})
+      GROUP BY p.nid, p.rel
+      ORDER BY score DESC, p.rel DESC, p.nid ASC LIMIT 1
+    )""")
+        prev_sel = f"(SELECT nid FROM sel{t - 1} UNION ALL SELECT nid FROM s{t})"
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {t} AS sel_rank, nid AS vec_id, round(rel, 6) AS relevance, "
+        f"round(score, 6) AS mmr_score FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return f"""
+    WITH pos AS (
+      SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+      FROM embeddings WHERE label = 0
+    ), cent AS (
+      SELECT i, avg(CAST(x AS DOUBLE)) AS cx FROM pos GROUP BY i
+    ), q AS (
+      SELECT list(cx ORDER BY i) AS qv FROM cent
+    ), pool AS (
+      SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS rel
+      FROM embeddings, q
+      ORDER BY rel DESC, nid ASC LIMIT {pool}
+    ), sim AS (
+      SELECT a.nid AS ia, b.nid AS ib, list_cosine_similarity(a.v, b.v) AS s
+      FROM pool a JOIN pool b ON a.nid <> b.nid
+    ), s1 AS (
+      SELECT nid, rel, rel AS score FROM pool ORDER BY rel DESC, nid ASC LIMIT 1
+    ){"".join(steps)}
+    {unions}
+    """
+
+
+@query("similarity_mmr_rerank", _mmr_oracle_sql())
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 — MMR diversity re-ranking over the ANN candidate pool: distributed
     cosine top-20 against the label-0 centroid query, then the inherently
     sequential greedy (lambda=0.7) on the driver over the bounded pool
     (operators/similarity.py::mmr_rerank documents the two-stage split).
-    No SQL oracle: the greedy recurrence isn't expressible declaratively;
-    tests/test_similarity.py pins it against an independent numpy
-    implementation."""
+    Oracle-checked since round 5: the greedy has fixed depth k=5, so the
+    recurrence unrolls into five argmax CTEs (``_mmr_oracle_sql``) — every
+    selection DECISION and both 6-decimal scores hash-compared; the
+    independent-numpy pin in tests/test_similarity.py remains."""
     from .operators.similarity import label_centroid, mmr_rerank
 
     emb = load(spark, "embeddings", sf_dir)

@@ -40,6 +40,27 @@ def _bit_positions(value, m_bits: int, k: int) -> list[int]:
     ]
 
 
+def bloom_bit_exprs(key, m_bits: int = 4096, k: int = 3) -> list:
+    """The k salted-md5 bit-position Columns for a key expression —
+    byte-identical to ``_bit_positions`` (and to the DuckDB oracle of the
+    certified decision twin ``q_misc.bloomskip_prune_decisions``, via
+    ('0x' || substr(md5(j || ':' || key), 1, 8))::BIGINT % m)."""
+    key = F.col(key) if isinstance(key, str) else key
+    return [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        for j in range(k)
+    ]
+
+
 def build_bloom_index(
     spark: SparkSession, path: str, key_col: str, m_bits: int = 4096, k: int = 3
 ) -> DataFrame:
@@ -50,28 +71,25 @@ def build_bloom_index(
         F.input_file_name().alias("file"), F.col(key_col).alias("_k")
     )
     keys = df.distinct()
-    bit_exprs = [
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}:"), F.col("_k").cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
-        )
-        for j in range(k)
-    ]
     bits = keys.select(
-        "file", F.explode(F.array(*bit_exprs)).alias("bit")
+        "file", F.explode(F.array(*bloom_bit_exprs("_k", m_bits, k))).alias("bit")
     )
     return bits.groupBy("file").agg(
         F.count_distinct("bit").alias("n_bits_set"),
         F.sort_array(F.collect_set("bit")).alias("bits"),
     )
+
+
+def probe_condition(probe_bits: list[int], bits_col: str = "bits"):
+    """The skip/keep decision as a Column over a Bloom-index row: a file
+    survives only if ALL probe bits are set in its bitset (a conjunction,
+    so duplicate probe bits are harmless). Shared by ``prune_files_bloom``
+    and the certified decision twin."""
+    cond = None
+    for b in probe_bits:
+        c = F.array_contains(bits_col, b)
+        cond = c if cond is None else (cond & c)
+    return cond if cond is not None else F.lit(True)
 
 
 def prune_files_bloom(
@@ -80,12 +98,8 @@ def prune_files_bloom(
     """Survivor files for an equality probe on the indexed key: a file
     survives only if ALL k probe bits are set in its bitset. Driver-side
     over the metadata table."""
-    probe = _bit_positions(value, m_bits, k)
-    cond = None
-    for b in probe:
-        c = F.array_contains("bits", b)
-        cond = c if cond is None else (cond & c)
-    return [r["file"] for r in bloom_index.filter(cond).select("file").collect()]
+    keep = bloom_index.filter(probe_condition(_bit_positions(value, m_bits, k)))
+    return [r["file"] for r in keep.select("file").collect()]
 
 
 def bloom_pruned_read(

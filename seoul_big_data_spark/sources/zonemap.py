@@ -26,12 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def build_zone_map(
-    spark: SparkSession, path: str, stat_cols: list[str]
-) -> DataFrame:
-    """Per-file stats table: (file, n_rows, <c>_min, <c>_max, <c>_nulls
-    per stat column). One pass over the dataset; output is #files rows."""
-    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+def zone_stats_aggs(stat_cols: list[str]) -> list:
+    """The per-file stats aggregate list (n_rows + min/max/null-count per
+    stat column) — shared by ``build_zone_map`` and the oracle-checked
+    decision twin (``q_misc.zonemap_prune_decisions``), so the certified
+    query exercises the exact aggregation the operator runs."""
     aggs = [F.count("*").alias("n_rows")]
     for c in stat_cols:
         aggs += [
@@ -39,7 +38,29 @@ def build_zone_map(
             F.max(c).alias(f"{c}_max"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
         ]
-    return df.groupBy(F.col("_file").alias("file")).agg(*aggs)
+    return aggs
+
+
+def survivor_condition(col: str, lo, hi):
+    """The pruning decision as a Column over a zone-map row: the file's
+    [min, max] intersects [lo, hi] (open bounds pass None). Shared by
+    ``prune_files`` and the decision twin — a file whose range misses the
+    predicate provably holds no matching row."""
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(f"{col}_max") >= lo)
+    if hi is not None:
+        cond = cond & (F.col(f"{col}_min") <= hi)
+    return cond
+
+
+def build_zone_map(
+    spark: SparkSession, path: str, stat_cols: list[str]
+) -> DataFrame:
+    """Per-file stats table: (file, n_rows, <c>_min, <c>_max, <c>_nulls
+    per stat column). One pass over the dataset; output is #files rows."""
+    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    return df.groupBy(F.col("_file").alias("file")).agg(*zone_stats_aggs(stat_cols))
 
 
 def prune_files(
@@ -48,11 +69,7 @@ def prune_files(
     """Survivor file list for predicate ``lo <= col <= hi`` (pass None to
     leave a bound open). Driver-side over the stats table — metadata
     cardinality (#files), the same class of state as a Delta manifest."""
-    keep = zone_map
-    if lo is not None:
-        keep = keep.filter(F.col(f"{col}_max") >= lo)
-    if hi is not None:
-        keep = keep.filter(F.col(f"{col}_min") <= hi)
+    keep = zone_map.filter(survivor_condition(col, lo, hi))
     return [r["file"] for r in keep.select("file").collect()]
 
 

@@ -36,8 +36,15 @@ def canon(v):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set)):
+        # Mirror the driver's canonicalizer, which pandas-sorts result
+        # frames and dies on container-typed cells (the r4
+        # embedding_quantize_int8 gate failure). The local gate must fail
+        # exactly where the driver fails — serialize arrays to strings in
+        # the query itself instead.
+        raise TypeError(
+            f"complex-typed cell in oracle-checked output: {type(v).__name__}"
+        )
     return str(v)
 
 
@@ -83,8 +90,13 @@ def main():
             results[name] = f"DUCKDB ERROR: {e}"
             print(f"FAIL {name}: duckdb error: {e}")
             continue
-        sn, sc, sh = frame_digest(scols, srows)
-        dn, dc, dh = frame_digest(dcols, drows)
+        try:
+            sn, sc, sh = frame_digest(scols, srows)
+            dn, dc, dh = frame_digest(dcols, drows)
+        except TypeError as e:
+            results[name] = f"COMPLEX TYPE: {e}"
+            print(f"FAIL {name}: {e}")
+            continue
         if sn != dn:
             results[name] = f"ROWCOUNT {sn} vs {dn}"
             print(f"FAIL {name}: rowcount spark={sn} duckdb={dn}")

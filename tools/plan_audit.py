@@ -27,7 +27,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from seoul_big_data_spark.queries import QUERIES  # noqa: E402
+from seoul_big_data_spark.queries import ORACLES, QUERIES  # noqa: E402
 from seoul_big_data_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -352,6 +352,31 @@ def _audit_global_windows(spark, failures: list) -> None:
     print("[global-window audit done]")
 
 
+# Oracle-output-type audit (round 5, VERDICT r4 #1). The driver's
+# canonicalizer pandas-sorts result frames and cannot hash container-typed
+# cells, so an Array/Map/Struct output column in an oracle-checked query is
+# an automatic gate failure (r4: embedding_quantize_int8). Serialize vectors
+# to strings on both sides (concat_ws / array_to_string) instead.
+def _audit_oracle_output_types(spark, failures: list) -> None:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name in sorted(ORACLES):
+        try:
+            df = QUERIES[name](spark, SF_DIR)
+        except Exception as ex:
+            print(f"!! type-audit build error {name}: {str(ex)[:100]}")
+            continue
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            failures.append((name, f"complex output column(s) {bad} in oracle-checked query"))
+            print(f"!! COMPLEX OUTPUT TYPE: {name}: {bad}")
+    print("[oracle-output-type audit done]")
+
+
 def _audit_no_eager_scalars(failures: list) -> None:
     import glob
 
@@ -423,6 +448,8 @@ def main() -> None:
         _audit_global_windows(spark, failures)
         print("\n===== scan-budget audit (all queries) =====")
         _audit_scan_budget(spark, failures)
+        print("\n===== oracle-output-type audit (all oracle-checked queries) =====")
+        _audit_oracle_output_types(spark, failures)
     if failures:
         print("\nAUDIT FAILURES:", failures)
         sys.exit(1)
