@@ -26,6 +26,25 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def to_double_array(a: Column | str) -> Column:
+    """Element-wise cast to ``array<double>`` — hoist this to a per-ROW
+    projection before a pair join so ``dot_precast`` skips the two per-pair
+    casts ``dot`` pays. float→double widening is exact, so the downstream
+    sums are bit-identical to ``dot``'s (same values, same order)."""
+    return F.transform(_c(a), lambda x: x.cast("double"))
+
+
+def dot_precast(a: Column | str, b: Column | str) -> Column:
+    """``dot`` over arrays already cast to double (``to_double_array``):
+    the same left-to-right double accumulation minus 2·dim casts per pair —
+    the constant that dominates Σ|cell|² candidate scoring."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def norm(a: Column | str) -> Column:
     """L2 norm."""
     return F.sqrt(

