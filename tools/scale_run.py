@@ -267,7 +267,37 @@ def main() -> None:
         dirs[m] = BASE_SF if m == 1 else build(spark, m)
         print(f"[build x{m}] {time.perf_counter() - t0:.1f}s -> {dirs[m]}")
 
-    results: dict[str, dict] = {}
+    out_path = os.path.join(ROOT, "SCALE_RUN.json")
+
+    def _persist(name: str, row: dict) -> None:
+        """Deep-merge one query's points into SCALE_RUN.json immediately —
+        an hours-long multi-query run killed mid-flight keeps every
+        completed measurement (never clobbers other queries' or other
+        mults' points)."""
+        merged: dict = {}
+        doc: dict = {}
+        if os.path.exists(out_path):
+            try:
+                with open(out_path) as fh:
+                    doc = json.load(fh)
+                merged = doc.get("queries", {})
+            except (OSError, json.JSONDecodeError):
+                merged, doc = {}, {}
+        merged.setdefault(name, {}).update(row)
+        doc.update(
+            {
+                "base_sf_dir": BASE_SF,
+                "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "method": "key-offset replication; warm + min-of-2 per point",
+                "queries": merged,
+            }
+        )
+        doc["mults"] = sorted(set(doc.get("mults", [])) | set(mults))
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        os.replace(tmp, out_path)
+
     for name in names:
         row: dict[str, float] = {}
         for m in mults:
@@ -282,28 +312,9 @@ def main() -> None:
         for lo, hi in zip(mults, mults[1:]):
             denom = row[f"x{lo}"]
             row[f"r{hi}_{lo}"] = round(row[f"x{hi}"] / denom, 2) if denom else None
-        results[name] = row
+        _persist(name, row)
         print(f"[{name}] " + json.dumps(row))
 
-    out_path = os.path.join(ROOT, "SCALE_RUN.json")
-    merged: dict = {}
-    if os.path.exists(out_path):  # partial re-runs update, never clobber
-        try:
-            with open(out_path) as fh:
-                merged = json.load(fh).get("queries", {})
-        except (OSError, json.JSONDecodeError):
-            merged = {}
-    for name, row in results.items():  # deep-merge: keep other mults' points
-        merged.setdefault(name, {}).update(row)
-    doc = {
-        "base_sf_dir": BASE_SF,
-        "mults": mults,
-        "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-        "method": "key-offset replication; warm + min-of-2 per point",
-        "queries": merged,
-    }
-    with open(out_path, "w") as fh:
-        json.dump(doc, fh, indent=1)
     spark.stop()
     print("SCALE_RUN.json written")
 
