@@ -134,6 +134,45 @@ def assign_cells(
     return df.withColumn("cell", _nearest_cell(F.col(vec_col), centroids))
 
 
+def assign_cells_bulk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``assign_cells`` for LARGE k: argmax over a broadcast numpy centroid
+    matrix inside mapInPandas (one BLAS matmul per Arrow batch).
+
+    The expression form enumerates k literal dot-folds per row — perfect
+    whole-stage-codegen up to k ~ tens, but the plan itself grows O(k·dim)
+    nodes and the per-row cost is k interpreted-codegen'd array traversals.
+    SemDeDup-style dedup at 100 TB holds CELL SIZE constant, i.e. k grows
+    with the corpus (k = N/target_cell); past k ~ a few hundred the
+    vectorized path wins by orders of magnitude and keeps the driver-side
+    plan tiny. Ties break to the lowest cell id (np.argmax first-hit), the
+    same convention as ``_nearest_cell``'s (dot, -cell) max; scores are
+    float64 dots against unit-norm centroids on both paths. Zero shuffles —
+    the matmul rides the scan exactly like the expression form.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # k × dim
+    out_schema = StructType(df.schema.fields + [StructField("cell", IntegerType())])
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                pdf = pdf.copy()
+                pdf["cell"] = (v @ cmat.T).argmax(axis=1).astype("int32")
+            else:
+                pdf = pdf.copy()
+                pdf["cell"] = np.array([], dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(_assign, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -195,6 +234,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bulk_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup-style near-duplicate pairs: candidate pairs are generated
     ONLY within a k-means cell, then filtered by exact cosine ≥ threshold.
@@ -214,7 +254,12 @@ def semantic_dedup_pairs(
     # evaluate three interpreted aggregates plus 2·dim casts per pair,
     # several× the dominant cost. Bit-identical scores either way
     # (widening is exact, accumulation order unchanged).
-    cells = assign_cells(df, centroids, vec_col=vec_col).select(
+    # bulk_assign routes the cell computation through the numpy matmul path
+    # (large-k / scaled-cell-count deployments: k literal dot-expressions per
+    # row stops being a plan Catalyst should carry past k ~ hundreds). The
+    # registered correctness twins keep the default expression path.
+    assigner = assign_cells_bulk if bulk_assign else assign_cells
+    cells = assigner(df, centroids, vec_col=vec_col).select(
         "cell",
         F.col(id_col).alias("_id"),
         to_double_array(vec_col).alias("_v"),

@@ -169,3 +169,36 @@ def test_index_save_load_roundtrip_probe_identical(spark, sf_dir, tmp_path):
         for r in ivf_topk(emb, probes, cents2, k=3, nprobe=2).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_assign_cells_bulk_matches_expression_path(spark, sf_dir):
+    """The numpy-matmul assign (large-k path) must agree with the literal
+    dot-expression assign cell-for-cell: both argmax raw-vector dots against
+    unit-norm centroids with lowest-cell tie-break, so on real (tie-free)
+    data every assignment is identical. Also pins semantic_dedup_pairs'
+    bulk_assign routing: same pair set either way."""
+    from seoul_big_data_spark.operators.ivf import assign_cells_bulk
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cents = kmeans_fit(emb, k=K, iters=1)
+    expr = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(emb, cents).select("vec_id", "cell").collect()
+    }
+    bulk = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_bulk(emb, cents).select("vec_id", "cell").collect()
+    }
+    assert bulk == expr and len(bulk) > 0
+
+    via_expr = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(emb, cents, threshold=0.4).collect()
+    }
+    via_bulk = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            emb, cents, threshold=0.4, bulk_assign=True
+        ).collect()
+    }
+    assert via_bulk == via_expr and len(via_bulk) > 0

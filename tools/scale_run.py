@@ -97,6 +97,66 @@ DEFAULT_QUERIES = [
 ]
 
 
+def _sign_array(rep: int, dim: int) -> list[float]:
+    """Deterministic ±1 pattern per replica (md5-seeded; replica 0 is all
+    +1 = the original data). diag(±1) is ORTHOGONAL: within-replica dot
+    products, norms, and cosines are preserved BIT-FOR-BIT (each product
+    term x_k·y_k flips sign twice; element order — hence accumulation
+    order — is unchanged), while cross-replica cosines of duplicated
+    vectors collapse toward 0. See the documents Caesar-shift note below:
+    same reasoning, embedding edition."""
+    import hashlib
+
+    if rep == 0:
+        return [1.0] * dim
+    out: list[float] = []
+    block = 0
+    while len(out) < dim:
+        digest = hashlib.md5(f"embsalt:{rep}:{block}".encode()).digest()
+        out.extend(1.0 if byte & 1 else -1.0 for byte in digest)
+        block += 1
+    return out[:dim]
+
+
+def _semantic_kscaled(mult: int):
+    """`dedup_semantic_cells_md5`'s SCALE deployment shape, parameterized by
+    the tier multiplier: cell COUNT tracks the corpus (k = 8·mult), holding
+    expected cell size — and with it the Σ|cell|² pair work PER ROW —
+    constant, which is how SemDeDup-style dedup actually runs at 100 TB.
+    The registered fixed-k=8 twin exists for oracle certification; at fixed
+    k its pair work is N²/k by construction, quadratic at ANY k — the bend
+    is in the query's contract, not the engine (SCALE.md §semantic-dedup).
+    Assignment uses the bulk numpy-matmul path past k=64 (literal dot
+    expressions stop being a sane plan at k ~ hundreds); same cosine
+    threshold as the twin."""
+
+    def run(spark, sf_dir):
+        from seoul_big_data_spark.operators.ivf import (  # noqa: PLC0415
+            kmeans_fit,
+            semantic_dedup_pairs,
+        )
+        from seoul_big_data_spark.sources.tables import load  # noqa: PLC0415
+
+        emb = load(spark, "embeddings", sf_dir)
+        k = 8 * mult
+        cents = kmeans_fit(emb, k=k, iters=0)
+        return semantic_dedup_pairs(
+            emb, cents, threshold=0.4, bulk_assign=k > 64
+        )
+
+    return run
+
+
+# Harness-level scale variants: name → factory(mult) → callable(spark, dir).
+# For operators whose registered query pins a size parameter for oracle
+# determinism, the variant re-parameterizes it the way a real deployment
+# scales (documented per entry); timings land in SCALE_RUN.json beside the
+# registered queries under the variant name.
+VARIANTS = {
+    "dedup_semantic_cells_kscaled": _semantic_kscaled,
+}
+
+
 def _offsets(spark) -> dict[str, int]:
     """Power-of-ten stride per key family, from the base data's max key."""
     strides: dict[str, int] = {}
@@ -120,7 +180,6 @@ def build(spark, mult: int) -> str:
     marker = os.path.join(out, "_complete")
     if os.path.exists(marker):
         return out
-    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     strides = _offsets(spark)
     reps = F.broadcast(
@@ -129,6 +188,12 @@ def build(spark, mult: int) -> str:
     for table in TABLES:
         src = os.path.join(BASE_SF, f"{table}.parquet")
         dst = os.path.join(out, f"{table}.parquet")
+        # Per-table resume: a build interrupted (or a single table's salt
+        # recipe revised — delete just that table dir) never re-replicates
+        # the finished tables. _SUCCESS is Spark's own commit marker.
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        shutil.rmtree(dst, ignore_errors=True)
         df = spark.read.parquet(src)
         if table in _STATIC:
             df.write.mode("overwrite").parquet(dst)
@@ -140,6 +205,31 @@ def build(spark, mult: int) -> str:
                 rep = rep.withColumn(
                     k,
                     (F.col(k) + F.col("_rep") * strides[_FAMILY[k]]).cast(dtype),
+                )
+        if table == "embeddings":
+            # Per-replica sign flip (orthogonal diag(±1); see _sign_array):
+            # verbatim replication makes every vector a mult-way duplicate
+            # clique, so the same-cell candidate-pair count of semantic
+            # dedup — and the ≥threshold survivor count — grows QUADRATICALLY
+            # in the multiplier: an adversarial input, not a scaled corpus
+            # (a real 128×-larger embedding table has 128× more distinct
+            # vectors at the same near-dup rate). Within-replica geometry is
+            # preserved exactly; cross-replica cosines decorrelate.
+            dim = len(df.select("embedding").first()[0])
+            flipped = None
+            for i in range(1, mult):
+                signs = F.array(*[F.lit(s) for s in _sign_array(i, dim)])
+                expr = F.zip_with(
+                    "embedding", signs, lambda x, s: (x * s).cast("float")
+                )
+                flipped = (
+                    F.when(F.col("_rep") == i, expr)
+                    if flipped is None
+                    else flipped.when(F.col("_rep") == i, expr)
+                )
+            if flipped is not None:
+                rep = rep.withColumn(
+                    "embedding", flipped.otherwise(F.col("embedding"))
                 )
         if table == "documents":
             # Per-replica Caesar shift of the letters (translate() is a
@@ -301,7 +391,7 @@ def main() -> None:
     for name in names:
         row: dict[str, float] = {}
         for m in mults:
-            q = QUERIES[name]
+            q = VARIANTS[name](m) if name in VARIANTS else QUERIES[name]
             q(spark, dirs[m]).count()  # warm: codegen + file listing
             samples = []
             for _ in range(2):
