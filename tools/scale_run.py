@@ -97,6 +97,39 @@ DEFAULT_QUERIES = [
 ]
 
 
+def _letter_perm(rep: int) -> str:
+    """Deterministic permutation of a–z per replica (replica 0 = identity);
+    md5-driven Fisher–Yates. The previous CYCLIC-SHIFT salt had only 26
+    distinct forms, so past mult=26 rotation classes repeat and replicas
+    within a class are bit-identical duplicates of each other — at x128
+    (~5 replicas/class) every document gained ~4 cross-replica exact
+    near-dup partners and pair-generating queries measured 12x/step
+    instead of ~4x: a harness artifact, not an operator bend. 26! forms
+    never repeat at any realistic tier."""
+    letters = list("abcdefghijklmnopqrstuvwxyz")
+    if rep == 0:
+        return "".join(letters)
+    import hashlib
+
+    stream = b""
+    pos = 0
+
+    def _next(n: int) -> int:
+        nonlocal stream, pos
+        while pos + 4 > len(stream):
+            stream += hashlib.md5(
+                f"textsalt:{rep}:{len(stream)}".encode()
+            ).digest()
+        v = int.from_bytes(stream[pos : pos + 4], "big")
+        pos += 4
+        return v % n
+
+    for i in range(25, 0, -1):
+        j = _next(i + 1)
+        letters[i], letters[j] = letters[j], letters[i]
+    return "".join(letters)
+
+
 def _sign_array(rep: int, dim: int) -> list[float]:
     """Deterministic ±1 pattern per replica (md5-seeded; replica 0 is all
     +1 = the original data). diag(±1) is ORTHOGONAL: within-replica dot
@@ -232,21 +265,21 @@ def build(spark, mult: int) -> str:
                     "embedding", flipped.otherwise(F.col("embedding"))
                 )
         if table == "documents":
-            # Per-replica Caesar shift of the letters (translate() is a
-            # character bijection): WITHIN-replica near-dup structure is
-            # preserved exactly — shingle sets transform identically on
-            # both sides of every pair — while CROSS-replica shingle
-            # overlap drops to ~zero. Without this, verbatim replication
-            # turns every document into an M-way duplicate clique and the
-            # corpus's true duplicate-pair count is quadratic in M — an
-            # adversarial input, not a scaled one (see SCALE.md).
+            # Per-replica letter permutation (translate() is a character
+            # bijection): WITHIN-replica near-dup structure is preserved
+            # exactly — shingle sets transform identically on both sides of
+            # every pair — while CROSS-replica shingle overlap drops to
+            # ~zero. Without this, verbatim replication turns every document
+            # into an M-way duplicate clique and the corpus's true
+            # duplicate-pair count is quadratic in M — an adversarial input,
+            # not a scaled one (see SCALE.md and _letter_perm on why a
+            # cyclic shift is NOT enough past mult=26).
             lower = "abcdefghijklmnopqrstuvwxyz"
-            upper = lower.upper()
             shifted = None
             for i in range(1, mult):
-                rot = lower[i % 26:] + lower[: i % 26]
+                perm = _letter_perm(i)
                 expr = F.translate(
-                    F.col("text"), lower + upper, rot + rot.upper()
+                    F.col("text"), lower + lower.upper(), perm + perm.upper()
                 )
                 shifted = (
                     F.when(F.col("_rep") == i, expr)
