@@ -1,0 +1,68 @@
+"""Unit tests for the weak-scaling harness's corpus-salting primitives
+(tools/scale_run.py) — pure functions, no Spark.
+
+Both salts exist to keep the scaled corpus's near-dup rate
+scale-invariant; both failed subtly once (SCALE.md round-5 section), so
+their invariants are pinned here: per-replica DISTINCTNESS (the x128
+Caesar-exhaustion bug class) and within-replica structure preservation
+(bijection / orthogonality)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import numpy as np
+
+_TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+_spec = importlib.util.spec_from_file_location(
+    "scale_run", os.path.join(_TOOLS, "scale_run.py")
+)
+scale_run = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(scale_run)
+
+
+def test_letter_perms_are_distinct_bijections_past_26():
+    """The bug class: any salt family with fewer distinct forms than the
+    replica count makes same-form replicas bit-identical duplicates of
+    each other (the Caesar shift had 26 forms; x128 measured a 12.33x
+    step from the resulting duplicate cliques). 256 covers every tier
+    the harness can realistically build on one box."""
+    perms = [scale_run._letter_perm(i) for i in range(256)]
+    assert len(set(perms)) == 256
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    assert perms[0] == alphabet  # replica 0 = the original corpus
+    for p in perms:
+        assert sorted(p) == sorted(alphabet)  # bijection: translate() safe
+
+
+def test_letter_perm_is_deterministic():
+    assert scale_run._letter_perm(7) == scale_run._letter_perm(7)
+
+
+def test_sign_arrays_distinct_and_orthogonal():
+    """diag(±1) must (a) differ per replica so duplicated vectors
+    decorrelate across replicas, (b) preserve within-replica dots
+    BIT-FOR-BIT — signs square to 1 term-by-term and element order is
+    unchanged, so each product term is the identical float."""
+    dim = 64
+    signs = [scale_run._sign_array(i, dim) for i in range(256)]
+    assert len({tuple(s) for s in signs}) == 256
+    assert signs[0] == [1.0] * dim
+    assert all(set(s) <= {1.0, -1.0} for s in signs)
+
+    rng = np.random.default_rng(11)
+    u = rng.normal(size=dim).astype(np.float32)
+    v = rng.normal(size=dim).astype(np.float32)
+    base = np.dot(u.astype(np.float64), v.astype(np.float64))
+    for i in (1, 31, 127):
+        s = np.asarray(scale_run._sign_array(i, dim))
+        du, dv = u * s, v * s
+        assert np.dot(du.astype(np.float64), dv.astype(np.float64)) == base
+
+
+def test_sign_array_extends_past_one_md5_block():
+    """dim > 16 consumes more than one md5 digest; the block chaining
+    must keep patterns deterministic and well-formed at any dim."""
+    a = scale_run._sign_array(3, 200)
+    assert len(a) == 200 and a == scale_run._sign_array(3, 200)
