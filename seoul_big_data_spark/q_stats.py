@@ -791,9 +791,15 @@ def stats_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
     sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    # No broadcast HINT on the support sides: they are part-KEYED, and the
+    # part dimension grows with the corpus — a forced broadcast is a driver
+    # collect that scales with N (measured: the x128 weak-scaling tier read
+    # 5.48 per 4x step with the hint, 4.0-flat without it). AQE still
+    # broadcasts them at small scale from runtime sizes; at large scale the
+    # part-keyed shuffle join is linear. The 1-row n_orders stays hinted.
     return (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
