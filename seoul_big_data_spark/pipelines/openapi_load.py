@@ -31,23 +31,30 @@ _COMMON_GROUP = "공통"
 
 
 def derive_master_url(
-    spark: SparkSession, sample_url: str, dataset_id: int, auth_key: str
+    spark: SparkSession,
+    sample_url: str,
+    dataset_id: int,
+    auth_key: str,
+    auth_key_train: str | None = None,
 ) -> str:
     """X5/X6/X7/X8 + F9 — the reference's URL algebra
     (data_seoul_3_csv.py:93-106), executed through the engine's column
-    expressions on a single-row frame."""
+    expressions on a single-row frame.
+
+    Reference branch map, on the slash-terminated URL: id 239 →
+    ``rsplit('/', 1)[0]`` (drops only the trailing empty segment), id 240 →
+    ``rsplit('/', 2)[0]``, default → ``rsplit('/', 3)[0]``; and id 239
+    substitutes the *train* auth key (data_seoul_3_csv.py:94-97)."""
+    key = auth_key_train if (dataset_id == 239 and auth_key_train) else auth_key
     df = spark.createDataFrame([(dataset_id, sample_url)], "id long, url string")
-    trim_k = (
-        F.when(F.col("id") == 239, F.lit(2))
-        .when(F.col("id") == 240, F.lit(3))
-        .otherwise(F.lit(1))
+    keyed = scalar.replace_literal(
+        "url", "/sample/", F.concat(F.lit("/"), F.lit(key), F.lit("/"))
     )
-    keyed = scalar.replace_literal("url", "/sample/", F.concat(F.lit("/"), F.lit(auth_key), F.lit("/")))
     slashed = scalar.ensure_trailing_slash(keyed)
     out = df.select(
-        F.when(trim_k == 1, scalar.drop_last_path_segments(slashed, 2))
-        .when(trim_k == 2, scalar.drop_last_path_segments(slashed, 3))
-        .otherwise(scalar.drop_last_path_segments(slashed, 4))
+        F.when(F.col("id") == 239, scalar.drop_last_path_segments(slashed, 1))
+        .when(F.col("id") == 240, scalar.drop_last_path_segments(slashed, 2))
+        .otherwise(scalar.drop_last_path_segments(slashed, 3))
         .alias("master")
     ).first()
     return out["master"]

@@ -1634,18 +1634,25 @@ def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, user_id, epoch_us(ts) AS tus, event_id FROM events
     ), d AS (
       SELECT event_type,
-             (tus - lag(tus) OVER (PARTITION BY event_type, user_id
-                                   ORDER BY tus, event_id)) / 1000000.0
-               AS gap_s
+             tus - lag(tus) OVER (PARTITION BY event_type, user_id
+                                  ORDER BY tus, event_id) AS gap_us
       FROM t
+    ), m AS (
+      SELECT event_type,
+             CAST(count(gap_us) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_us) AS HUGEINT) AS s,
+             CAST(sum(CAST(gap_us AS DECIMAL(19,0))
+                      * CAST(gap_us AS DECIMAL(19,0))) AS HUGEINT) AS ssq
+      FROM d WHERE gap_us IS NOT NULL
+      GROUP BY event_type
     )
-    SELECT event_type,
-           CAST(count(gap_s) AS BIGINT) AS n_gaps,
-           round(avg(gap_s), 4) AS mean_gap_s,
-           round(1.0 / avg(gap_s), 8) AS rate_per_s,
-           round(stddev_samp(gap_s) / avg(gap_s), 4) AS cv
-    FROM d WHERE gap_s IS NOT NULL
-    GROUP BY event_type
+    SELECT event_type, n_gaps,
+           round(CAST(s AS DOUBLE) / n_gaps / 1000000.0, 4) AS mean_gap_s,
+           round(1000000.0 * n_gaps / CAST(s AS DOUBLE), 8) AS rate_per_s,
+           round(sqrt(CAST(n_gaps * ssq - s * s AS DOUBLE)
+                      / n_gaps / (n_gaps - 1))
+                 / (CAST(s AS DOUBLE) / n_gaps), 4) AS cv
+    FROM m
     """,
 )
 def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,20 +1660,38 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate, and the coefficient of variation (cv ≈ 1 means memoryless/
     Poisson arrivals; cv >> 1 means bursty) — the traffic-model screen
     capacity planning starts from. One lag window on the (type, user)
-    shuffle and one 5-row aggregate."""
+    shuffle and one 5-row aggregate.
+
+    Determinism: gaps stay in integer microseconds; the moments are exact
+    DECIMAL/HUGEINT sums (order-independent, unlike avg/stddev over
+    doubles), so mean, rate, and cv are derived from identical exact
+    integers on both engines with one fixed-order double expression each —
+    the r5 timeseries_linear_interpolate defect class cannot occur."""
     e = load(spark, "events", sf_dir).select(
         "event_type", "user_id", F.unix_micros("ts").alias("tus"), "event_id"
     )
     w = Window.partitionBy("event_type", "user_id").orderBy("tus", "event_id")
     d = e.select(
         "event_type",
-        ((F.col("tus") - F.lag("tus").over(w)) / 1_000_000.0).alias("gap_s"),
-    ).filter(F.col("gap_s").isNotNull())
-    return d.groupBy("event_type").agg(
-        F.count("gap_s").alias("n_gaps"),
-        F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
-        F.round(1.0 / F.avg("gap_s"), 8).alias("rate_per_s"),
-        F.round(F.stddev_samp("gap_s") / F.avg("gap_s"), 4).alias("cv"),
+        (F.col("tus") - F.lag("tus").over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    # DECIMAL(19,0) operands: wide enough that DuckDB computes the square
+    # in int128 (its DECIMAL(18) path multiplies in int64 and overflows).
+    gd = F.col("gap_us").cast("decimal(19,0)")
+    m = d.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum(gd).alias("s"),
+        F.sum(gd * gd).alias("ssq"),
+    )
+    n = F.col("n_gaps")
+    s_dbl = F.col("s").cast("double")
+    var_num = (n * F.col("ssq") - F.col("s") * F.col("s")).cast("double")
+    return m.select(
+        "event_type",
+        "n_gaps",
+        F.round(s_dbl / n / 1_000_000.0, 4).alias("mean_gap_s"),
+        F.round(F.lit(1_000_000.0) * n / s_dbl, 8).alias("rate_per_s"),
+        F.round(F.sqrt(var_num / n / (n - 1)) / (s_dbl / n), 4).alias("cv"),
     )
 
 

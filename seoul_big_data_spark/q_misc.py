@@ -540,7 +540,10 @@ def csv_roundtrip_load(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE user_id < 50 AND ts >= TIMESTAMP '2024-01-01 00:00:00'
                          AND ts <  TIMESTAMP '2024-01-03 00:00:00'
     ), hourly AS (
-      SELECT user_id, hr, round(avg(value), 6) AS v FROM w GROUP BY user_id, hr
+      SELECT user_id, hr,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)
+               AS v
+      FROM w GROUP BY user_id, hr
     ), bounds AS (
       SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY user_id
     ), grid AS (
@@ -573,7 +576,15 @@ def timeseries_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         e.withColumn("hr", F.date_trunc("hour", "ts"))
         .groupBy("user_id", "hr")
-        .agg(F.round(F.avg("value"), 6).alias("v"))
+        # Exact DECIMAL sum (order-independent) then one double division —
+        # round(avg(<double>), 6) was order-dependent at 6-decimal rounding
+        # boundaries between Spark's partial aggregation and DuckDB.
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value")
+            ).alias("v")
+        )
     )
     grid = (
         hourly.groupBy("user_id")
@@ -604,7 +615,10 @@ def timeseries_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, date_trunc('hour', ts) AS hr, value FROM events
       WHERE user_id < 30
     ), hourly AS (
-      SELECT user_id, hr, round(avg(value), 6) AS v FROM w GROUP BY user_id, hr
+      SELECT user_id, hr,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)
+               AS v
+      FROM w GROUP BY user_id, hr
     ), framed AS (
       SELECT user_id, hr,
              list(v) OVER (
@@ -638,7 +652,14 @@ def timeseries_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         e.withColumn("hr", F.date_trunc("hour", "ts"))
         .groupBy("user_id", "hr")
-        .agg(F.round(F.avg("value"), 6).alias("v"))
+        # exact DECIMAL sum then one double division (order-independent);
+        # see timeseries_linear_interpolate for the defect class.
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value")
+            ).alias("v")
+        )
     )
     w = (
         Window.partitionBy("user_id")
@@ -942,7 +963,10 @@ def orc_roundtrip_load(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE user_id < 50 AND ts >= TIMESTAMP '2024-01-01 00:00:00'
                          AND ts <  TIMESTAMP '2024-01-03 00:00:00'
     ), hourly AS (
-      SELECT user_id, hr, round(avg(value), 6) AS v FROM w GROUP BY user_id, hr
+      SELECT user_id, hr,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)
+               AS v
+      FROM w GROUP BY user_id, hr
     ), bounds AS (
       SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY user_id
     ), grid AS (
@@ -967,12 +991,12 @@ def orc_roundtrip_load(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
-           round(CASE
+           CASE
              WHEN v IS NOT NULL THEN v
              WHEN p_v IS NULL THEN n_v
              WHEN n_v IS NULL THEN p_v
              ELSE p_v + (n_v - p_v) * (pos - p_pos) * 1.0 / (n_pos - p_pos)
-           END, 6) AS v_interp,
+           END AS v_interp,
            CAST(v IS NULL AS BOOLEAN) AS was_gap
     FROM ctx
     """,
@@ -992,7 +1016,19 @@ def timeseries_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame
     hourly = (
         e.withColumn("hr", F.date_trunc("hour", "ts"))
         .groupBy("user_id", "hr")
-        .agg(F.round(F.avg("value"), 6).alias("v"))
+        # Exact DECIMAL sum then one double division. The r5 gate failure:
+        # round(avg(<double>), 6) flips on 6-decimal rounding boundaries
+        # because double accumulation order differs between Spark's partial
+        # aggregation and DuckDB — the interpolation arithmetic then
+        # propagates the flipped input. DECIMAL sums are order-independent
+        # and the single double division is deterministic (the pattern
+        # proven by timeseries_trend_decompose, green r5).
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value")
+            ).alias("v")
+        )
     )
     grid = (
         hourly.groupBy("user_id")
@@ -1041,10 +1077,17 @@ def timeseries_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame
             / (F.col("n_pos") - F.col("p_pos"))
         )
     )
+    # Emitted UNROUNDED (like the LOCF twin's v_locf): every input to the
+    # interpolation is bit-identical on both engines (exact DECIMAL sums,
+    # one double division, fixed-order slope arithmetic), so the raw double
+    # matches exactly — whereas a final round(x, 6) itself diverges when a
+    # value lands within an ulp of a 6-decimal midpoint (Spark rounds the
+    # exact decimal expansion HALF_UP; DuckDB multiplies by 1e6 in floating
+    # point first).
     return ctx.select(
         "user_id",
         F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
-        F.round(interp, 6).alias("v_interp"),
+        interp.alias("v_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
 

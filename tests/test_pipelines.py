@@ -203,13 +203,28 @@ def test_openapi_schema_derivation(spark, catalog, ptable, pcolumn, csv_file):
 
 
 def test_master_url_branches(spark):
+    """Reference semantics (data_seoul_3_csv.py:94-106): on the
+    slash-terminated keyed URL, id 239 → rsplit('/',1)[0], id 240 →
+    rsplit('/',2)[0], default → rsplit('/',3)[0] — asserted against the
+    reference's observable outputs, computed here with rsplit itself."""
     url = "http://openapi.example/sample/xml/TbThing/1/5/"
-    # default branch trims 2 segments after key substitution + slash
+    slashed = url.replace("/sample/", "/K/")  # already slash-terminated
+
+    # default branch ≡ rsplit('/', 3)[0]
     out = openapi_load.derive_master_url(spark, url, dataset_id=1, auth_key="K")
-    assert out == "http://openapi.example/K/xml/TbThing/1"
-    # id=239 trims 3, id=240 trims 4
-    assert openapi_load.derive_master_url(spark, url, 239, "K").endswith("/xml/TbThing")
-    assert openapi_load.derive_master_url(spark, url, 240, "K").endswith("/xml")
+    assert out == slashed.rsplit("/", 3)[0] == "http://openapi.example/K/xml/TbThing"
+    # id=239 ≡ rsplit('/', 1)[0] (trailing empty segment only), train key
+    out239 = openapi_load.derive_master_url(
+        spark, url, 239, "K", auth_key_train="T"
+    )
+    assert (
+        out239
+        == url.replace("/sample/", "/T/").rsplit("/", 1)[0]
+        == "http://openapi.example/T/xml/TbThing/1/5"
+    )
+    # id=240 ≡ rsplit('/', 2)[0]
+    out240 = openapi_load.derive_master_url(spark, url, 240, "K")
+    assert out240 == slashed.rsplit("/", 2)[0] == "http://openapi.example/K/xml/TbThing/1"
 
 
 # --- merge_update unit ------------------------------------------------------

@@ -35,7 +35,13 @@ def canon(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # Full round-trip precision (shortest repr). The r5 gate failure
+        # (timeseries_linear_interpolate) passed locally under the old %.6g
+        # canon — 6 *significant* digits, strictly coarser than the driver's
+        # hash — so a last-ulp float-accumulation divergence was invisible
+        # here and red at the driver. The local mirror must be at least as
+        # strict as the driver on fractional values.
+        return repr(v)
     if isinstance(v, (list, tuple, dict, set)):
         # Mirror the driver's canonicalizer, which pandas-sorts result
         # frames and dies on container-typed cells (the r4
