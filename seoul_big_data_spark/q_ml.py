@@ -31,8 +31,11 @@ _N_QUERIES = 5  # probe vectors = the first 5 vec_ids
       SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
       WHERE vec_id < {_N_QUERIES}
     ), scored AS (
+      -- CAST to DOUBLE before round: DuckDB's round() on a FLOAT-typed
+      -- expression stays in float32, whose widened repr (0.24529999...)
+      -- differs from Spark's double round (0.2453).
       SELECT q.query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(q.q_vec, c.embedding) AS s
+             CAST(list_cosine_similarity(q.q_vec, c.embedding) AS DOUBLE) AS s
       FROM q JOIN embeddings c ON c.vec_id <> q.query_id
     )
     SELECT query_id, neighbor_id, round(s, 4) AS score, rk FROM (

@@ -369,7 +369,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                      AS DOUBLE), 4) AS cos
     FROM embeddings a JOIN embeddings b
       ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25
@@ -757,9 +758,12 @@ def stats_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence with lift: within-order part pairs
     (the self-join is keyed on the order — Σ|basket|² work, baskets are
     ≤7 lines, so the pair space is linear in orders, never |parts|²),
-    support from one aggregate, lift as column arithmetic against the
-    broadcast support table. The association-rule kernel; a min-support
-    HAVING keeps the output to recurring pairs."""
+    support from one aggregate, lift as column arithmetic after joining
+    the part-keyed support sides on their keys (unhinted — AQE picks
+    broadcast at small scale and the linear shuffle join at large scale;
+    see the inline comment and SCALE.md's x128 measurement). The
+    association-rule kernel; a min-support HAVING keeps the output to
+    recurring pairs."""
     from pyspark import StorageLevel
 
     li = load(spark, "lineitem", sf_dir)

@@ -163,6 +163,119 @@ def _broadcast_subtrees(df) -> list[str]:
     return out
 
 
+# Fact-cardinality broadcast audit (round 6, VERDICT r5 #4). The r5 basket
+# bug: a force-broadcast side that was an AGGREGATE of a fact scan slipped
+# the "HashAggregate means reduced" rule — but its group keys were
+# part-keyed, a cardinality that grows with the corpus, so the broadcast
+# was a driver collect scaling with N. Rule: under the hint config (auto
+# threshold off, AQE off), a BroadcastExchange subtree that scans any
+# corpus-scaled table must either carry a GlobalLimit/TakeOrderedAndProject
+# (constant rows by construction), or reduce through aggregates whose keys
+# contain NO corpus-cardinality key token, or be allowlisted with a grain
+# argument.
+_CORPUS_SCANS = tuple(
+    f"/{t}" for t in (
+        "lineitem", "orders", "customer", "part", "supplier", "partsupp",
+        "events", "documents", "embeddings",
+    )
+)
+# Key-name tokens whose distinct cardinality is proportional to corpus size.
+_CORPUS_KEY_TOKENS = (
+    "orderkey", "custkey", "partkey", "suppkey",
+    "user_id", "doc_id", "event_id", "emb_id",
+)
+_AGG_KEYS_PAT = re.compile(r"Aggregate\(keys=\[([^\]]*)\]")
+# name -> grain justification for a corpus-scanning broadcast subtree that
+# the mechanical rule cannot classify. Every entry must argue boundedness.
+_FACT_BROADCAST_OK: dict[str, str] = {}
+
+
+def _broadcast_exchange_nodes(df):
+    out = []
+
+    def walk(node):
+        if node.nodeName() == "BroadcastExchange":
+            out.append(node)
+        kids = node.children()
+        for i in range(kids.length()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def fact_broadcast_violations(df) -> list[str]:
+    """Reasons the plan force-broadcasts corpus-cardinality data (empty =
+    clean). Call only under autoBroadcastJoinThreshold=-1 + AQE off, so any
+    BroadcastExchange left in the tree is hint-forced.
+
+    Classification looks at the FRONTIER reduction on each path below the
+    exchange — the topmost Aggregate / GlobalLimit bounds the broadcast's
+    row count, regardless of what it aggregated (a keys=[] global aggregate
+    over a fact is 1 row; a part-keyed aggregate over the same fact grows
+    with N). Descent stops at the first such node per path."""
+    bad: list[str] = []
+
+    def frontier(node, state):
+        nm = node.nodeName()
+        if nm in ("GlobalLimit", "TakeOrderedAndProject", "CollectLimit"):
+            return  # constant row count by construction
+        if "Aggregate" in nm:
+            first = node.toString().splitlines()[0]
+            m = _AGG_KEYS_PAT.search(first)
+            keys = m.group(1) if m else ""
+            state["hot"].update(t for t in _CORPUS_KEY_TOKENS if t in keys)
+            return  # reduced here; the subtree beneath no longer matters
+        if "Scan" in nm:
+            first = node.toString().splitlines()[0]
+            if any(t in first for t in _CORPUS_SCANS):
+                state["raw"] = True
+            return
+        kids = node.children()
+        for i in range(kids.length()):
+            frontier(kids.apply(i), state)
+
+    for ex in _broadcast_exchange_nodes(df):
+        state = {"hot": set(), "raw": False}
+        kids = ex.children()
+        for i in range(kids.length()):
+            frontier(kids.apply(i), state)
+        if state["raw"]:
+            bad.append("raw corpus scan under BroadcastExchange (no reduction)")
+        if state["hot"]:
+            bad.append(
+                "corpus-keyed aggregate force-broadcast "
+                f"(frontier keys contain {sorted(state['hot'])}; "
+                "cardinality grows with N)"
+            )
+    return bad
+
+
+def _audit_fact_broadcasts(spark, failures: list) -> None:
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    stale = [n for n in _FACT_BROADCAST_OK if n not in QUERIES]
+    if stale:
+        failures.append(("_FACT_BROADCAST_OK", f"stale allowlist names: {stale}"))
+    try:
+        for name in QUERIES:
+            if name in _FACT_BROADCAST_OK:
+                continue
+            try:
+                df = QUERIES[name](spark, SF_DIR)
+                reasons = fact_broadcast_violations(df)
+            except Exception as ex:
+                print(f"!! fact-broadcast-audit build error {name}: {str(ex)[:100]}")
+                continue
+            for r in reasons:
+                failures.append((name, r))
+                print(f"!! FACT-BROADCAST: {name}: {r}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    print("[fact-broadcast audit done]")
+
+
 def _audit_hints(spark, failures: list) -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -442,6 +555,8 @@ def main() -> None:
     if not sys.argv[1:]:
         print("\n===== hint audit (broadcast threshold off) =====")
         _audit_hints(spark, failures)
+        print("\n===== fact-broadcast audit (all queries) =====")
+        _audit_fact_broadcasts(spark, failures)
         print("\n===== eager-scalar audit (query modules) =====")
         _audit_no_eager_scalars(failures)
         print("\n===== global-window audit (all queries) =====")
