@@ -149,9 +149,14 @@ def assign_cells_bulk(
     with the corpus (k = N/target_cell); past k ~ a few hundred the
     vectorized path wins by orders of magnitude and keeps the driver-side
     plan tiny. Ties break to the lowest cell id (np.argmax first-hit), the
-    same convention as ``_nearest_cell``'s (dot, -cell) max; scores are
-    float64 dots against unit-norm centroids on both paths. Zero shuffles —
-    the matmul rides the scan exactly like the expression form.
+    same convention as ``_nearest_cell``'s (dot, -cell) max; both paths
+    score float64 dots, but the BLAS matmul's blocked/pairwise accumulation
+    can differ from the expression path's sequential left-fold by ulps, so
+    the argmax is guaranteed to agree only on tie-free data (what
+    tests/test_ivf.py pins). Requires non-null vectors — nulls have no
+    nearest cell; callers filter them (raised here with a clear message,
+    where the expression path would silently yield a null cell). Zero
+    shuffles — the matmul rides the scan exactly like the expression form.
     """
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
@@ -162,6 +167,11 @@ def assign_cells_bulk(
     def _assign(batches):
         for pdf in batches:
             if len(pdf):
+                if pdf[vec_col].isna().any():
+                    raise ValueError(
+                        f"assign_cells_bulk: null {vec_col!r} vector in batch"
+                        " — filter nulls before assignment"
+                    )
                 v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
                 pdf = pdf.copy()
                 pdf["cell"] = (v @ cmat.T).argmax(axis=1).astype("int32")

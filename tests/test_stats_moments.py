@@ -75,13 +75,15 @@ def test_portable_simhash_rejects_wide_bits(spark):
 
 def test_approx_top_k_exact_on_small_domain(spark, sf_dir):
     """l_quantity has ~50 distinct values per group — far inside the sketch's
-    exact regime, so every sketch count must equal the true count and the
-    count multiset must match the exact top-k. (Membership under COUNT TIES
-    is legitimately engine-specific — the exact twin breaks ties by value,
-    the sketch by its own internal order — so assert counts, not tie picks.)"""
-    from collections import Counter
+    exact regime, so every sketch count must equal the true count; and at
+    k=4 (chosen because the rank-4/5 count boundary is strict in every
+    group at both sf0.001 and sf0.01) the returned SET must equal the exact
+    top-4 — the property that makes the query oracle-checkable (VERDICT r5
+    #5 conversion). Count ties INSIDE the top 4 may order differently, so
+    compare as sets."""
+    from pyspark.sql import Window
 
-    from seoul_big_data_spark.q_agg import agg_approx_top_k, agg_frequent_items_topk
+    from seoul_big_data_spark.q_agg import agg_approx_top_k
 
     true_counts = {
         (r["l_returnflag"], r["qty"]): r["cnt"]
@@ -90,17 +92,17 @@ def test_approx_top_k_exact_on_small_domain(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
-    exact_rows = agg_frequent_items_topk(spark, sf_dir).collect()
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("qty"))
+    exact4 = {
+        (r["l_returnflag"], r["qty"], r["cnt"])
+        for r in load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag", F.col("l_quantity").alias("qty"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 4)
+        .collect()
+    }
     sketch_rows = agg_approx_top_k(spark, sf_dir).collect()
-    assert len(sketch_rows) == len(exact_rows)
-    # sketch counts are exact in this regime
     for r in sketch_rows:
         assert r["cnt"] == true_counts[(r["l_returnflag"], r["qty"])]
-    # same per-group count multiset as the exact top-k
-    def by_group(rows):
-        out = {}
-        for r in rows:
-            out.setdefault(r["l_returnflag"], Counter())[r["cnt"]] += 1
-        return out
-
-    assert by_group(sketch_rows) == by_group(exact_rows)
+    assert {(r["l_returnflag"], r["qty"], r["cnt"]) for r in sketch_rows} == exact4

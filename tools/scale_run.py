@@ -59,6 +59,28 @@ _KEYED = {
 # Dimension tables copied verbatim (fixed-size at every TPC-H scale factor).
 _STATIC = ("region", "nation")
 
+# Salt-recipe version, embedded in the _complete and per-table markers. Bump
+# on ANY change to the replication salts (key strides, document letter
+# permutation, embedding sign flips, skew shape): a pre-existing build with a
+# different recipe is stale and rebuilds instead of being silently reused —
+# the r5 diff changed the documents salt (Caesar -> md5 permutation) and
+# added sign flips, and _SUCCESS-based resume would have mixed recipes
+# across tiers (ADVICE r5).
+RECIPE_VERSION = "r6-mdperm-signflip-1"
+
+
+def _marker_ok(path: str) -> bool:
+    try:
+        with open(path) as fh:
+            return fh.read().strip() == RECIPE_VERSION
+    except OSError:
+        return False
+
+
+def _write_marker(path: str) -> None:
+    with open(path, "w") as fh:
+        fh.write(RECIPE_VERSION + "\n")
+
 # One offset per key FAMILY (o_custkey must move in lockstep with c_custkey).
 _FAMILY = {
     "c_custkey": "custkey", "o_custkey": "custkey",
@@ -211,8 +233,11 @@ def build(spark, mult: int) -> str:
     """Materialize the xM replica set; returns its sf_dir (cached)."""
     out = os.path.join(SCALE_DIR, f"x{mult}")
     marker = os.path.join(out, "_complete")
-    if os.path.exists(marker):
+    if _marker_ok(marker):
         return out
+    if os.path.exists(marker):
+        # complete build under an older recipe: stale wholesale
+        shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     strides = _offsets(spark)
     reps = F.broadcast(
@@ -221,15 +246,18 @@ def build(spark, mult: int) -> str:
     for table in TABLES:
         src = os.path.join(BASE_SF, f"{table}.parquet")
         dst = os.path.join(out, f"{table}.parquet")
-        # Per-table resume: a build interrupted (or a single table's salt
-        # recipe revised — delete just that table dir) never re-replicates
-        # the finished tables. _SUCCESS is Spark's own commit marker.
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        tmarker = os.path.join(out, f"{table}.recipe")
+        # Per-table resume: a build interrupted never re-replicates the
+        # finished tables — but only when the per-table marker carries the
+        # CURRENT salt recipe (_SUCCESS alone is Spark's commit marker and
+        # says nothing about which recipe produced the data).
+        if os.path.exists(os.path.join(dst, "_SUCCESS")) and _marker_ok(tmarker):
             continue
         shutil.rmtree(dst, ignore_errors=True)
         df = spark.read.parquet(src)
         if table in _STATIC:
             df.write.mode("overwrite").parquet(dst)
+            _write_marker(tmarker)
             continue
         rep = df.crossJoin(reps)
         for k in _KEYED[table]:
@@ -291,8 +319,8 @@ def build(spark, mult: int) -> str:
                     "text", shifted.otherwise(F.col("text"))
                 )
         rep.drop("_rep").write.mode("overwrite").parquet(dst)
-    with open(marker, "w") as fh:
-        fh.write("ok\n")
+        _write_marker(tmarker)
+    _write_marker(marker)
     return out
 
 
@@ -304,7 +332,7 @@ def build_skew(spark, mult: int = 32, hot_reps: int = 8, hot_user: int = 42) -> 
     base = build(spark, mult)
     out = os.path.join(SCALE_DIR, f"x{mult}skew")
     marker = os.path.join(out, "_complete")
-    if os.path.exists(marker):
+    if _marker_ok(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -332,8 +360,7 @@ def build_skew(spark, mult: int = 32, hot_reps: int = 8, hot_user: int = 42) -> 
     rep.drop("_rep").write.mode("overwrite").parquet(
         os.path.join(out, "events.parquet")
     )
-    with open(marker, "w") as fh:
-        fh.write("ok\n")
+    _write_marker(marker)
     return out
 
 
@@ -358,7 +385,9 @@ def main() -> None:
         for name in names:
             row = {}
             for tag, d in (("x32", uniform), ("x32skew", skewed)):
-                q = QUERIES[name]
+                # Same VARIANTS routing as the main loop — a variant name
+                # passed with --skew must resolve, not KeyError (ADVICE r5).
+                q = VARIANTS[name](32) if name in VARIANTS else QUERIES[name]
                 q(spark, d).count()
                 samples = []
                 for _ in range(2):
@@ -405,6 +434,13 @@ def main() -> None:
                     doc = json.load(fh)
                 merged = doc.get("queries", {})
             except (OSError, json.JSONDecodeError):
+                # Never silently discard a corrupted-but-recoverable record
+                # (it may hold sections — e.g. 'skew' — this run won't
+                # regenerate): park it beside the new file (ADVICE r5).
+                try:
+                    os.replace(out_path, out_path + ".bad")
+                except OSError:
+                    pass
                 merged, doc = {}, {}
         merged.setdefault(name, {}).update(row)
         doc.update(
