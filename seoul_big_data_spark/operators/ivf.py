@@ -183,6 +183,111 @@ def assign_cells_bulk(
     return df.mapInPandas(_assign, out_schema)
 
 
+def _coarse_groups(cmat, n_coarse: int, iters: int = 5):
+    """Deterministic driver-side k-means over the CENTROIDS themselves:
+    maxmin greedy seeding from centroid 0, fixed Lloyd iterations, ties to
+    the lowest index. Input is k x dim — driver state by the same argument
+    as the centroids. Returns (coarse_matrix G x dim, members: list of
+    np.ndarray fine-centroid ids per group)."""
+    import numpy as np
+
+    k = cmat.shape[0]
+    n_coarse = min(n_coarse, k)
+    # maxmin seeding: start at centroid 0, repeatedly take the centroid
+    # farthest (min-dot) from the chosen set — deterministic, spread-out.
+    seeds = [0]
+    sims = cmat @ cmat[0]
+    for _ in range(n_coarse - 1):
+        nxt = int(np.argmin(sims))
+        seeds.append(nxt)
+        sims = np.maximum(sims, cmat @ cmat[nxt])
+    coarse = cmat[seeds].copy()
+    for _ in range(iters):
+        owner = (cmat @ coarse.T).argmax(axis=1)  # ties -> lowest group
+        for g in range(n_coarse):
+            mask = owner == g
+            if mask.any():
+                m = cmat[mask].mean(axis=0)
+                nrm = np.linalg.norm(m)
+                coarse[g] = m / nrm if nrm > 0 else m
+    owner = (cmat @ coarse.T).argmax(axis=1)
+    members = [np.nonzero(owner == g)[0] for g in range(n_coarse)]
+    # empty groups keep an empty member list; probing them scores nothing
+    return coarse, members
+
+
+def assign_cells_hier(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    coarse_w: int = 2,
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """Coarse-then-fine assignment — bounds per-row work at O(√k) MACs
+    (SCALE.md's documented next step once k passes ~10^4, where even the
+    bulk matmul's N·k·dim cost dominates a SemDeDup-style k ∝ N run).
+
+    The k fine centroids are clustered into n_coarse ≈ √k groups by a
+    deterministic driver-side numpy k-means (``_coarse_groups``); each row
+    scores the n_coarse coarse centroids, probes its ``coarse_w`` best
+    groups, and takes the exact argmax over only their fine members:
+    n_coarse + coarse_w·(k/n_coarse) ≈ (1 + w)·√k MACs/row vs k for
+    ``assign_cells_bulk``.
+
+    Exact ⇔ the true nearest fine centroid's group is probed — guaranteed
+    when coarse_w == n_coarse (degrades to the flat form; the parity test
+    pins cell-for-cell equality with assign_cells_bulk there); at small w
+    it is the standard multi-probe approximation whose agreement is
+    measured in tests, not assumed. Tie semantics match the flat paths:
+    candidate scores land in a -inf-initialized row x k matrix and argmax
+    takes the lowest cell id."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # k × dim
+    k = cmat.shape[0]
+    g_n = n_coarse or max(1, int(math.isqrt(k)))
+    coarse, members = _coarse_groups(cmat, g_n)
+    g_n = coarse.shape[0]
+    w = min(coarse_w, g_n)
+    fine = [cmat[m] for m in members]
+    out_schema = StructType(df.schema.fields + [StructField("cell", IntegerType())])
+
+    def _assign(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if not len(pdf):
+                pdf["cell"] = np.array([], dtype="int32")
+                yield pdf
+                continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"assign_cells_hier: null {vec_col!r} vector in batch"
+                    " — filter nulls before assignment"
+                )
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = v.shape[0]
+            cs = v @ coarse.T  # n × G
+            probe = (
+                np.argpartition(-cs, w - 1, axis=1)[:, :w]
+                if w < g_n
+                else np.tile(np.arange(g_n), (n, 1))
+            )
+            scores = np.full((n, k), -np.inf)
+            for g in range(g_n):
+                if members[g].size == 0:
+                    continue
+                rows = np.nonzero((probe == g).any(axis=1))[0]
+                if rows.size:
+                    scores[np.ix_(rows, members[g])] = v[rows] @ fine[g].T
+            pdf["cell"] = scores.argmax(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(_assign, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
