@@ -748,3 +748,190 @@ def mlprep_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.round(F.avg("score"), 4).alias("avg_p_en"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-Newton-step logistic twin (VERDICT r5 #5): hash-checked evidence for
+# the IRLS family. The full 6-step fit (mlprep_quality_classifier) has no
+# SQL form; ONE Newton step from beta=0 does — beta = (X'WX + lambda*I)^-1
+# X'(y - 1/2) with W = I/4 — and its sufficient statistics are sums, which
+# both engines can accumulate EXACTLY in DECIMAL when the features are
+# integer-derived. The 4x4 Cramer solve below is generated from a single
+# Python expression tree rendered once as Spark Columns and once as SQL
+# text, so the float op ORDER is identical by construction; with exact,
+# <2^53-mantissa inputs the coefficients are bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+class _SqlExpr:
+    """Minimal arithmetic-expression wrapper rendering to SQL text, so the
+    same det3/det4 Python code builds both engines' formulas."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    @staticmethod
+    def _wrap(v):
+        return v if isinstance(v, _SqlExpr) else _SqlExpr(repr(float(v)))
+
+    def __mul__(self, o):
+        return _SqlExpr(f"({self.s} * {self._wrap(o).s})")
+
+    def __rmul__(self, o):
+        return _SqlExpr(f"({self._wrap(o).s} * {self.s})")
+
+    def __add__(self, o):
+        return _SqlExpr(f"({self.s} + {self._wrap(o).s})")
+
+    def __sub__(self, o):
+        return _SqlExpr(f"({self.s} - {self._wrap(o).s})")
+
+    def __truediv__(self, o):
+        return _SqlExpr(f"({self.s} / {self._wrap(o).s})")
+
+
+def _det3(m):
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
+def _det4_signed(m):
+    t0 = m[0][0] * _det3([[m[r][c] for c in (1, 2, 3)] for r in (1, 2, 3)])
+    t1 = m[0][1] * _det3([[m[r][c] for c in (0, 2, 3)] for r in (1, 2, 3)])
+    t2 = m[0][2] * _det3([[m[r][c] for c in (0, 1, 3)] for r in (1, 2, 3)])
+    t3 = m[0][3] * _det3([[m[r][c] for c in (0, 1, 2)] for r in (1, 2, 3)])
+    return t0 - t1 + t2 - t3
+
+
+_RIDGE = 1e-6
+
+
+def _newton_betas(s):
+    """[b0..b3] from the 15 sufficient statistics in dict ``s`` (objects
+    supporting * + - /: Spark Columns or _SqlExpr). One Newton step from
+    beta=0: A = X'X/4 + ridge*I, b = X'(y - 1/2); Cramer's rule."""
+    q, h, r = 0.25, 0.5, _RIDGE
+    a = [
+        [q * s["n"] + r, q * s["s1"], q * s["s2"], q * s["s3"]],
+        [q * s["s1"], q * s["s11"] + r, q * s["s12"], q * s["s13"]],
+        [q * s["s2"], q * s["s12"], q * s["s22"] + r, q * s["s23"]],
+        [q * s["s3"], q * s["s13"], q * s["s23"], q * s["s33"] + r],
+    ]
+    b = [
+        s["sy"] - h * s["n"],
+        s["s1y"] - h * s["s1"],
+        s["s2y"] - h * s["s2"],
+        s["s3y"] - h * s["s3"],
+    ]
+    det = _det4_signed(a)
+    betas = []
+    for i in range(4):
+        ai = [[b[r_] if c == i else a[r_][c] for c in range(4)] for r_ in range(4)]
+        betas.append(_det4_signed(ai) / det)
+    return betas
+
+
+_NEWTON_STAT_KEYS = (
+    "n", "s1", "s2", "s3", "s11", "s12", "s13", "s22", "s23", "s33",
+    "sy", "s1y", "s2y", "s3y",
+)
+
+
+def _newton_oracle_sql() -> str:
+    stats = {k: _SqlExpr(k) for k in _NEWTON_STAT_KEYS}
+    betas = _newton_betas(stats)
+    sel = ",\n           ".join(
+        f"round({b.s}, 6) AS b{i}" for i, b in enumerate(betas)
+    )
+    return f"""
+    WITH f AS (
+      SELECT CAST(n_chars AS DECIMAL(12,3)) * CAST('0.001' AS DECIMAL(4,3))
+               AS d1,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x != '')) AS DECIMAL(12,3))
+               * CAST('0.01' AS DECIMAL(4,3)) AS d2,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                  AS DECIMAL(12,3)) * CAST('0.1' AS DECIMAL(4,3)) AS d3,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DECIMAL(2,0))
+               AS y
+      FROM documents
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(round(sum(d1), 6) AS DOUBLE) AS s1,
+             CAST(round(sum(d2), 6) AS DOUBLE) AS s2,
+             CAST(round(sum(d3), 6) AS DOUBLE) AS s3,
+             CAST(round(sum(d1 * d1), 6) AS DOUBLE) AS s11,
+             CAST(round(sum(d1 * d2), 6) AS DOUBLE) AS s12,
+             CAST(round(sum(d1 * d3), 6) AS DOUBLE) AS s13,
+             CAST(round(sum(d2 * d2), 6) AS DOUBLE) AS s22,
+             CAST(round(sum(d2 * d3), 6) AS DOUBLE) AS s23,
+             CAST(round(sum(d3 * d3), 6) AS DOUBLE) AS s33,
+             CAST(round(sum(y), 6) AS DOUBLE) AS sy,
+             CAST(round(sum(d1 * y), 6) AS DOUBLE) AS s1y,
+             CAST(round(sum(d2 * y), 6) AS DOUBLE) AS s2y,
+             CAST(round(sum(d3 * y), 6) AS DOUBLE) AS s3y
+      FROM f
+    )
+    SELECT {sel}
+    FROM s
+    """
+
+
+@query("mlprep_logreg_newton_step", _newton_oracle_sql())
+def mlprep_logreg_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Newton-step logistic coefficients on integer-derived document
+    features (scaled n_chars / token count / punctuation count; label =
+    is-English) — the hash-checked twin of the IRLS family
+    (mlprep_quality_classifier runs the same step 6 times iteratively).
+
+    Determinism by construction: features are integers times exact decimal
+    scale factors, so every sufficient statistic is an exact DECIMAL sum
+    (order-independent); the sums round to scale 6 — mantissas < 2^53, so
+    the decimal->double cast is exact on both engines; and the Cramer
+    solve is ONE shared Python expression tree rendered as Spark Columns
+    here and as SQL text in the oracle, giving identical float op order.
+    tests/test_logreg.py pins this step against logreg_fit_irls(n_iter=1)
+    on the same features."""
+    d = load(spark, "documents", sf_dir)
+    scale = lambda c, k: c.cast("decimal(12,3)") * F.lit(k).cast("decimal(4,3)")  # noqa: E731
+    n_tok = tx.token_count("text").cast("decimal(12,3)")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    ).cast("decimal(12,3)")
+    f = d.select(
+        scale(F.col("n_chars"), "0.001").alias("d1"),
+        (n_tok * F.lit("0.01").cast("decimal(4,3)")).alias("d2"),
+        (n_punct * F.lit("0.1").cast("decimal(4,3)")).alias("d3"),
+        (F.col("lang") == "en").cast("int").cast("decimal(2,0)").alias("y"),
+    )
+
+    def stat(c):
+        return F.round(F.sum(c), 6).cast("double")
+
+    s = f.agg(
+        F.count("*").cast("double").alias("n"),
+        stat(F.col("d1")).alias("s1"),
+        stat(F.col("d2")).alias("s2"),
+        stat(F.col("d3")).alias("s3"),
+        stat(F.col("d1") * F.col("d1")).alias("s11"),
+        stat(F.col("d1") * F.col("d2")).alias("s12"),
+        stat(F.col("d1") * F.col("d3")).alias("s13"),
+        stat(F.col("d2") * F.col("d2")).alias("s22"),
+        stat(F.col("d2") * F.col("d3")).alias("s23"),
+        stat(F.col("d3") * F.col("d3")).alias("s33"),
+        stat(F.col("y")).alias("sy"),
+        stat(F.col("d1") * F.col("y")).alias("s1y"),
+        stat(F.col("d2") * F.col("y")).alias("s2y"),
+        stat(F.col("d3") * F.col("y")).alias("s3y"),
+    )
+    stats = {k: F.col(k) for k in _NEWTON_STAT_KEYS}
+    betas = _newton_betas(stats)
+    return s.select(
+        *[F.round(b, 6).alias(f"b{i}") for i, b in enumerate(betas)]
+    )

@@ -530,26 +530,23 @@ _R1_OFFICIAL = frozenset({
 _OFFICIAL_GREEN = None  # resolved lazily after _R1_OFFICIAL is defined
 
 
-# Algorithmically riskiest still-uncertified entries (VERDICT r4 "Next round"
-# #1/#2/#7 name these explicitly) — front of the capped gate regardless of
-# family: the r4 gate failure re-entering after its fix, the judge-named
-# risky tail, and the round-5 decision twins (MMR greedy, zone-map / Bloom
-# pruning decisions) that convert rows-only operators to hash-checked.
-_R5_RISKY = frozenset({
-    "embedding_quantize_int8",
-    "stats_market_basket_pairs", "recsys_item_item_cosine",
-    "events_interval_overlap_pairs", "search_phrase_match",
-    "stats_theil_sen_slope",
-    "similarity_mmr_rerank", "zonemap_prune_decisions",
-    "bloomskip_prune_decisions",
+# Round-6 front set (VERDICT r5 #1/#5): the r5 gate failure re-entering
+# after its float-determinism fix, the three rows-only -> oracle-checked
+# conversions, and the new one-Newton-step IRLS twin — certified ahead of
+# the remaining never-gated tail regardless of family. (The r5 front set is
+# fully green and demotes automatically via _OFFICIAL_GREEN.)
+_R6_RISKY = frozenset({
+    "timeseries_linear_interpolate",
+    "agg_approx_top_k", "text_fingerprint", "agg_percentile_approx",
+    "mlprep_logreg_newton_step",
 })
 
 
 def _gate_rank(name: str) -> int:
     if name in _OFFICIAL_GREEN:
         return 3  # already officially green in round 1
-    if name in _R5_RISKY:
-        return -1  # judge-named risky entries + new decision twins: certify first
+    if name in _R6_RISKY:
+        return -1  # r6 fix re-entry + conversions + new twin: certify first
     if name.startswith(("tpch_", "correlated_", "scalar_subquery", "join_bucketed")):
         return 0  # multi-join analytic shapes (judge priority #1)
     if name.startswith(("dq_", "sample_", "text_repetition", "text_contamination",

@@ -56,3 +56,37 @@ def test_scores_separate_and_calibrate(spark, sf_dir):
     # a fitted logistic model's mean prediction equals the base rate
     # (score equation for the intercept) — a strong end-to-end invariant
     assert abs(r["mean_s"] - r["base_rate"]) < 1e-6
+
+
+def test_newton_step_twin_matches_irls_first_iteration(spark, sf_dir):
+    """The hash-checked one-step twin (mlprep_logreg_newton_step) must agree
+    with the engine operator run for exactly one iteration on the SAME
+    features — the link that makes the twin evidence FOR logreg_fit_irls,
+    not a parallel implementation. Tolerance covers the paths' different
+    accumulation (operator: float64 numpy partials; twin: exact decimal
+    sums rounded at scale 6)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from seoul_big_data_spark.operators.logreg import logreg_fit_irls
+    from seoul_big_data_spark.q_mlprep import mlprep_logreg_newton_step
+    from seoul_big_data_spark.sources.tables import load
+
+    d = load(spark, "documents", sf_dir)
+    n_tok = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")
+    )
+    feats = d.select(
+        (F.col("n_chars") * 0.001).alias("f1"),
+        (n_tok.cast("double") * 0.01).alias("f2"),
+        (n_punct.cast("double") * 0.1).alias("f3"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    beta_op = logreg_fit_irls(feats, ["f1", "f2", "f3"], "y", n_iter=1)
+    twin = mlprep_logreg_newton_step(spark, sf_dir).first()
+    beta_twin = [twin[f"b{i}"] for i in range(4)]
+    assert np.allclose(beta_twin, beta_op, rtol=1e-4, atol=1e-5), (
+        beta_twin,
+        beta_op,
+    )
