@@ -238,9 +238,13 @@ def assign_cells_hier(
     when coarse_w == n_coarse (degrades to the flat form; the parity test
     pins cell-for-cell equality with assign_cells_bulk there); at small w
     it is the standard multi-probe approximation whose agreement is
-    measured in tests, not assumed. Tie semantics match the flat paths:
-    candidate scores land in a -inf-initialized row x k matrix and argmax
-    takes the lowest cell id."""
+    measured in tests, not assumed. Tie semantics match the flat paths
+    (lowest cell id wins an exact score tie): within a group the local
+    argmax is first-hit over ascending member ids, and the cross-group
+    running max prefers the lower global id on equal scores — identical to
+    argmax over a dense row x k score matrix, without materializing one
+    (an N x k buffer costs the same O(N*k) memory traffic the coarse
+    routing exists to avoid)."""
     import math
 
     import numpy as np
@@ -275,14 +279,24 @@ def assign_cells_hier(
                 if w < g_n
                 else np.tile(np.arange(g_n), (n, 1))
             )
-            scores = np.full((n, k), -np.inf)
+            best = np.full(n, -np.inf)
+            best_cell = np.full(n, k, dtype=np.int64)
             for g in range(g_n):
                 if members[g].size == 0:
                     continue
                 rows = np.nonzero((probe == g).any(axis=1))[0]
-                if rows.size:
-                    scores[np.ix_(rows, members[g])] = v[rows] @ fine[g].T
-            pdf["cell"] = scores.argmax(axis=1).astype("int32")
+                if not rows.size:
+                    continue
+                sg = v[rows] @ fine[g].T
+                loc = sg.argmax(axis=1)  # first-hit = lowest member id
+                sc = sg[np.arange(rows.size), loc]
+                cells = members[g][loc]
+                cur_s, cur_c = best[rows], best_cell[rows]
+                upd = (sc > cur_s) | ((sc == cur_s) & (cells < cur_c))
+                r_upd = rows[upd]
+                best[r_upd] = sc[upd]
+                best_cell[r_upd] = cells[upd]
+            pdf["cell"] = best_cell.astype("int32")
             yield pdf
 
     return df.mapInPandas(_assign, out_schema)
