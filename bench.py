@@ -234,6 +234,7 @@ EXTENDED = [
     "pq_adc_md5",
     "dedup_semantic_cells_md5",
     "text_pack_sequences",
+    "mlprep_logreg_newton_step",
 ]
 
 
