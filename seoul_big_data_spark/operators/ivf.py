@@ -68,6 +68,7 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bulk_assign_from: int = 64,
 ) -> list[list[float]]:
     """Spherical k-means (Lloyd) over an embedding column; returns k
     unit-normalized centroids as plain Python lists.
@@ -87,9 +88,31 @@ def kmeans_fit(
     md5-deterministic sample (q_dq.py convention) and assign the full corpus
     once afterwards.
     """
-    normed = df.select(
-        F.col(id_col).alias("_id"), _normalized(vec_col).alias("_v")
-    ).cache()
+    # Norm materialized in a LOWER projection: `_normalized` inlines the
+    # O(dim) norm fold into the per-element transform lambda, which
+    # Catalyst cannot CSE through a higher-order function — O(dim^2) per
+    # row, measured 59 s just to normalize 256k dim-64 vectors at x128.
+    # With the fold evaluated once into a scalar column the same fill is
+    # ~2 s; CollapseProject keeps the split (the alias is non-cheap and
+    # referenced twice).
+    _vc = F.col(vec_col)
+    normed = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            _vc.alias("_raw"),
+            norm(_vc).alias("_n"),
+        )
+        .select(
+            "_id",
+            F.when(
+                F.col("_n") > 0,
+                F.transform("_raw", lambda x: x.cast("double") / F.col("_n")),
+            )
+            .otherwise(F.transform("_raw", lambda x: x.cast("double")))
+            .alias("_v"),
+        )
+        .cache()
+    )
     try:
         seeds = (
             normed.withColumn("_h", F.md5(F.col("_id").cast("string")))
@@ -100,11 +123,22 @@ def kmeans_fit(
         centroids = [list(r["_v"]) for r in seeds]
         dim = len(centroids[0])
         for _ in range(iters):
-            means = (
-                normed.select(
+            # Assignment routing: the literal dot-fold expression is the
+            # zero-dependency form for small k; past k ~ tens the
+            # numpy-matmul path (identical argmax + tie rule, parity
+            # pinned in tests/test_ivf.py) is an order of magnitude
+            # faster per iteration — same routing the semantic-dedup
+            # deployment shape uses for its one-shot assignment.
+            if k >= bulk_assign_from:
+                assigned = assign_cells_bulk(
+                    normed.select("_v"), centroids, vec_col="_v"
+                )
+            else:
+                assigned = normed.select(
                     _nearest_cell("_v", centroids).alias("cell"), "_v"
                 )
-                .groupBy("cell")
+            means = (
+                assigned.groupBy("cell")
                 .agg(
                     *[
                         F.avg(F.element_at("_v", i + 1)).alias(f"c{i}")

@@ -256,3 +256,17 @@ def test_assign_cells_hier_small_w_high_agreement(spark, sf_dir):
     # ~0.90 measured on the synthetic (near-isotropic) embeddings — a
     # worst case for coarse routing; clustered real corpora route better.
     assert agree >= 0.85, f"multi-probe agreement too low: {agree:.3f}"
+
+
+def test_kmeans_iteration_paths_agree(spark, sf_dir):
+    """kmeans_fit's per-iteration assignment routes through the literal
+    dot-fold expression below `bulk_assign_from` and the numpy-matmul path
+    above it (59 s -> 5 s normalization + ~8x faster iterations at x128,
+    SCALE.md round-6). Both argmax identical dots with the lowest-cell tie
+    rule, so the resulting CENTROIDS must be identical on tie-free data."""
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    expr_c = kmeans_fit(emb, k=K, iters=2, bulk_assign_from=10**9)
+    bulk_c = kmeans_fit(emb, k=K, iters=2, bulk_assign_from=1)
+    assert len(expr_c) == len(bulk_c) == K
+    for a, b in zip(expr_c, bulk_c):
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
