@@ -398,6 +398,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bulk_assign: bool = False,
+    hier_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup-style near-duplicate pairs: candidate pairs are generated
     ONLY within a k-means cell, then filtered by exact cosine ≥ threshold.
@@ -419,9 +420,18 @@ def semantic_dedup_pairs(
     # (widening is exact, accumulation order unchanged).
     # bulk_assign routes the cell computation through the numpy matmul path
     # (large-k / scaled-cell-count deployments: k literal dot-expressions per
-    # row stops being a plan Catalyst should carry past k ~ hundreds). The
-    # registered correctness twins keep the default expression path.
-    assigner = assign_cells_bulk if bulk_assign else assign_cells
+    # row stops being a plan Catalyst should carry past k ~ hundreds);
+    # hier_assign routes through the O(√k)-MACs coarse-then-fine path —
+    # the k ~ 10^4+ regime, where assignment is approximate (multi-probe
+    # agreement measured in tests) and dedup recall, already approximate by
+    # the cell bound, degrades marginally. The registered correctness twins
+    # keep the default expression path.
+    if hier_assign:
+        assigner = assign_cells_hier
+    elif bulk_assign:
+        assigner = assign_cells_bulk
+    else:
+        assigner = assign_cells
     cells = assigner(df, centroids, vec_col=vec_col).select(
         "cell",
         F.col(id_col).alias("_id"),

@@ -66,3 +66,28 @@ def test_sign_array_extends_past_one_md5_block():
     must keep patterns deterministic and well-formed at any dim."""
     a = scale_run._sign_array(3, 200)
     assert len(a) == 200 and a == scale_run._sign_array(3, 200)
+
+
+def test_recipe_markers_gate_reuse(tmp_path):
+    """ADVICE r5 #1: a build made under an older salt recipe must NOT be
+    silently reused. _marker_ok accepts only the CURRENT RECIPE_VERSION —
+    the legacy 'ok' marker (pre-versioning builds), an older version
+    string, and a missing file all read stale."""
+    cur = tmp_path / "cur"
+    cur.write_text(scale_run.RECIPE_VERSION + "\n")
+    assert scale_run._marker_ok(str(cur))
+
+    legacy = tmp_path / "legacy"
+    legacy.write_text("ok\n")
+    assert not scale_run._marker_ok(str(legacy))
+
+    old = tmp_path / "old"
+    old.write_text("r5-caesar-0\n")
+    assert not scale_run._marker_ok(str(old))
+
+    assert not scale_run._marker_ok(str(tmp_path / "missing"))
+
+    # _write_marker round-trips
+    out = tmp_path / "w"
+    scale_run._write_marker(str(out))
+    assert scale_run._marker_ok(str(out))

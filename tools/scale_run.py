@@ -202,6 +202,30 @@ def _semantic_kscaled(mult: int):
     return run
 
 
+def _semantic_kscaled_hier(mult: int):
+    """The kscaled deployment with the O(√k)-MACs coarse-then-fine
+    assignment (`assign_cells_hier`) — the path a run enters once k
+    passes ~10^4, where even the flat matmul's N·k·dim cost dominates.
+    Same k ∝ N shape and threshold as the flat variant so the two
+    timings isolate the assignment stage's asymptotics."""
+
+    def run(spark, sf_dir):
+        from seoul_big_data_spark.operators.ivf import (  # noqa: PLC0415
+            kmeans_fit,
+            semantic_dedup_pairs,
+        )
+        from seoul_big_data_spark.sources.tables import load  # noqa: PLC0415
+
+        emb = load(spark, "embeddings", sf_dir)
+        k = 8 * mult
+        cents = kmeans_fit(emb, k=k, iters=0)
+        return semantic_dedup_pairs(
+            emb, cents, threshold=0.4, hier_assign=True
+        )
+
+    return run
+
+
 # Harness-level scale variants: name → factory(mult) → callable(spark, dir).
 # For operators whose registered query pins a size parameter for oracle
 # determinism, the variant re-parameterizes it the way a real deployment
@@ -209,6 +233,7 @@ def _semantic_kscaled(mult: int):
 # registered queries under the variant name.
 VARIANTS = {
     "dedup_semantic_cells_kscaled": _semantic_kscaled,
+    "dedup_semantic_cells_kscaled_hier": _semantic_kscaled_hier,
 }
 
 
