@@ -246,8 +246,11 @@ def _coarse_groups(cmat, n_coarse: int, iters: int = 5):
                 coarse[g] = m / nrm if nrm > 0 else m
     owner = (cmat @ coarse.T).argmax(axis=1)
     members = [np.nonzero(owner == g)[0] for g in range(n_coarse)]
-    # empty groups keep an empty member list; probing them scores nothing
-    return coarse, members
+    # Drop EMPTY groups entirely: an empty group's coarse centroid can
+    # still score nearest, and a row whose every probed group is empty
+    # would end with no candidate at all (out-of-range sentinel cell).
+    keep = [g for g in range(n_coarse) if members[g].size]
+    return coarse[keep], [members[g] for g in keep]
 
 
 def assign_cells_hier(
