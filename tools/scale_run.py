@@ -194,9 +194,12 @@ def _semantic_kscaled(mult: int):
 
         emb = load(spark, "embeddings", sf_dir)
         k = 8 * mult
-        cents = kmeans_fit(emb, k=k, iters=0)
+        # >= matches kmeans_fit's bulk_assign_from boundary: the x8 tier
+        # (k=64) measured 20 s on the literal-expression path vs 7 s at
+        # x32 on the matmul path — a routing artifact, not a scale signal.
         return semantic_dedup_pairs(
-            emb, cents, threshold=0.4, bulk_assign=k > 64
+            emb, kmeans_fit(emb, k=k, iters=0), threshold=0.4,
+            bulk_assign=k >= 64,
         )
 
     return run
