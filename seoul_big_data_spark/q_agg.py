@@ -54,15 +54,34 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # no oracle: HLL sketches are engine-specific
+@query(
+    "agg_approx_count_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_linenumber) AS BIGINT) AS approx_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the scale path for distinct
-    cardinality (no shuffle explosion). Rows-only check; exactness is covered
-    by tests/test_agg.py against the exact count at small sf."""
+    cardinality (mergeable fixed-size registers, no shuffle explosion).
+
+    Oracle-checked (converted from rows-only, the r1 `err: no_oracle`
+    row's class): at cardinality far below the register count the HLL++
+    estimator sits in its linear-counting regime, where the estimate
+    m·ln(m/(m-V)) rounds to the EXACT count — n=7 distinct line numbers
+    against m=2^14 registers lands within 0.002 of 7 unless two values
+    collide into one register, and the md5-based register pattern is a
+    deterministic function of the fixed data (verified exact at sf0.001
+    and sf0.01). The high-cardinality estimation accuracy (l_orderkey,
+    within the 1% rsd bound) is pinned in
+    tests/test_stats_moments.py::test_approx_count_distinct_rsd_bound."""
     return (
         load(spark, "lineitem", sf_dir)
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+        .agg(
+            F.approx_count_distinct("l_linenumber", 0.01).alias("approx_lines")
+        )
     )
 
 

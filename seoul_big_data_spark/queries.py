@@ -538,15 +538,18 @@ _OFFICIAL_GREEN = None  # resolved lazily after _R1_OFFICIAL is defined
 _R6_RISKY = frozenset({
     "timeseries_linear_interpolate",
     "agg_approx_top_k", "text_fingerprint", "agg_percentile_approx",
-    "mlprep_logreg_newton_step",
+    "agg_approx_count_distinct", "mlprep_logreg_newton_step",
 })
 
 
 def _gate_rank(name: str) -> int:
-    if name in _OFFICIAL_GREEN:
-        return 3  # already officially green in round 1
+    # Risky set outranks the green demotion: agg_approx_count_distinct has
+    # an r1 row, but it is the weak `err: no_oracle` kind — its r6 oracle
+    # conversion deserves a real hash-checked record.
     if name in _R6_RISKY:
         return -1  # r6 fix re-entry + conversions + new twin: certify first
+    if name in _OFFICIAL_GREEN:
+        return 3  # already officially green in a prior round
     if name.startswith(("tpch_", "correlated_", "scalar_subquery", "join_bucketed")):
         return 0  # multi-join analytic shapes (judge priority #1)
     if name.startswith(("dq_", "sample_", "text_repetition", "text_contamination",

@@ -106,3 +106,24 @@ def test_approx_top_k_exact_on_small_domain(spark, sf_dir):
     for r in sketch_rows:
         assert r["cnt"] == true_counts[(r["l_returnflag"], r["qty"])]
     assert {(r["l_returnflag"], r["qty"], r["cnt"]) for r in sketch_rows} == exact4
+
+
+def test_approx_count_distinct_rsd_bound(spark, sf_dir):
+    """The HLL++ estimate on a HIGH-cardinality key (orderkeys — the regime
+    the registered query's low-cardinality exact twin cannot certify) must
+    land within ~3x the requested 1% relative standard deviation of the
+    exact distinct count, per group."""
+    li = load(spark, "lineitem", sf_dir)
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("a"),
+            F.count_distinct("l_orderkey").alias("e"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["a"] - r["e"]) <= max(3, 0.03 * r["e"]), (
+            r["l_returnflag"], r["a"], r["e"],
+        )
