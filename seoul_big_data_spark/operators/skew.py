@@ -25,12 +25,22 @@ def salted_join(
 
     The salt is derived from a stable per-row expression (hash of all fact
     columns) rather than rand() so the plan stays deterministic and
-    re-executable (speculative retries see the same salt)."""
+    re-executable (speculative retries see the same salt).
+
+    The join is pinned to SHUFFLE_HASH: by this operator's own contract the
+    dim side is broadcast-INeligible (if it could broadcast there would be
+    no shuffle and nothing to salt), yet the optimizer's pre-explode size
+    estimate can still pick a broadcast plan — measured at the x128 tier:
+    auto-broadcasting the n_salts-exploded user-keyed dim (10.2M rows) read
+    9.9 s vs 4.4 s for the shuffle plan, turning a linear operator into a
+    4.8x-per-step one (SCALE.md round-6). The hint keeps the salt doing its
+    job at every scale; shuffle-hash beats sort-merge here because neither
+    side needs a sort for an equi-join on (key, salt)."""
     fact_salted = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     )
     dim_exploded = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
+    ).hint("shuffle_hash")
     out = fact_salted.join(dim_exploded, [key, "_salt"], how)
     return out.drop("_salt")
