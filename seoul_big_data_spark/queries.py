@@ -480,31 +480,42 @@ from . import q_recsys  # noqa: E402,F401  (item-item collaborative filtering, p
 # slice. Pure reordering: no query or oracle content changes.
 # ---------------------------------------------------------------------------
 
-def _officially_green() -> frozenset:
-    """Union of every query with a green row in any prior round's
-    CORRECTNESS_r*.json — those demote behind still-uncertified queries so
-    a capped gate certifies a fresh slice each round, automatically, as
-    the driver's records accumulate. Falls back to the hardcoded round-1
-    set when no files are readable."""
+def _gating_record() -> tuple[frozenset, dict]:
+    """(officially-green set, latest-gating-round per query) from every
+    prior round's CORRECTNESS_r*.json. Green queries demote behind
+    still-uncertified ones so a capped gate certifies a fresh slice each
+    round; within the green band the *stalest* record (lowest latest
+    round) re-certifies first, so pre-repr-canon r1 rows age out of the
+    official record before recent ones are re-run. Falls back to the
+    hardcoded round-1 set when no files are readable."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
+    latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 doc = json.load(fh)
             for name, row in doc.items():
-                if isinstance(row, dict) and (
+                if not isinstance(row, dict):
+                    continue
+                latest[name] = max(latest.get(name, 0), rnd)
+                if (
                     row.get("hash_match") is True
                     or row.get("err") == "no_oracle"
                 ):
                     green.add(name)
         except (OSError, json.JSONDecodeError, AttributeError):
             continue
-    return frozenset(green) if green else _R1_OFFICIAL
+    if not green:
+        return _R1_OFFICIAL, {}
+    return frozenset(green), latest
 
 
 _R1_OFFICIAL = frozenset({
@@ -530,26 +541,19 @@ _R1_OFFICIAL = frozenset({
 _OFFICIAL_GREEN = None  # resolved lazily after _R1_OFFICIAL is defined
 
 
-# Round-6 front set (VERDICT r5 #1/#5): the r5 gate failure re-entering
-# after its float-determinism fix, the three rows-only -> oracle-checked
-# conversions, and the new one-Newton-step IRLS twin — certified ahead of
-# the remaining never-gated tail regardless of family. (The r5 front set is
-# fully green and demotes automatically via _OFFICIAL_GREEN.)
-_R6_RISKY = frozenset({
-    "timeseries_linear_interpolate",
-    "agg_approx_top_k", "text_fingerprint", "agg_percentile_approx",
-    "agg_approx_count_distinct", "mlprep_logreg_newton_step",
-})
+# Round-7 ordering (VERDICT r6 #1): the 23 never-gated entries front the
+# slice — oracle-checked conversions first, then the declared rows-only
+# tail — and the ~27 spare slots re-certify the stalest official records
+# (r1-era rows predate the repr-precision float canon) in ascending
+# latest-gating-round order. All automatic from the CORRECTNESS_r*.json
+# history; no per-round hand lists needed.
 
 
 def _gate_rank(name: str) -> int:
-    # Risky set outranks the green demotion: agg_approx_count_distinct has
-    # an r1 row, but it is the weak `err: no_oracle` kind — its r6 oracle
-    # conversion deserves a real hash-checked record.
-    if name in _R6_RISKY:
-        return -1  # r6 fix re-entry + conversions + new twin: certify first
     if name in _OFFICIAL_GREEN:
         return 3  # already officially green in a prior round
+    if name not in _LATEST_ROUND:
+        return -1  # never gated at all: close the official record first
     if name.startswith(("tpch_", "correlated_", "scalar_subquery", "join_bucketed")):
         return 0  # multi-join analytic shapes (judge priority #1)
     if name.startswith(("dq_", "sample_", "text_repetition", "text_contamination",
@@ -558,13 +562,20 @@ def _gate_rank(name: str) -> int:
     return 2
 
 
-_OFFICIAL_GREEN = _officially_green()
+_OFFICIAL_GREEN, _LATEST_ROUND = _gating_record()
 _REG_IDX = {n: i for i, n in enumerate(QUERIES)}
 # Within each band, oracle-checked queries first: a hash-match row is strictly
 # stronger official evidence than a rows-only run, so rows-only entries should
-# not occupy capped gate slots ahead of hash-checkable ones.
+# not occupy capped gate slots ahead of hash-checkable ones. The green band
+# additionally orders by staleness (lowest latest-gated round first).
 _GATE_ORDER = sorted(
-    QUERIES, key=lambda n: (_gate_rank(n), n not in ORACLES, _REG_IDX[n])
+    QUERIES,
+    key=lambda n: (
+        _gate_rank(n),
+        n not in ORACLES,
+        _LATEST_ROUND.get(n, 0),
+        _REG_IDX[n],
+    ),
 )
 for _d in (QUERIES, ORACLES):
     _snap = {n: _d[n] for n in _GATE_ORDER if n in _d}
