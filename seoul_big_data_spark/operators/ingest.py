@@ -135,20 +135,20 @@ def numbered_bucketed(
     if not bounds:
         return numbered(df, order_by=list(order_by))
     bucket = _bucket_of(F.col(lead).cast("double"), bounds)
-    with_b = df.withColumn("_b", bucket)
+    with_b = df.withColumn("_bucket", bucket)
     counts = {
-        r["_b"]: r["count"] for r in with_b.groupBy("_b").count().collect()
+        r["_bucket"]: r["count"] for r in with_b.groupBy("_bucket").count().collect()
     }
     offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
     offset_col = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = Window.partitionBy("_b").orderBy(*order_by)
+    w = Window.partitionBy("_bucket").orderBy(*order_by)
     return (
         with_b.withColumn("_rn", F.row_number().over(w))
-        .withColumn("ID", (offset_col[F.col("_b")] + F.col("_rn")).cast("int"))
-        .drop("_b", "_rn")
+        .withColumn("ID", (offset_col[F.col("_bucket")] + F.col("_rn")).cast("int"))
+        .drop("_bucket", "_rn")
     )
 
 

@@ -95,9 +95,18 @@ def kmeans_fit(
     # With the fold evaluated once into a scalar column the same fill is
     # ~2 s; CollapseProject keeps the split (the alias is non-cheap and
     # referenced twice).
+    # Null-vector contract is k-INDEPENDENT (ADVICE r6): drop null
+    # embeddings once, before routing — previously the bulk path
+    # (k >= bulk_assign_from) raised ValueError on a null vector while the
+    # expression path silently assigned a null cell that dropped out of
+    # the means, i.e. the same function had two failure modes depending on
+    # a tuning parameter. A null row contributes to no cell either way;
+    # excluding it uniformly keeps both routings bit-identical
+    # (tests/test_ivf.py::test_kmeans_null_vector_contract).
     _vc = F.col(vec_col)
     normed = (
-        df.select(
+        df.filter(_vc.isNotNull())
+        .select(
             F.col(id_col).alias("_id"),
             _vc.alias("_raw"),
             norm(_vc).alias("_n"),

@@ -102,25 +102,25 @@ def bucketed_cumsum(
         )
         .cast("bigint")
     )
-    d = df.crossJoin(F.broadcast(mm)).withColumn("_b", bucket).drop("_lo", "_hi")
-    partials = d.groupBy("_b").agg(
+    d = df.crossJoin(F.broadcast(mm)).withColumn("_bucket", bucket).drop("_lo", "_hi")
+    partials = d.groupBy("_bucket").agg(
         *[F.sum(c).alias(f"_p_{c}") for c in sum_cols]
     )
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = partials.select(
-        "_b",
+        "_bucket",
         *[
             F.coalesce(F.sum(f"_p_{c}").over(w_off), F.lit(0)).alias(f"_o_{c}")
             for c in sum_cols
         ],
     )
-    w_in = Window.partitionBy("_b").orderBy(*(order_cols or [val_col])).rowsBetween(
+    w_in = Window.partitionBy("_bucket").orderBy(*(order_cols or [val_col])).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    out = d.join(F.broadcast(offsets), "_b")
+    out = d.join(F.broadcast(offsets), "_bucket")
     for c in sum_cols:
         out = out.withColumn(f"cum_{c}", F.col(f"_o_{c}") + F.sum(c).over(w_in))
-    return out.drop("_b", *[f"_o_{c}" for c in sum_cols])
+    return out.drop("_bucket", *[f"_o_{c}" for c in sum_cols])
 
 
 def lead_scalable(
@@ -155,18 +155,18 @@ def lead_scalable(
         )
         .cast("bigint")
     )
-    d = df.crossJoin(F.broadcast(mm)).withColumn("_b", bucket).drop("_lo", "_hi")
-    bmin = d.groupBy("_b").agg(F.min(key_col).alias("_bmin"))
+    d = df.crossJoin(F.broadcast(mm)).withColumn("_bucket", bucket).drop("_lo", "_hi")
+    bmin = d.groupBy("_bucket").agg(F.min(key_col).alias("_bmin"))
     nxt = bmin.select(
-        "_b", F.lead("_bmin").over(Window.orderBy("_b")).alias("_next_bmin")
+        "_bucket", F.lead("_bmin").over(Window.orderBy("_bucket")).alias("_next_bmin")
     )
-    w_in = Window.partitionBy("_b").orderBy(key_col)
+    w_in = Window.partitionBy("_bucket").orderBy(key_col)
     return (
-        d.join(F.broadcast(nxt), "_b")
+        d.join(F.broadcast(nxt), "_bucket")
         .withColumn(
             out, F.coalesce(F.lead(key_col).over(w_in), F.col("_next_bmin"))
         )
-        .drop("_b", "_next_bmin")
+        .drop("_bucket", "_next_bmin")
     )
 
 
@@ -211,20 +211,20 @@ def ntile_scalable(
         )
         .cast("bigint")
     )
-    d = df.crossJoin(F.broadcast(mm)).withColumn("_b", bucket).drop("_lo", "_hi")
-    partials = d.groupBy("_b").agg(F.count("*").alias("_n"))
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("_b").rowsBetween(
+    d = df.crossJoin(F.broadcast(mm)).withColumn("_bucket", bucket).drop("_lo", "_hi")
+    partials = d.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_bucket").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = partials.select(
-        "_b",
+        "_bucket",
         F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
         F.sum("_n").over(w_all).alias("_N"),
     )
-    w_in = Window.partitionBy("_b").orderBy(*order_by)
+    w_in = Window.partitionBy("_bucket").orderBy(*order_by)
     d = (
-        d.join(F.broadcast(offsets), "_b")
+        d.join(F.broadcast(offsets), "_bucket")
         .withColumn("_r", F.col("_off") + F.row_number().over(w_in))
         .withColumn("_q", F.expr(f"_N div {k}"))
         .withColumn("_rem", F.col("_N") % k)
@@ -237,7 +237,7 @@ def ntile_scalable(
         F.expr("(_r - 1) div (_q + 1) + 1"),
     ).otherwise(F.col("_rem") + F.expr("(_r - _rem * (_q + 1) - 1) div _q + 1"))
     return d.withColumn(out, score.cast("int")).drop(
-        "_b", "_off", "_N", "_r", "_q", "_rem"
+        "_bucket", "_off", "_N", "_r", "_q", "_rem"
     )
 
 

@@ -1647,11 +1647,13 @@ def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY event_type
     )
     SELECT event_type, n_gaps,
-           round(CAST(s AS DOUBLE) / n_gaps / 1000000.0, 4) AS mean_gap_s,
-           round(1000000.0 * n_gaps / CAST(s AS DOUBLE), 8) AS rate_per_s,
-           round(sqrt(CAST(n_gaps * ssq - s * s AS DOUBLE)
-                      / n_gaps / (n_gaps - 1))
-                 / (CAST(s AS DOUBLE) / n_gaps), 4) AS cv
+           CAST(s AS DOUBLE) / n_gaps / 1000000.0 AS mean_gap_s,
+           1000000.0 * n_gaps / CAST(s AS DOUBLE) AS rate_per_s,
+           CASE WHEN n_gaps > 1 THEN
+             sqrt(CAST(n_gaps * ssq - s * s AS DOUBLE)
+                  / n_gaps / (n_gaps - 1))
+             / (CAST(s AS DOUBLE) / n_gaps)
+           END AS cv
     FROM m
     """,
 )
@@ -1666,7 +1668,21 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL/HUGEINT sums (order-independent, unlike avg/stddev over
     doubles), so mean, rate, and cv are derived from identical exact
     integers on both engines with one fixed-order double expression each —
-    the r5 timeseries_linear_interpolate defect class cannot occur."""
+    the r5 timeseries_linear_interpolate defect class cannot occur.
+    cv is guarded with CASE WHEN n_gaps > 1 on BOTH engines: a
+    single-gap group otherwise divides 0/0, which Spark nulls but DuckDB
+    evaluates to IEEE NaN — a cross-engine hash divergence (ADVICE r6).
+    Derived doubles emit UNROUNDED (r7, the timeseries convention made
+    uniform here): s/n quotients of exact integers CAN terminate exactly
+    at a round() midpoint (n=2, s≡100 mod 200 lands mean_gap_s on
+    x.xxxx5), where Spark's BigDecimal HALF_UP of the binary value and
+    DuckDB's scaled-multiply round can disagree; with no final round the
+    shared-op-order doubles are bit-identical and the repr canon hashes
+    them equal.
+    Decimal headroom: n_gaps*ssq needs |gap_us| <= ~9e12 (n=1e6 gaps of
+    ~100 days) before Spark's DECIMAL(38) product can overflow to NULL
+    while DuckDB's HUGEINT keeps going; asserted at the profile grain in
+    tests/test_events.py."""
     e = load(spark, "events", sf_dir).select(
         "event_type", "user_id", F.unix_micros("ts").alias("tus"), "event_id"
     )
@@ -1686,12 +1702,13 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_gaps")
     s_dbl = F.col("s").cast("double")
     var_num = (n * F.col("ssq") - F.col("s") * F.col("s")).cast("double")
+    cv = F.sqrt(var_num / n / (n - 1)) / (s_dbl / n)
     return m.select(
         "event_type",
         "n_gaps",
-        F.round(s_dbl / n / 1_000_000.0, 4).alias("mean_gap_s"),
-        F.round(F.lit(1_000_000.0) * n / s_dbl, 8).alias("rate_per_s"),
-        F.round(F.sqrt(var_num / n / (n - 1)) / (s_dbl / n), 4).alias("cv"),
+        (s_dbl / n / F.lit(1_000_000.0)).alias("mean_gap_s"),
+        (F.lit(1_000_000.0) * n / s_dbl).alias("rate_per_s"),
+        F.when(n > 1, cv).alias("cv"),
     )
 
 
@@ -1812,7 +1829,7 @@ def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         e.crossJoin(F.broadcast(mm))
         .withColumn(
-            "_b",
+            "_bucket",
             F.least(
                 F.floor((F.col("arrival_us") - F.col("_lo")) / width),
                 F.lit(n_buckets - 1),
@@ -1820,16 +1837,16 @@ def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_lo", "_hi")
     )
-    per_bucket = d.groupBy("_b").agg(F.max("ts").alias("bmax"))
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_bucket.select("_b", F.max("bmax").over(w_off).alias("off_max"))
+    per_bucket = d.groupBy("_bucket").agg(F.max("ts").alias("bmax"))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select("_bucket", F.max("bmax").over(w_off).alias("off_max"))
     w_in = (
-        Window.partitionBy("_b")
+        Window.partitionBy("_bucket")
         .orderBy("arrival_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     arr = (
-        d.join(F.broadcast(offsets), "_b")
+        d.join(F.broadcast(offsets), "_bucket")
         .withColumn("run_max", F.max("ts").over(w_in))
         .withColumn(
             "prev_max",

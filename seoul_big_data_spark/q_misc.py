@@ -295,9 +295,12 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked (converted from rows-only, VERDICT r5 #5): with
     accuracy > the group row count, the GK summary never compresses, so
     the sketch path returns the EXACT discrete quantile — the selected
-    value is a parquet element, identical bits on both engines, and the
-    rank definition (quantile*(n-1)+1) coincides with DuckDB's
-    quantile_disc (verified value-identical on all groups x percentiles).
+    value is a parquet element, identical bits on both engines. The rank
+    agreement with DuckDB's quantile_disc is EMPIRICAL, not definitional:
+    tests/test_percentile_rank.py pins it on distinct-valued data across
+    group sizes where a ceil-based q*n rank and floor(q*(n-1))+1 would
+    pick different elements (incl. q=.75, n=2002), so a silent rank-form
+    change on either engine fails tests before it can flip the gate.
     At a corpus where n >> accuracy the same plan degrades gracefully to
     approximate — the gate certifies the sketch machinery, not a lucky
     approximation."""

@@ -712,42 +712,9 @@ def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mlprep_quality_classifier")  # iterative Newton fit → rows-only
-def mlprep_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classifier-based quality filtering, the FineWeb/DCLM corpus recipe:
-    fit a logistic model (is-English as the stand-in label) on cheap
-    declarative text features, then score every document with a pure
-    codegen'd sigmoid expression. The fit is 6 Newton steps, each ONE
-    distributed pass collecting O(d^2) sufficient statistics
-    (operators/logreg.py::logreg_fit_irls); the data never moves.
-
-    Output: per-language calibration (mean predicted P(en), row count) —
-    the separation report a filtering threshold is chosen from. Rows-only:
-    the iterative fit has no SQL form; tests/test_logreg.py pins the
-    coefficients against an independent numpy IRLS."""
-    from .operators.logreg import logreg_fit_irls, logreg_score
-
-    d = load(spark, "documents", sf_dir)
-    feats = d.select(
-        "lang",
-        F.log(F.col("n_chars") + 1.0).alias("f_logchars"),
-        tx.token_count(F.col("text")).cast("double").alias("f_ntok"),
-        (
-            F.length("text")
-            / (tx.token_count(F.col("text")).cast("double") + 1.0)
-        ).alias("f_toklen"),
-        (F.col("lang") == "en").cast("double").alias("y"),
-    )
-    beta = logreg_fit_irls(
-        feats, ["f_logchars", "f_ntok", "f_toklen"], "y", n_iter=6
-    )
-    scored = feats.withColumn(
-        "score", logreg_score(feats, ["f_logchars", "f_ntok", "f_toklen"], beta)
-    )
-    return scored.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.round(F.avg("score"), 4).alias("avg_p_en"),
-    )
+# mlprep_quality_classifier is registered AFTER the Newton-twin helpers
+# below — its oracle SQL is generated from the same shared Cramer
+# expression tree (see _irls_oracle_sql).
 
 
 # ---------------------------------------------------------------------------
@@ -934,4 +901,262 @@ def mlprep_logreg_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     betas = _newton_betas(stats)
     return s.select(
         *[F.round(b, 6).alias(f"b{i}") for i, b in enumerate(betas)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full expression-IRLS quality classifier (VERDICT r6 #2): the SHIPPED
+# 6-step fit, hash-checked. The Newton twin proved one step from beta=0
+# (constant W = I/4); the full fit needs data-dependent weights each step,
+# which is deterministic cross-engine iff every per-row quantity is either
+# an exact DECIMAL or a double produced by one shared-op-order expression:
+#
+#   d1..d3   exact DECIMAL(8,3) integer-derived features (as the twin);
+#   eta      exact DECIMAL dot product of DECIMAL(20,6) betas and features;
+#   p        = round(sigmoid(clamp(eta_double)), 6) -> DECIMAL(8,6): the one
+#            libm call per row, its ulp spread absorbed by the 6-decimal
+#            round (divergence needs exp() to land within ~1e-10 of a round
+#            boundary — measure-zero for sigmoid outputs);
+#   w, y-p   exact DECIMALs from p;
+#   X'WX,X'r exact DECIMAL sums (order-independent!), round(6)->double
+#            (<2^53 mantissa: cast exact);
+#   delta    Cramer det4 ratio — ONE Python expression tree rendered as SQL
+#            text for DuckDB and evaluated with Python floats on the driver
+#            (identical IEEE op order by construction);
+#   beta'    = round(beta + delta, 6) -> DECIMAL(20,6) re-enters exactly.
+#
+# Spark-first shape: each of the 6 steps is ONE distributed hash aggregate
+# over the column-pruned feature projection (map-side combine; shuffle
+# carries O(partitions x 14) decimals, independent of N) and an O(1)
+# driver solve — the logreg_fit_irls scale story with the numpy batch
+# kernel replaced by codegen'd decimal expressions. The final sigmoid
+# scoring pass rides the same cached projection.
+# ---------------------------------------------------------------------------
+
+_IRLS_ITERS = 6
+_IRLS_STAT_KEYS = (
+    "sww", "sw1", "sw2", "sw3", "sw11", "sw12", "sw13", "sw22", "sw23",
+    "sw33", "g0", "g1", "g2", "g3",
+)
+
+
+def _cramer_delta(s, ridge=_RIDGE):
+    """(det, [num0..num3]) for delta = (X'WX + ridge*I)^-1 X'(y-p), from
+    weighted sufficient statistics. ``s`` values may be Spark Columns,
+    _SqlExpr, or plain floats — the SAME tree gives all three renderings
+    identical float op order."""
+    r = ridge
+    a = [
+        [s["sww"] + r, s["sw1"], s["sw2"], s["sw3"]],
+        [s["sw1"], s["sw11"] + r, s["sw12"], s["sw13"]],
+        [s["sw2"], s["sw12"], s["sw22"] + r, s["sw23"]],
+        [s["sw3"], s["sw13"], s["sw23"], s["sw33"] + r],
+    ]
+    b = [s["g0"], s["g1"], s["g2"], s["g3"]]
+    det = _det4_signed(a)
+    nums = [
+        _det4_signed(
+            [[b[row] if c == i else a[row][c] for c in range(4)] for row in range(4)]
+        )
+        for i in range(4)
+    ]
+    return det, nums
+
+
+_IRLS_F_SQL = """
+    f AS (
+      SELECT lang,
+             CAST(CAST(n_chars AS DECIMAL(12,3))
+                  * CAST('0.001' AS DECIMAL(4,3)) AS DECIMAL(8,3)) AS d1,
+             CAST(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x != '')) AS DECIMAL(12,3))
+                  * CAST('0.01' AS DECIMAL(4,3)) AS DECIMAL(8,3)) AS d2,
+             CAST(CAST(length(text)
+                       - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                       AS DECIMAL(12,3))
+                  * CAST('0.1' AS DECIMAL(4,3)) AS DECIMAL(8,3)) AS d3,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DECIMAL(2,0)) AS y
+      FROM documents
+    )"""
+
+
+def _sql_p6(beta_src: str) -> str:
+    """The per-row rounded sigmoid, DuckDB rendering (beta columns come
+    from the cross-joined 1-row CTE ``beta_src``)."""
+    eta = "(b0 + ((b1 * d1) + ((b2 * d2) + (b3 * d3))))"
+    clamped = f"LEAST(GREATEST(CAST({eta} AS DOUBLE), -30.0), 30.0)"
+    return (
+        f"CAST(round(1.0 / (1.0 + exp(-({clamped}))), 6) AS DECIMAL(8,6))"
+    )
+
+
+def _irls_oracle_sql(iters: int = _IRLS_ITERS) -> str:
+    stats = {k: _SqlExpr(k) for k in _IRLS_STAT_KEYS}
+    det, nums = _cramer_delta(stats)
+    beta_sel = ",\n             ".join(
+        f"CAST(round(CAST(b{i} AS DOUBLE) + ({nums[i].s}) / ({det.s}), 6)"
+        f" AS DECIMAL(20,6)) AS b{i}"
+        for i in range(4)
+    )
+    parts = [
+        "WITH" + _IRLS_F_SQL + """,
+    bet0 AS (
+      SELECT CAST('0.000000' AS DECIMAL(20,6)) AS b0,
+             CAST('0.000000' AS DECIMAL(20,6)) AS b1,
+             CAST('0.000000' AS DECIMAL(20,6)) AS b2,
+             CAST('0.000000' AS DECIMAL(20,6)) AS b3
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    x{t} AS (
+      SELECT d1, d2, d3, y, {_sql_p6(f"bet{t - 1}")} AS p
+      FROM f CROSS JOIN bet{t - 1}
+    ), w{t} AS (
+      SELECT d1, d2, d3,
+             CAST((1 - p) * p AS DECIMAL(14,12)) AS w,
+             y - p AS r
+      FROM x{t}
+    ), s{t} AS (
+      SELECT CAST(round(sum(w), 6) AS DOUBLE) AS sww,
+             CAST(round(sum(w * d1), 6) AS DOUBLE) AS sw1,
+             CAST(round(sum(w * d2), 6) AS DOUBLE) AS sw2,
+             CAST(round(sum(w * d3), 6) AS DOUBLE) AS sw3,
+             CAST(round(sum((w * d1) * d1), 6) AS DOUBLE) AS sw11,
+             CAST(round(sum((w * d1) * d2), 6) AS DOUBLE) AS sw12,
+             CAST(round(sum((w * d1) * d3), 6) AS DOUBLE) AS sw13,
+             CAST(round(sum((w * d2) * d2), 6) AS DOUBLE) AS sw22,
+             CAST(round(sum((w * d2) * d3), 6) AS DOUBLE) AS sw23,
+             CAST(round(sum((w * d3) * d3), 6) AS DOUBLE) AS sw33,
+             CAST(round(sum(r), 6) AS DOUBLE) AS g0,
+             CAST(round(sum(d1 * r), 6) AS DOUBLE) AS g1,
+             CAST(round(sum(d2 * r), 6) AS DOUBLE) AS g2,
+             CAST(round(sum(d3 * r), 6) AS DOUBLE) AS g3
+      FROM w{t}
+    ), bet{t} AS (
+      SELECT {beta_sel}
+      FROM s{t} CROSS JOIN bet{t - 1}
+    )""")
+    parts.append(f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p) AS DOUBLE) AS p_en_sum
+    FROM (
+      SELECT lang, {_sql_p6(f"bet{iters}")} AS p
+      FROM f CROSS JOIN bet{iters}
+    ) GROUP BY lang
+    """)
+    return "".join(parts)
+
+
+def _irls_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of the f CTE: exact DECIMAL(8,3) features."""
+    d = load(spark, "documents", sf_dir)
+    mil = F.lit("0.001").cast("decimal(4,3)")
+    cent = F.lit("0.01").cast("decimal(4,3)")
+    tenth = F.lit("0.1").cast("decimal(4,3)")
+    n_tok = tx.token_count("text").cast("decimal(12,3)")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    ).cast("decimal(12,3)")
+    return d.select(
+        "lang",
+        (F.col("n_chars").cast("decimal(12,3)") * mil)
+        .cast("decimal(8,3)")
+        .alias("d1"),
+        (n_tok * cent).cast("decimal(8,3)").alias("d2"),
+        (n_punct * tenth).cast("decimal(8,3)").alias("d3"),
+        (F.col("lang") == "en").cast("int").cast("decimal(2,0)").alias("y"),
+    )
+
+
+def _p6_col(beta) -> "F.Column":
+    """Spark rendering of the per-row rounded sigmoid for DECIMAL beta
+    literals (same op order as _sql_p6)."""
+    b = [F.lit(str(x)).cast("decimal(20,6)") for x in beta]
+    eta = b[0] + (
+        (b[1] * F.col("d1")) + ((b[2] * F.col("d2")) + (b[3] * F.col("d3")))
+    )
+    clamped = F.least(
+        F.greatest(eta.cast("double"), F.lit(-30.0)), F.lit(30.0)
+    )
+    return F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-clamped)), 6
+    ).cast("decimal(8,6)")
+
+
+def _irls6_fit(feats: DataFrame, iters: int = _IRLS_ITERS) -> list:
+    """T deterministic Newton steps; returns DECIMAL-scale-6 betas (as
+    Decimal). Each step: one distributed exact-decimal aggregate (14
+    scalars cross the shuffle) + an O(1) driver Cramer solve evaluated
+    with Python floats over the SAME expression tree the oracle renders
+    as SQL — identical IEEE op order, bit-identical coefficients."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    beta = [Decimal("0.000000")] * 4
+    six = Decimal("0.000001")
+    for _ in range(iters):
+        w = (F.lit(1) - F.col("_p")) * F.col("_p")
+        x = feats.withColumn("_p", _p6_col(beta)).select(
+            "d1",
+            "d2",
+            "d3",
+            w.cast("decimal(14,12)").alias("w"),
+            (F.col("y") - F.col("_p")).alias("r"),
+        )
+
+        def s6(c, alias):
+            return F.round(F.sum(c), 6).cast("double").alias(alias)
+
+        row = x.agg(
+            s6(F.col("w"), "sww"),
+            s6(F.col("w") * F.col("d1"), "sw1"),
+            s6(F.col("w") * F.col("d2"), "sw2"),
+            s6(F.col("w") * F.col("d3"), "sw3"),
+            s6((F.col("w") * F.col("d1")) * F.col("d1"), "sw11"),
+            s6((F.col("w") * F.col("d1")) * F.col("d2"), "sw12"),
+            s6((F.col("w") * F.col("d1")) * F.col("d3"), "sw13"),
+            s6((F.col("w") * F.col("d2")) * F.col("d2"), "sw22"),
+            s6((F.col("w") * F.col("d2")) * F.col("d3"), "sw23"),
+            s6((F.col("w") * F.col("d3")) * F.col("d3"), "sw33"),
+            s6(F.col("r"), "g0"),
+            s6(F.col("d1") * F.col("r"), "g1"),
+            s6(F.col("d2") * F.col("r"), "g2"),
+            s6(F.col("d3") * F.col("r"), "g3"),
+        ).collect()[0]
+        s = {k: float(row[k]) for k in _IRLS_STAT_KEYS}
+        det, nums = _cramer_delta(s)
+        beta = [
+            Decimal(repr(float(b) + n / det)).quantize(six, ROUND_HALF_UP)
+            for b, n in zip(beta, nums)
+        ]
+    return beta
+
+
+@query("mlprep_quality_classifier", _irls_oracle_sql())
+def mlprep_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering, the FineWeb/DCLM corpus recipe:
+    fit a logistic model (is-English as the stand-in label) on cheap
+    integer-derived text features, then score every document with a pure
+    codegen'd sigmoid expression. The fit is 6 expression-IRLS Newton
+    steps — each ONE distributed exact-DECIMAL aggregate (14 scalars per
+    partition cross the shuffle, independent of N) and an O(1) driver
+    Cramer solve over the shared expression tree the oracle renders as
+    SQL. Converted from rows-only to hash-checked (VERDICT r6 #2): every
+    per-row quantity is an exact decimal or a 6-rounded shared-op-order
+    double, so the 6-step trajectory is bit-identical cross-engine (see
+    the block comment above; tests/test_logreg.py pins the coefficients
+    against an unrounded numpy IRLS on the same features).
+
+    Output: per-language calibration (row count, summed predicted P(en))
+    — the separation report a filtering threshold is chosen from."""
+    feats = _irls_feats(spark, sf_dir)
+    beta = _irls6_fit(feats)
+    return (
+        feats.withColumn("_p", _p6_col(beta))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_p").cast("double").alias("p_en_sum"),
+        )
     )

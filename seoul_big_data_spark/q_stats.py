@@ -276,12 +276,15 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q12 shape: join + conditional counting."""
+    """Q12 shape: join + conditional counting. orders is fact-sized — no
+    broadcast hint (the round-2 un-pin missed this one; caught when the
+    fact-broadcast audit re-ran round 7): AQE sizes the join at runtime,
+    sort-merge over the bucketed layout at 100 TB."""
     o = load(spark, "orders", sf_dir)
     l = load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "N")
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        l.join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
+        l.join(o, o.o_orderkey == l.l_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),

@@ -11,7 +11,20 @@ after sorting columns by name):
 - timestamps in outputs are rendered as 'yyyy-MM-dd HH:mm:ss' strings;
 - sums of integer columns are cast to BIGINT in DuckDB (whose SUM(int) is
   HUGEINT) to match Spark's long;
-- sort semantics are validated via explicit rank columns (SURVEY.md §7.4.2).
+- sort semantics are validated via explicit rank columns (SURVEY.md §7.4.2);
+- final-round convention on derived doubles (r7, ADVICE r6): a terminal
+  ``round(x, k)`` is safe only when x cannot land exactly on a 10^-k
+  midpoint — Spark rounds the binary double via BigDecimal HALF_UP while
+  DuckDB scales-multiplies first, and the two disagree within an ulp of a
+  midpoint. Quotients/products of exact integers or decimals CAN terminate
+  on a midpoint, so queries whose output is a bare arithmetic derivation of
+  exact inputs with shared op order emit UNROUNDED doubles (bit-identical,
+  repr-canon-equal — ``timeseries_linear_interpolate``,
+  ``events_interarrival_profile``); compositions through libm (sqrt/exp/
+  log/pow of non-degenerate data) keep their round since their values are
+  irrational off a measure-zero set. Legacy rounds on aggregate quotients
+  are empirically validated and age through the gate rotation; new or
+  touched queries follow the rule above.
 
 Operator IDs in each docstring refer to SURVEY.md §2.
 """

@@ -270,3 +270,23 @@ def test_kmeans_iteration_paths_agree(spark, sf_dir):
     assert len(expr_c) == len(bulk_c) == K
     for a, b in zip(expr_c, bulk_c):
         np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+def test_kmeans_null_vector_contract(spark):
+    """Null embeddings are dropped once, before assignment routing, so
+    both the expression path and the bulk numpy path fit on the same rows
+    and produce identical centroids — previously the bulk path raised
+    ValueError on a null vector while the expression path silently routed
+    it to a null cell (ADVICE r6: failure mode depended on a tuning
+    parameter)."""
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(4)]) for i in range(20)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expr_c = kmeans_fit(df, k=3, iters=2, bulk_assign_from=10**9)
+    bulk_c = kmeans_fit(df, k=3, iters=2, bulk_assign_from=1)
+    clean = spark.createDataFrame(
+        [r for r in rows if r[1] is not None],
+        "vec_id long, embedding array<double>",
+    )
+    clean_c = kmeans_fit(clean, k=3, iters=2, bulk_assign_from=10**9)
+    assert expr_c == bulk_c == clean_c

@@ -90,3 +90,39 @@ def test_newton_step_twin_matches_irls_first_iteration(spark, sf_dir):
         beta_twin,
         beta_op,
     )
+
+
+def test_expression_irls_tracks_numpy_irls(spark, sf_dir):
+    """The shipped quality classifier's expression-IRLS (exact decimal
+    stats + per-row 6-rounded sigmoid, q_mlprep._irls6_fit) must track an
+    UNROUNDED numpy IRLS on the identical features: the per-row rounding
+    perturbs each weight by <= 5e-7, so after 6 steps the coefficients
+    agree to ~1e-3 relative on well-conditioned data. Bit-exactness
+    cross-ENGINE is the oracle's job; this pins algorithmic correctness."""
+    from seoul_big_data_spark.q_mlprep import _irls6_fit, _irls_feats
+
+    feats = _irls_feats(spark, sf_dir)
+    beta = [float(b) for b in _irls6_fit(feats)]
+
+    rows = feats.select("d1", "d2", "d3", "y").collect()
+    x = np.array([[float(r["d1"]), float(r["d2"]), float(r["d3"])] for r in rows])
+    y = np.array([float(r["y"]) for r in rows])
+    ref = _numpy_irls(x, y, n_iter=6)
+    np.testing.assert_allclose(beta, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_expression_irls_first_step_equals_newton_twin(spark, sf_dir):
+    """One expression-IRLS step from beta=0 must equal the hash-checked
+    Newton-step twin's coefficients up to the per-row rounding the full
+    fit adds (the twin uses constant W=1/4 exactly; step one of IRLS uses
+    W=round(p,6)*(1-round(p,6)) with p=0.5 exactly -> identical W, so the
+    only difference is the stats' decimal scales)."""
+    from seoul_big_data_spark.q_mlprep import _irls6_fit, _irls_feats
+    from seoul_big_data_spark.queries import QUERIES
+
+    feats = _irls_feats(spark, sf_dir)
+    one = [float(b) for b in _irls6_fit(feats, iters=1)]
+    twin = QUERIES["mlprep_logreg_newton_step"](spark, sf_dir).collect()[0]
+    np.testing.assert_allclose(
+        one, [twin[f"b{i}"] for i in range(4)], rtol=1e-5, atol=1e-5
+    )

@@ -183,6 +183,19 @@ _CORPUS_KEY_TOKENS = (
     "orderkey", "custkey", "partkey", "suppkey",
     "user_id", "doc_id", "event_id", "emb_id",
 )
+# Key-name tokens with bounded distinct cardinality (enums, codes, derived
+# buckets): a frontier aggregate keyed ONLY by these is a bounded broadcast.
+# Anything else keyed over a corpus scan is unproven (see frontier()).
+_LOWCARD_KEY_TOKENS = (
+    "returnflag", "linestatus", "mktsegment", "orderstatus", "orderpriority",
+    "shipmode", "shippriority", "shipinstruct", "event_type", "lang", "label",
+    "source", "nation", "region", "brand", "type", "size", "container",
+    "cell", "bucket", "band", "cluster", "code", "subspace", "plane",
+    "segment", "quality", "grade", "flag", "status", "priority", "week",
+    "month", "year", "day", "hour", "date", "cohort", "decile", "quantile",
+    "term", "token", "word", "shingle", "gram", "topic", "category", "tier",
+    "i", "j", "k", "dim", "idx", "pos", "rk", "rn",
+)
 _AGG_KEYS_PAT = re.compile(r"Aggregate\(keys=\[([^\]]*)\]")
 # name -> grain justification for a corpus-scanning broadcast subtree that
 # the mechanical rule cannot classify. Every entry must argue boundedness.
@@ -194,6 +207,15 @@ _FACT_BROADCAST_OK: dict[str, str] = {
     "similarity_brute_force_topk": "probe set = literal vec_id filter "
     "(constant 5 rows) broadcast against the streamed corpus",
     "similarity_ivf_ann": "probe set literal-bounded; centroids are k x dim",
+    # LSH probe dedup: the (query_id, q_vec, bucket) distinct sits on the
+    # QUERY side, which a literal vec_id < N_QUERIES filter bounds to
+    # N_QUERIES x (n_planes+1) probe rows before the broadcast. The keyed
+    # aggregate the lineage rule sees reduces that bounded set, not the
+    # corpus (the corpus side streams through the join unbroadcast).
+    "similarity_lsh_ann": "probe-set distinct over the literal-bounded "
+    "query side: <= N_QUERIES*(planes+1) rows by construction",
+    "similarity_lsh_ann_adaptive": "probe-set distinct over the "
+    "literal-bounded query side: <= N_QUERIES*probes rows by construction",
     "similarity_pq_adc": "probe set literal-bounded; PQ codebook constant",
     "similarity_ivf_pq_ann": "probe set literal-bounded; centroids+codebook "
     "constant",
@@ -232,6 +254,13 @@ def fact_broadcast_violations(df) -> list[str]:
     with N). Descent stops at the first such node per path."""
     bad: list[str] = []
 
+    def scans_corpus(node) -> bool:
+        if "Scan" in node.nodeName():
+            first = node.toString().splitlines()[0]
+            return any(t in first for t in _CORPUS_SCANS)
+        kids = node.children()
+        return any(scans_corpus(kids.apply(i)) for i in range(kids.length()))
+
     def frontier(node, state):
         nm = node.nodeName()
         if nm in ("GlobalLimit", "TakeOrderedAndProject", "CollectLimit"):
@@ -241,6 +270,20 @@ def fact_broadcast_violations(df) -> list[str]:
             m = _AGG_KEYS_PAT.search(first)
             keys = m.group(1) if m else ""
             state["hot"].update(t for t in _CORPUS_KEY_TOKENS if t in keys)
+            # ADVICE r6: an aliased corpus key (l_partkey -> pk before the
+            # groupBy) carries no recognizable token — substring matching
+            # alone is a false NEGATIVE for exactly the class this rule
+            # exists to catch. A keyed frontier aggregate whose keys
+            # contain NO token of any kind (neither corpus nor known
+            # low-cardinality) over a corpus scan is therefore treated as
+            # unproven and must be allowlisted with a grain argument.
+            if not state["hot"] and keys.strip():
+                names = [k.split("#")[0].strip() for k in keys.split(",")]
+                known_low = all(
+                    any(t in n for t in _LOWCARD_KEY_TOKENS) for n in names if n
+                )
+                if not known_low and scans_corpus(node):
+                    state["opaque"].add(", ".join(names))
             return  # reduced here; the subtree beneath no longer matters
         if "Scan" in nm:
             first = node.toString().splitlines()[0]
@@ -252,7 +295,7 @@ def fact_broadcast_violations(df) -> list[str]:
             frontier(kids.apply(i), state)
 
     for ex in _broadcast_exchange_nodes(df):
-        state = {"hot": set(), "raw": False}
+        state = {"hot": set(), "raw": False, "opaque": set()}
         kids = ex.children()
         for i in range(kids.length()):
             frontier(kids.apply(i), state)
@@ -263,6 +306,12 @@ def fact_broadcast_violations(df) -> list[str]:
                 "corpus-keyed aggregate force-broadcast "
                 f"(frontier keys contain {sorted(state['hot'])}; "
                 "cardinality grows with N)"
+            )
+        if state["opaque"]:
+            bad.append(
+                "keyed aggregate over a corpus scan with unrecognized keys "
+                f"({sorted(state['opaque'])}); possibly an aliased corpus "
+                "key — prove the grain and allowlist"
             )
     return bad
 
