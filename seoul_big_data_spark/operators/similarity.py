@@ -108,10 +108,13 @@ def lsh_topk(
                 for pl in planes
             ]
         )
+        # margins rounded to 6 decimals before ranking (the repo's
+        # cell-assignment convention): sub-ulp cross-engine noise can never
+        # reorder planes, ties break on the plane index
         ranked = F.transform(
             F.array_sort(
                 F.zip_with(
-                    F.transform(dots, lambda d: F.abs(d)),
+                    F.transform(dots, lambda d: F.round(F.abs(d), 6)),
                     F.array(*[F.lit(i) for i in range(nb)]),
                     lambda m, i: F.struct(m.alias("m"), i.alias("i")),
                 )

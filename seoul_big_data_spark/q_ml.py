@@ -24,6 +24,95 @@ from .sources.tables import load
 _N_QUERIES = 5  # probe vectors = the first 5 vec_ids
 
 
+def _sql_dot(a: str, b: str) -> str:
+    """Sequential double dot product — the DuckDB twin of functions.vector.dot
+    (same left-to-right accumulation order, same per-element double cast)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform({a}, "
+        "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))"
+    )
+
+
+# Shared LSH signature CTEs: md5-derived hyperplanes (the SQL twin of
+# _fixed_planes), per-(vector, plane) sequential-double dots, and the
+# sign-bit signature string. Used by lsh_bucket_assignment_md5 and both
+# hash-checked ANN ranking oracles.
+_SQL_LSH_SIG = f"""planes AS (
+      SELECT p, list_transform(generate_series(0, 63), d ->
+               ('0x' || substr(md5('plane' || CAST(p AS VARCHAR) || ':'
+                                   || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                 / 2147483648.0 - 1.0) AS plane
+      FROM (SELECT unnest(generate_series(0, 7)) AS p)
+    ), sp AS (
+      SELECT e.vec_id, pl.p, {_sql_dot('e.embedding', 'pl.plane')} AS s
+      FROM embeddings e CROSS JOIN planes pl
+    ), sig AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS bucket
+      FROM sp GROUP BY vec_id
+    )"""
+
+# Candidate scoring + ranking tail shared by the ANN ranking oracles: the
+# brute-force recipe (rank on the raw bit-identical cosine, neighbor_id
+# tie-break, 4-decimal display round).
+_SQL_ANN_RANK_TAIL = """
+    scored AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             CAST(list_cosine_similarity(q.embedding, c.embedding)
+                  AS DOUBLE) AS s
+      FROM cand ca
+      JOIN embeddings q ON q.vec_id = ca.query_id
+      JOIN embeddings c ON c.vec_id = ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(s, 4) AS score, rk FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """
+
+
+def _lsh_hamming1_oracle_sql(nb: int = 8) -> str:
+    """similarity_lsh_ann's oracle: the query's own bucket plus every
+    Hamming-1 bit flip (nb+1 probes/query), candidates joined on bucket,
+    then the shared exact-cosine ranking tail."""
+    flips = [
+        f"""SELECT query_id, substr(sig, 1, {i - 1})
+             || (CASE WHEN substr(sig, {i}, 1) = '1' THEN '0' ELSE '1' END)
+             || substr(sig, {i + 1}, {nb - i}) AS bucket FROM qs"""
+        for i in range(1, nb + 1)
+    ]
+    probe_union = "\n      UNION ALL\n      ".join(
+        ["SELECT query_id, sig AS bucket FROM qs"] + flips
+    )
+    return f"""
+    WITH {_SQL_LSH_SIG},
+    qs AS (
+      SELECT vec_id AS query_id, bucket AS sig FROM sig
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    probes AS (
+      SELECT DISTINCT query_id, bucket FROM (
+      {probe_union}
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p
+      JOIN sig c ON c.bucket = p.bucket AND c.vec_id <> p.query_id
+    ),
+    {_SQL_ANN_RANK_TAIL}"""
+
+
 @query(
     "similarity_brute_force_topk",
     f"""
@@ -119,16 +208,26 @@ def similarity_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("similarity_lsh_ann")  # hash-bucketed ANN → rows-only
+@query("similarity_lsh_ann", _lsh_hamming1_oracle_sql())
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 scale path — random-hyperplane LSH ANN (8 planes → 256 buckets),
     Hamming-1 multi-probe (9 probes/query) for recall. Planes are fixed/
     deterministic (seeded from plane index via md5). Recall vs brute force
-    asserted in tests/test_similarity.py."""
+    asserted in tests/test_similarity.py.
+
+    Hash-checked (r7, VERDICT r6 #6): the bucket stage is the proven
+    lsh_bucket_assignment_md5 arithmetic (sign bits of sequential-double
+    dots — exact cross-engine), the probe set is a deterministic string
+    transform of the signature, and the candidate ranking follows the
+    brute-force recipe — rank on the raw bit-identical cosine with
+    neighbor_id tie-break, 4-decimal display round."""
     emb = load(spark, "embeddings", sf_dir)
     planes = _fixed_planes(n_planes=8, dim=64)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return lsh_topk(emb, queries, planes, k=10, multi_probe=2)
+    out = lsh_topk(emb, queries, planes, k=10, multi_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rk"
+    )
 
 
 def _fixed_planes(n_planes: int, dim: int) -> list[list[float]]:
@@ -935,22 +1034,6 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # noise can never flip a cell, ties to the lowest id).
 
 
-def _sql_dot(a: str, b: str) -> str:
-    """Sequential double dot product — the DuckDB twin of functions.vector.dot
-    (same left-to-right accumulation order, same per-element double cast)."""
-    return (
-        f"list_sum(list_transform(list_zip({a}, {b}), "
-        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    )
-
-
-def _sql_norm(a: str) -> str:
-    return (
-        f"sqrt(list_sum(list_transform({a}, "
-        "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))"
-    )
-
-
 def _sql_l2sq(a: str, b: str) -> str:
     """Sequential double squared-L2 (b's elements already double)."""
     return (
@@ -1043,24 +1126,10 @@ def ivf_cell_assignment_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lsh_bucket_assignment_md5",
     f"""
-    WITH planes AS (
-      SELECT p, list_transform(generate_series(0, 63), d ->
-               ('0x' || substr(md5('plane' || CAST(p AS VARCHAR) || ':'
-                                   || CAST(d AS VARCHAR)), 1, 8))::BIGINT
-                 / 2147483648.0 - 1.0) AS plane
-      FROM (SELECT unnest(generate_series(0, 7)) AS p)
-    ), sp AS (
-      SELECT e.vec_id, pl.p, {_sql_dot('e.embedding', 'pl.plane')} AS s
-      FROM embeddings e CROSS JOIN planes pl
-    ), b AS (
-      SELECT vec_id,
-             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
-                        ORDER BY p) AS bucket
-      FROM sp GROUP BY vec_id
-    )
+    WITH {_SQL_LSH_SIG}
     SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(min(vec_id) AS BIGINT) AS min_vec_id
-    FROM b GROUP BY bucket
+    FROM sig GROUP BY bucket
     """,
 )
 def lsh_bucket_assignment_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
