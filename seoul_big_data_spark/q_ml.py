@@ -506,10 +506,19 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 — product-quantization codes (m=8 subspaces, k=64 codewords):
     dim×4 bytes → 8 bytes per vector (32x), the memory/IO side of ANN at 100 TB
     (operators/pq.py; determinism + reconstruction-quality pinned in
-    tests/test_pq.py). Codes ride the scan as pure column expressions."""
+    tests/test_pq.py). Codes ride the scan as pure column expressions.
+
+    Codes are emitted as a comma-joined STRING, not array<int>: the driver
+    canonicalizes EVERY output — rows-only included — through a pandas
+    sort that cannot hash list cells (the r7 gate crash on this exact
+    query; same fix as embedding_quantize_int8's q8 column). Lossless:
+    int codes, ',' never appears in an int."""
     emb = load(spark, "embeddings", sf_dir)
     books = _pq_codebooks(spark, sf_dir)
-    return pq_encode(emb, books).select("vec_id", "pq_codes")
+    return pq_encode(emb, books).select(
+        "vec_id",
+        F.concat_ws(",", F.col("pq_codes").cast("array<string>")).alias("pq_codes"),
+    )
 
 
 @query("similarity_pq_adc")  # learned codebooks → rows-only

@@ -1,13 +1,16 @@
-"""Registration-surface lint (VERDICT r4 #1): no oracle-checked query may
-emit an Array/Map/Struct output column.
+"""Registration-surface lint (VERDICT r4 #1, widened r8): NO registered
+query — oracle-checked *or* rows-only — may emit an Array/Map/Struct output
+column.
 
-The driver's correctness gate pandas-sorts result frames before hashing and
-dies on container-typed cells (``TypeError: unhashable type: 'list'`` — the
-r4 ``embedding_quantize_int8`` failure). The builder's local mirror now
-fails on the same cells (tools/local_verify.py::canon raises), and this test
-makes the class unrepresentable at pytest time: every oracle-checked entry's
-*lazy* output schema is scanned, so a reintroduction fails CI before it can
-fail the driver. Vectors belong in the comparison as strings
+The driver's correctness gate pandas-sorts EVERY result frame before
+recording it — rows-only entries included — and dies on container-typed
+cells (``TypeError: unhashable type: 'list'``). This bit twice: the r4
+``embedding_quantize_int8`` failure (oracle-checked) and the r7
+``embedding_pq_codes`` failure (rows-only, which the r5 lint's
+oracle-checked scope missed). The builder's local mirror now canonicalizes
+rows-only outputs too (tools/local_verify.py), and this test scans every
+``queries()`` entry's *lazy* output schema, so a reintroduction fails CI
+before it can fail the driver. Vectors belong in the comparison as strings
 (``concat_ws(',', ...)`` / ``array_to_string(..., ',')``).
 """
 
@@ -27,10 +30,10 @@ def _complex_cols(df):
     ]
 
 
-def test_no_complex_output_types_in_oracle_checked_queries(spark, sf_dir):
+def test_no_complex_output_types_in_any_registered_query(spark, sf_dir):
     offenders: dict[str, list[str]] = {}
     build_errors: dict[str, str] = {}
-    for name in sorted(ORACLES):
+    for name in sorted(QUERIES):
         try:
             df = QUERIES[name](spark, sf_dir)
         except Exception as ex:  # build failures belong to other tests
@@ -41,9 +44,13 @@ def test_no_complex_output_types_in_oracle_checked_queries(spark, sf_dir):
             offenders[name] = bad
     assert not build_errors, build_errors
     assert not offenders, (
-        "oracle-checked queries with container-typed output columns "
+        "registered queries with container-typed output columns "
         f"(driver canonicalizer cannot hash these): {offenders}"
     )
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
 
 
 def test_lint_catches_array_output(spark):

@@ -49,7 +49,7 @@ def canon(v):
         # exactly where the driver fails — serialize arrays to strings in
         # the query itself instead.
         raise TypeError(
-            f"complex-typed cell in oracle-checked output: {type(v).__name__}"
+            f"complex-typed cell in query output: {type(v).__name__}"
         )
     return str(v)
 
@@ -85,6 +85,19 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            # The driver canonicalizes rows-only outputs too (pandas sort
+            # over every cell) — the r7 embedding_pq_codes crash happened
+            # on a rows-only entry this branch used to short-circuit past.
+            # Run canon() over every cell so the mirror fails exactly where
+            # the driver fails, oracle or not.
+            try:
+                for r in srows:
+                    for v in r:
+                        canon(v)
+            except TypeError as e:
+                results[name] = f"COMPLEX TYPE: {e}"
+                print(f"FAIL {name}: rows-only canonicalization: {e}")
+                continue
             results[name] = f"rows-only: {len(srows)} rows"
             print(f"OK?  {name}: no oracle, {len(srows)} rows")
             continue
