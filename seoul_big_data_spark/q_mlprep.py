@@ -1150,7 +1150,17 @@ def mlprep_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: per-language calibration (row count, summed predicted P(en))
     — the separation report a filtering threshold is chosen from."""
-    feats = _irls_feats(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # Persist the 4-column DECIMAL feats frame: the regex strip +
+    # tokenization over `text` is the expensive part, and without the
+    # persist each of the 6 Newton steps plus the scoring pass re-scans
+    # the corpus — 7 full text scans where 1 + 6 cheap columnar passes do
+    # (VERDICT r7 #3; the 1.78 s -> 2.92 s extended-bench regression).
+    # Not unpersisted here: the returned frame is lazy and the scoring pass
+    # must still read the cache when the caller collects it. Same
+    # persist-and-let-LRU-evict lifecycle as the other persists in this file.
+    feats = _irls_feats(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     beta = _irls6_fit(feats)
     return (
         feats.withColumn("_p", _p6_col(beta))

@@ -554,6 +554,44 @@ _R1_OFFICIAL = frozenset({
 _OFFICIAL_GREEN = None  # resolved lazily after _R1_OFFICIAL is defined
 
 
+def _stale_hash_names() -> frozenset:
+    """Queries whose source/oracle changed since their last certification
+    (ADVICE r7): compare each entry's CURRENT sha256(function source +
+    oracle SQL) against tools/cert_hashes.json, the ledger
+    tools/record_cert_hashes.py refreshes once per round right after the
+    new CORRECTNESS file is committed. A mismatch means the official green
+    row describes a different query text — treat the entry as never gated
+    (rank -1) so semantic changes re-front automatically instead of waiting
+    for staleness rotation."""
+    import hashlib
+    import inspect
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "tools", "cert_hashes.json")
+    try:
+        with open(path) as fh:
+            ledger = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return frozenset()
+    stale = set()
+    for name, rec in ledger.items():
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = repr(fn)
+        cur = hashlib.sha256(
+            (src + "\0" + ORACLES.get(name, "")).encode()
+        ).hexdigest()[:16]
+        if cur != rec.get("hash"):
+            stale.add(name)
+    return frozenset(stale)
+
+
 # Round-7 ordering (VERDICT r6 #1): the 23 never-gated entries front the
 # slice — oracle-checked conversions first, then the declared rows-only
 # tail — and the ~27 spare slots re-certify the stalest official records
@@ -563,6 +601,8 @@ _OFFICIAL_GREEN = None  # resolved lazily after _R1_OFFICIAL is defined
 
 
 def _gate_rank(name: str) -> int:
+    if name in _STALE_HASH:
+        return -1  # source/oracle changed since certification: re-front
     if name in _OFFICIAL_GREEN:
         return 3  # already officially green in a prior round
     if name not in _LATEST_ROUND:
@@ -576,6 +616,7 @@ def _gate_rank(name: str) -> int:
 
 
 _OFFICIAL_GREEN, _LATEST_ROUND = _gating_record()
+_STALE_HASH = _stale_hash_names()
 _REG_IDX = {n: i for i, n in enumerate(QUERIES)}
 # Within each band, oracle-checked queries first: a hash-match row is strictly
 # stronger official evidence than a rows-only run, so rows-only entries should
