@@ -146,20 +146,30 @@ def kmeans_fit(
                 assigned = normed.select(
                     _nearest_cell("_v", centroids).alias("cell"), "_v"
                 )
+            # Per-cell means ROUNDED to 6 decimals (r8): the one
+            # sum-order-dependent stage of the fit. Rounding pins each
+            # iteration's centroids to values any engine reproduces exactly
+            # (sub-ulp accumulation noise never crosses a 1e-6 boundary off
+            # midpoints — the repo's cell-assignment convention), which is
+            # what lets similarity_ivf_ann's oracle re-run the same Lloyd
+            # trajectory in DuckDB SQL. Normalization is math.sqrt of a
+            # sequential sum — IEEE-exact on both engines.
             means = (
                 assigned.groupBy("cell")
                 .agg(
                     *[
-                        F.avg(F.element_at("_v", i + 1)).alias(f"c{i}")
+                        F.round(F.avg(F.element_at("_v", i + 1)), 6).alias(f"c{i}")
                         for i in range(dim)
                     ]
                 )
                 .collect()
             )
+            import math
+
             nxt = list(centroids)  # empty cells keep the previous centroid
             for r in means:
                 v = [r[f"c{i}"] for i in range(dim)]
-                n = sum(x * x for x in v) ** 0.5
+                n = math.sqrt(sum(x * x for x in v))
                 nxt[r["cell"]] = [x / n for x in v] if n > 0 else v
             centroids = nxt
         return centroids

@@ -42,8 +42,9 @@ def _sql_norm(a: str) -> str:
 
 # Shared LSH signature CTEs: md5-derived hyperplanes (the SQL twin of
 # _fixed_planes), per-(vector, plane) sequential-double dots, and the
-# sign-bit signature string. Used by lsh_bucket_assignment_md5 and both
-# hash-checked ANN ranking oracles.
+# sign-bit signature string. Used by lsh_bucket_assignment_md5 and the
+# hash-checked ANN ranking oracles (similarity_lsh_ann's Hamming-1 probes
+# and similarity_lsh_ann_adaptive's margin-ranked probe sequence).
 _SQL_LSH_SIG = f"""planes AS (
       SELECT p, list_transform(generate_series(0, 63), d ->
                ('0x' || substr(md5('plane' || CAST(p AS VARCHAR) || ':'
@@ -99,6 +100,55 @@ def _lsh_hamming1_oracle_sql(nb: int = 8) -> str:
     qs AS (
       SELECT vec_id AS query_id, bucket AS sig FROM sig
       WHERE vec_id < {_N_QUERIES}
+    ),
+    probes AS (
+      SELECT DISTINCT query_id, bucket FROM (
+      {probe_union}
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p
+      JOIN sig c ON c.bucket = p.bucket AND c.vec_id <> p.query_id
+    ),
+    {_SQL_ANN_RANK_TAIL}"""
+
+
+def _lsh_adaptive_oracle_sql(nb: int = 8, probes: int = 12) -> str:
+    """similarity_lsh_ann_adaptive's oracle (ADVICE r7 / VERDICT r6 #6):
+    the query-adaptive multi-probe sequence rendered in SQL. Per query, the
+    plane margin ranking is list(p ORDER BY round(abs(dot), 6), p) — the
+    same 6-decimal margin round the Spark side applies before ranking, so
+    sub-ulp cross-engine noise can never reorder planes — and each probe in
+    the (static) perturbation pattern flips the chars of the signature at
+    the margin-ranked plane positions. Candidates and ranking then follow
+    the shared brute-force recipe."""
+    from .operators.similarity import _PROBE_PATTERN
+
+    sets = [s for s in _PROBE_PATTERN if all(p < nb for p in s)][: probes - 1]
+
+    def flip_sql(pset: tuple) -> str:
+        ranked = ", ".join(f"rnk[{p + 1}]" for p in pset)
+        return f"""SELECT query_id, array_to_string(
+        list_transform(generate_series(0, {nb - 1}), i ->
+          CASE WHEN list_contains([{ranked}], i)
+               THEN (CASE WHEN substr(sig, i + 1, 1) = '1'
+                          THEN '0' ELSE '1' END)
+               ELSE substr(sig, i + 1, 1) END), '') AS bucket FROM qs"""
+
+    probe_union = "\n      UNION ALL\n      ".join(
+        ["SELECT query_id, sig AS bucket FROM qs"] + [flip_sql(s) for s in sets]
+    )
+    return f"""
+    WITH {_SQL_LSH_SIG},
+    qm AS (
+      SELECT vec_id AS query_id,
+             list(p ORDER BY round(abs(s), 6), p) AS rnk
+      FROM sp WHERE vec_id < {_N_QUERIES} GROUP BY vec_id
+    ),
+    qs AS (
+      SELECT s.vec_id AS query_id, s.bucket AS sig, qm.rnk
+      FROM sig s JOIN qm ON qm.query_id = s.vec_id
     ),
     probes AS (
       SELECT DISTINCT query_id, bucket FROM (
@@ -347,21 +397,112 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_lsh_ann_adaptive")  # hash-bucketed ANN → rows-only
+@query("similarity_lsh_ann_adaptive", _lsh_adaptive_oracle_sql())
 def similarity_lsh_ann_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 scale path, tuned probing — query-adaptive multi-probe LSH
     (margin-ranked perturbation sequence, 12 probes/query against 8 planes).
     Unlike Hamming-1 blanket probing, the probe budget is independent of the
     signature width: widen to 16+ planes for finer buckets at 100 TB without
     multiplying reads. Recall monotonicity and the probe-count contract are
-    asserted in tests/test_similarity.py."""
+    asserted in tests/test_similarity.py.
+
+    Hash-checked (r8): same recipe as similarity_lsh_ann — proven signature
+    arithmetic, 6-decimal-rounded margins rank the planes identically on
+    both engines, the static perturbation pattern is rendered per-set into
+    the oracle, and the ranking follows the brute-force recipe."""
     emb = load(spark, "embeddings", sf_dir)
     planes = _fixed_planes(n_planes=8, dim=64)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return lsh_topk(emb, queries, planes, k=10, probes=12)
+    out = lsh_topk(emb, queries, planes, k=10, probes=12)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rk"
+    )
 
 
-@query("similarity_ivf_ann")  # learned-partition ANN → rows-only
+def _ivf_ann_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 3) -> str:
+    """similarity_ivf_ann's oracle (VERDICT r7 #4): the FULL Lloyd
+    trajectory re-run in DuckDB SQL. The fit's one sum-order-dependent
+    stage — per-cell means — is rounded to 6 decimals on both engines
+    (operators/ivf.py r8 contract), so every iteration's centroids are
+    bit-identical cross-engine: seeding (md5-smallest ids, sequential-
+    double normalization), raw-dot argmax assignment with lowest-cell
+    ties, mean → round(6) → math.sqrt-normalize. Probing and ranking then
+    follow the shared brute-force recipe."""
+    # both operands already DOUBLE[] — skip the per-element casts
+    def dd(a: str, b: str) -> str:
+        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+    parts = [f"""ne AS (
+      SELECT vec_id,
+             CASE WHEN {_sql_norm('embedding')} > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) / {_sql_norm('embedding')})
+                  ELSE list_transform(embedding, x -> CAST(x AS DOUBLE))
+             END AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cn0 AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             v AS c
+      FROM (SELECT vec_id, v FROM ne
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+    )"""]
+    for i in range(1, iters + 1):
+        mvn = f"sqrt(list_sum(list_transform(mv.mv, y -> y * y)))"
+        parts.append(f""",
+    a{i} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT ne.vec_id, ne.v, cn.cell,
+               row_number() OVER (PARTITION BY ne.vec_id
+                 ORDER BY {dd('ne.v', 'cn.c')} DESC, cn.cell) AS rk
+        FROM ne CROSS JOIN cn{i - 1} cn
+      ) WHERE rk = 1
+    ),
+    mm{i} AS (
+      SELECT cell, idx, round(avg(x), 6) AS m
+      FROM (SELECT cell, unnest(v) AS x,
+                   unnest(range(1, len(v) + 1)) AS idx FROM a{i})
+      GROUP BY cell, idx
+    ),
+    mv{i} AS (SELECT cell, list(m ORDER BY idx) AS mv FROM mm{i} GROUP BY cell),
+    cn{i} AS (
+      SELECT c0.cell,
+             CASE WHEN mv.mv IS NULL THEN c0.c
+                  WHEN {mvn} > 0
+                  THEN list_transform(mv.mv, x -> x / {mvn})
+                  ELSE mv.mv END AS c
+      FROM cn{i - 1} c0 LEFT JOIN mv{i} mv USING (cell)
+    )""")
+    parts.append(f""",
+    corpus AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT e.vec_id, cn.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_sql_dot('e.embedding', 'cn.c')} DESC, cn.cell) AS rk
+        FROM embeddings e CROSS JOIN cn{iters} cn
+      ) WHERE rk = 1
+    ),
+    qprobe AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, cn.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_sql_dot('e.embedding', 'cn.c')} DESC, cn.cell) AS pr
+        FROM embeddings e CROSS JOIN cn{iters} cn
+        WHERE e.vec_id < {_N_QUERIES}
+      ) WHERE pr <= {nprobe}
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id
+      FROM qprobe q
+      JOIN corpus c ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+    )""")
+    return f"""
+    WITH {"".join(parts)},
+    {_SQL_ANN_RANK_TAIL}"""
+
+
+@query("similarity_ivf_ann", _ivf_ann_oracle_sql())
 def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 scale path, learned partitioning — IVF ANN: spherical k-means
     coarse quantizer (8 cells, md5-seeded, deterministic), queries probe
@@ -369,11 +510,21 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty half-spaces, IVF cells track the data distribution; at scale the
     corpus is written partitioned by cell so a probe reads one partition.
     Exactness at nprobe=k and recall at nprobe<k asserted in
-    tests/test_ivf.py."""
+    tests/test_ivf.py.
+
+    Hash-checked (r8): the oracle replays the entire Lloyd fit in SQL —
+    possible because the fit's per-cell means round to 6 decimals
+    (operators/ivf.py), pinning each iteration's centroids bit-identically
+    on both engines; assignments are raw sequential-double argmax dots on
+    those identical inputs, and the ranking follows the brute-force
+    recipe (raw cosine, neighbor_id tie-break, 4-decimal display round)."""
     emb = load(spark, "embeddings", sf_dir)
     centroids = _ivf_centroids(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return ivf_topk(emb, queries, centroids, k=10, nprobe=3)
+    out = ivf_topk(emb, queries, centroids, k=10, nprobe=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rk"
+    )
 
 
 @query("dedup_semantic_ivf")  # learned-cluster candidate gen → rows-only

@@ -40,7 +40,9 @@ def _numpy_kmeans(ids, vecs, k, iters):
         for c in range(k):
             members = v[cells == c]
             if len(members):
-                m = members.mean(axis=0)
+                # mirror the fit's r8 contract: per-cell means rounded to 6
+                # decimals before normalization (cross-engine determinism)
+                m = np.round(members.mean(axis=0), 6)
                 n = np.linalg.norm(m)
                 nxt[c] = m / n if n > 0 else m
         cents = nxt
