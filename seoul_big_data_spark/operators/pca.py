@@ -70,6 +70,7 @@ def top_component(
     df: DataFrame,
     vec_col: str = "embedding",
     n_iter: int = 100,
+    round_to: int | None = None,
 ) -> list[float]:
     """Top eigenvector of the Gram matrix via driver-side power iteration.
 
@@ -77,6 +78,12 @@ def top_component(
     floats) is the only thing collected. Deterministic: fixed all-ones
     start, fixed iteration count, sign fixed so the largest-|.|
     component is positive (ties broken by lowest index).
+
+    ``round_to`` (r8): round each collected Gram entry to that many
+    decimals before iterating — the Gram sums are the computation's one
+    sum-order-dependent stage, so rounding pins the input matrix to a
+    value any engine reproduces exactly (the cross-engine-oracle
+    convention; see embedding_pc1_projection).
     """
     import numpy as np
 
@@ -84,8 +91,9 @@ def top_component(
     d = max(r["j"] for r in rows)
     g = np.zeros((d, d), dtype=np.float64)
     for r in rows:
-        g[r["i"] - 1, r["j"] - 1] = r["g"]
-        g[r["j"] - 1, r["i"] - 1] = r["g"]
+        val = round(r["g"], round_to) if round_to is not None else r["g"]
+        g[r["i"] - 1, r["j"] - 1] = val
+        g[r["j"] - 1, r["i"] - 1] = val
     v = np.ones(d, dtype=np.float64) / np.sqrt(d)
     for _ in range(n_iter):
         w = g @ v
@@ -111,7 +119,7 @@ def project_scalar(df: DataFrame, direction: list[float], vec_col: str = "embedd
     )
 
 
-def moment_sums(df: DataFrame, vec_col: str = "embedding"):
+def moment_sums(df: DataFrame, vec_col: str = "embedding", round_to: int | None = None):
     """(n, sum vector, Gram matrix) in ONE distributed pass: each Arrow
     batch contributes float64 partials (count scalar, d sums, d x d Gram —
     ``X.T @ X``), keyed so a single groupBy reduces them; the driver
@@ -159,6 +167,14 @@ def moment_sums(df: DataFrame, vec_col: str = "embedding"):
     g = np.zeros((d, d), dtype=np.float64)
     for r in parts:
         i, j, v = r["i"], r["j"], r["v"]
+        if round_to is not None and not (i == 0 and j == 0):
+            # r8 cross-engine contract: the moment sums are the pipeline's
+            # only sum-order-dependent stage; rounding pins them to values
+            # any engine reproduces exactly (see embedding_whitening) —
+            # essential when n < d leaves cov rank-deficient and the
+            # (cov+eps I)^-1 condition number would otherwise amplify
+            # sub-ulp moment noise into the output.
+            v = round(v, round_to)
         if i == 0 and j == 0:
             n = v
         elif j == 0:
