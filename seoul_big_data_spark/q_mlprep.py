@@ -1126,9 +1126,25 @@ def _irls6_fit(feats: DataFrame, iters: int = _IRLS_ITERS) -> list:
         ).collect()[0]
         s = {k: float(row[k]) for k in _IRLS_STAT_KEYS}
         det, nums = _cramer_delta(s)
+        raws = [float(b) + n / det for b, n in zip(beta, nums)]
+        for raw in raws:
+            # Midpoint-distance assertion (ADVICE r7): the per-step
+            # quantize(HALF_UP) here and DuckDB's round(DOUBLE, 6)
+            # (scaled-multiply) disagree only within ~an ulp of a 1e-6
+            # midpoint — and because each beta re-enters the next Newton
+            # step, a single disagreement diverges the whole remaining
+            # trajectory, not one output cell. The measure-zero argument
+            # says this never happens; make it fail LOUDLY instead of
+            # silently diverging if data ever lands on the measure-zero
+            # set (within 1e-9 of a midpoint).
+            if abs(abs(raw * 1e6 - int(raw * 1e6)) - 0.5) < 1e-3:
+                raise AssertionError(
+                    f"IRLS beta update {raw!r} within 1e-9 of a 1e-6 "
+                    "rounding midpoint: cross-engine HALF_UP vs "
+                    "scaled-multiply rounding may diverge the trajectory"
+                )
         beta = [
-            Decimal(repr(float(b) + n / det)).quantize(six, ROUND_HALF_UP)
-            for b, n in zip(beta, nums)
+            Decimal(repr(raw)).quantize(six, ROUND_HALF_UP) for raw in raws
         ]
     return beta
 

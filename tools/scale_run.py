@@ -229,6 +229,63 @@ def _semantic_kscaled_hier(mult: int):
     return run
 
 
+def _semantic_kscaled_fit(mult: int):
+    """Stage decomposition (VERDICT r6 #4 / r7 #5), stage 1 of 3: the
+    md5-seeded iters=0 fit alone — one normalized scan + a distributed
+    top-k collect of k seed vectors. Timed so full − assign − fit isolates
+    the pair stage arithmetically from the same SCALE_RUN.json rows."""
+
+    def run(spark, sf_dir):
+        from seoul_big_data_spark.operators.ivf import kmeans_fit  # noqa: PLC0415
+        from seoul_big_data_spark.sources.tables import load  # noqa: PLC0415
+
+        kmeans_fit(load(spark, "embeddings", sf_dir), k=8 * mult, iters=0)
+        return spark.range(1)
+
+    return run
+
+
+def _semantic_kscaled_assign(mult: int):
+    """Stage decomposition, stages 1+2: fit + cell assignment + the per-cell
+    size aggregate (forces full materialization of the assignment), WITHOUT
+    the pair join — the kscaled full-query time minus this is the pair
+    stage. Same bulk-path routing boundary as the full variant."""
+
+    def run(spark, sf_dir):
+        from seoul_big_data_spark.operators.ivf import (  # noqa: PLC0415
+            assign_cells,
+            assign_cells_bulk,
+            kmeans_fit,
+        )
+        from seoul_big_data_spark.sources.tables import load  # noqa: PLC0415
+
+        emb = load(spark, "embeddings", sf_dir)
+        k = 8 * mult
+        cents = kmeans_fit(emb, k=k, iters=0)
+        assigner = assign_cells_bulk if k >= 64 else assign_cells
+        return assigner(emb, cents).groupBy("cell").count()
+
+    return run
+
+
+def _semantic_kscaled_hier_assign(mult: int):
+    """Stage decomposition for the hierarchical variant: fit + the
+    O(√k)-MACs coarse-then-fine assignment + per-cell sizes, no pair join."""
+
+    def run(spark, sf_dir):
+        from seoul_big_data_spark.operators.ivf import (  # noqa: PLC0415
+            assign_cells_hier,
+            kmeans_fit,
+        )
+        from seoul_big_data_spark.sources.tables import load  # noqa: PLC0415
+
+        emb = load(spark, "embeddings", sf_dir)
+        cents = kmeans_fit(emb, k=8 * mult, iters=0)
+        return assign_cells_hier(emb, cents).groupBy("cell").count()
+
+    return run
+
+
 # Harness-level scale variants: name → factory(mult) → callable(spark, dir).
 # For operators whose registered query pins a size parameter for oracle
 # determinism, the variant re-parameterizes it the way a real deployment
@@ -237,7 +294,14 @@ def _semantic_kscaled_hier(mult: int):
 VARIANTS = {
     "dedup_semantic_cells_kscaled": _semantic_kscaled,
     "dedup_semantic_cells_kscaled_hier": _semantic_kscaled_hier,
+    "dedup_semantic_cells_kscaled_fit": _semantic_kscaled_fit,
+    "dedup_semantic_cells_kscaled_assign": _semantic_kscaled_assign,
+    "dedup_semantic_cells_kscaled_hier_assign": _semantic_kscaled_hier_assign,
 }
+
+# Tables each variant actually reads — lets a high tier (x512) build only
+# what the requested queries scan instead of the full 10-table replica set.
+VARIANT_TABLES = {name: ("embeddings",) for name in VARIANTS}
 
 
 def _offsets(spark) -> dict[str, int]:
@@ -257,8 +321,14 @@ def _offsets(spark) -> dict[str, int]:
     return strides
 
 
-def build(spark, mult: int) -> str:
-    """Materialize the xM replica set; returns its sf_dir (cached)."""
+def build(spark, mult: int, tables: tuple | None = None) -> str:
+    """Materialize the xM replica set; returns its sf_dir (cached).
+
+    ``tables`` (r8): build only that subset — the x512 tier exists for the
+    kscaled embeddings curves, and replicating the other nine tables 512×
+    would cost build time and disk for data nothing reads. A subset build
+    never writes the tier ``_complete`` marker (per-table recipe markers
+    still cache each table), so a later full build resumes correctly."""
     out = os.path.join(SCALE_DIR, f"x{mult}")
     marker = os.path.join(out, "_complete")
     if _marker_ok(marker):
@@ -271,7 +341,8 @@ def build(spark, mult: int) -> str:
     reps = F.broadcast(
         spark.range(mult).select(F.col("id").cast("long").alias("_rep"))
     )
-    for table in TABLES:
+    subset = tables is not None
+    for table in (tables if subset else TABLES):
         src = os.path.join(BASE_SF, f"{table}.parquet")
         dst = os.path.join(out, f"{table}.parquet")
         tmarker = os.path.join(out, f"{table}.recipe")
@@ -348,7 +419,8 @@ def build(spark, mult: int) -> str:
                 )
         rep.drop("_rep").write.mode("overwrite").parquet(dst)
         _write_marker(tmarker)
-    _write_marker(marker)
+    if not subset:
+        _write_marker(marker)
     return out
 
 
@@ -441,10 +513,16 @@ def main() -> None:
         return
 
     spark = get_spark("scale_run")
+    # Build only the tables the requested queries scan when every requested
+    # name declares its scan set (the kscaled x512 case); a registered query
+    # in the list means the full replica set.
+    need: tuple | None = None
+    if all(n in VARIANT_TABLES for n in names):
+        need = tuple(sorted({t for n in names for t in VARIANT_TABLES[n]}))
     dirs: dict[int, str] = {}
     for m in mults:
         t0 = time.perf_counter()
-        dirs[m] = BASE_SF if m == 1 else build(spark, m)
+        dirs[m] = BASE_SF if m == 1 else build(spark, m, tables=need)
         print(f"[build x{m}] {time.perf_counter() - t0:.1f}s -> {dirs[m]}")
 
     out_path = os.path.join(ROOT, "SCALE_RUN.json")
