@@ -97,6 +97,13 @@ def pq_fit(
         for s in range(m):
             for _ in range(iters):
                 nearest = _nearest_sub_udf(codebooks[s])
+                # Per-cell means ROUNDED to 6 decimals (r8): the fit's one
+                # sum-order-dependent stage — rounding pins each iteration's
+                # codebooks to values any engine reproduces exactly (the
+                # kmeans_fit convention), which is what lets the PQ queries'
+                # oracles replay the whole fit in DuckDB SQL. Every other
+                # stage (slicing, squared-L2 argmin over <=128-element
+                # sequential sums, code lookup) is already bit-exact.
                 means = (
                     sliced.select(
                         nearest(f"_v{s}").alias("cell"),
@@ -105,7 +112,9 @@ def pq_fit(
                     .groupBy("cell")
                     .agg(
                         *[
-                            F.avg(F.element_at(f"_v{s}", i + 1)).alias(f"c{i}")
+                            F.round(
+                                F.avg(F.element_at(f"_v{s}", i + 1)), 6
+                            ).alias(f"c{i}")
                             for i in range(d_sub)
                         ]
                     )

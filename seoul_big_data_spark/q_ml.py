@@ -419,20 +419,23 @@ def similarity_lsh_ann_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_ann_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 3) -> str:
-    """similarity_ivf_ann's oracle (VERDICT r7 #4): the FULL Lloyd
-    trajectory re-run in DuckDB SQL. The fit's one sum-order-dependent
-    stage — per-cell means — is rounded to 6 decimals on both engines
-    (operators/ivf.py r8 contract), so every iteration's centroids are
-    bit-identical cross-engine: seeding (md5-smallest ids, sequential-
-    double normalization), raw-dot argmax assignment with lowest-cell
-    ties, mean → round(6) → math.sqrt-normalize. Probing and ranking then
-    follow the shared brute-force recipe."""
-    # both operands already DOUBLE[] — skip the per-element casts
-    def dd(a: str, b: str) -> str:
-        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+def _dd(a: str, b: str) -> str:
+    """Sequential double dot for operands already DOUBLE[] (no casts)."""
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
 
-    parts = [f"""ne AS (
+
+def _sql_lloyd_cells(k: int = 8, iters: int = 3) -> str:
+    """Shared CTE fragment (r8): kmeans_fit's FULL Lloyd trajectory re-run
+    in DuckDB SQL, ending at centroid table ``cn{iters}`` (cell, c) and
+    corpus assignment ``corpus`` (neighbor_id, cell). Possible because the
+    fit's one sum-order-dependent stage — per-cell means — is rounded to 6
+    decimals on both engines (operators/ivf.py r8 contract), so every
+    iteration's centroids are bit-identical cross-engine: seeding
+    (md5-smallest ids, sequential-double normalization), raw-dot argmax
+    assignment with lowest-cell ties, mean → round(6) →
+    math.sqrt-normalize. Used by similarity_ivf_ann, dedup_semantic_ivf,
+    and similarity_ivf_pq_ann."""
+    parts = [f"""ne AS MATERIALIZED (
       SELECT vec_id,
              CASE WHEN {_sql_norm('embedding')} > 0
                   THEN list_transform(embedding,
@@ -441,7 +444,7 @@ def _ivf_ann_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 3) -> str:
              END AS v
       FROM embeddings WHERE embedding IS NOT NULL
     ),
-    cn0 AS (
+    cn0 AS MATERIALIZED (
       SELECT row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
              v AS c
@@ -449,13 +452,13 @@ def _ivf_ann_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 3) -> str:
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
     )"""]
     for i in range(1, iters + 1):
-        mvn = f"sqrt(list_sum(list_transform(mv.mv, y -> y * y)))"
+        mvn = "sqrt(list_sum(list_transform(mv.mv, y -> y * y)))"
         parts.append(f""",
     a{i} AS (
       SELECT vec_id, v, cell FROM (
         SELECT ne.vec_id, ne.v, cn.cell,
                row_number() OVER (PARTITION BY ne.vec_id
-                 ORDER BY {dd('ne.v', 'cn.c')} DESC, cn.cell) AS rk
+                 ORDER BY {_dd('ne.v', 'cn.c')} DESC, cn.cell) AS rk
         FROM ne CROSS JOIN cn{i - 1} cn
       ) WHERE rk = 1
     ),
@@ -466,7 +469,7 @@ def _ivf_ann_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 3) -> str:
       GROUP BY cell, idx
     ),
     mv{i} AS (SELECT cell, list(m ORDER BY idx) AS mv FROM mm{i} GROUP BY cell),
-    cn{i} AS (
+    cn{i} AS MATERIALIZED (
       SELECT c0.cell,
              CASE WHEN mv.mv IS NULL THEN c0.c
                   WHEN {mvn} > 0
@@ -475,14 +478,21 @@ def _ivf_ann_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 3) -> str:
       FROM cn{i - 1} c0 LEFT JOIN mv{i} mv USING (cell)
     )""")
     parts.append(f""",
-    corpus AS (
+    corpus AS MATERIALIZED (
       SELECT vec_id AS neighbor_id, cell FROM (
         SELECT e.vec_id, cn.cell,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY {_sql_dot('e.embedding', 'cn.c')} DESC, cn.cell) AS rk
         FROM embeddings e CROSS JOIN cn{iters} cn
       ) WHERE rk = 1
-    ),
+    )""")
+    return "".join(parts)
+
+
+def _sql_ivf_probe_cand(iters: int = 3, nprobe: int = 3) -> str:
+    """CTE fragment appended after :func:`_sql_lloyd_cells`: per-query
+    nprobe nearest cells + same-cell candidate pairs."""
+    return f""",
     qprobe AS (
       SELECT query_id, cell FROM (
         SELECT e.vec_id AS query_id, cn.cell,
@@ -496,9 +506,15 @@ def _ivf_ann_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 3) -> str:
       SELECT DISTINCT q.query_id, c.neighbor_id
       FROM qprobe q
       JOIN corpus c ON c.cell = q.cell AND c.neighbor_id <> q.query_id
-    )""")
+    )"""
+
+
+def _ivf_ann_oracle_sql(k: int = 8, iters: int = 3, nprobe: int = 3) -> str:
+    """similarity_ivf_ann's oracle (VERDICT r7 #4): Lloyd replay
+    (:func:`_sql_lloyd_cells`), nprobe cell probing, shared brute-force
+    ranking tail."""
     return f"""
-    WITH {"".join(parts)},
+    WITH {_sql_lloyd_cells(k, iters)}{_sql_ivf_probe_cand(iters, nprobe)},
     {_SQL_ANN_RANK_TAIL}"""
 
 
@@ -527,13 +543,44 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_semantic_ivf")  # learned-cluster candidate gen → rows-only
+def _semantic_ivf_oracle_sql(threshold: float = 0.25) -> str:
+    """dedup_semantic_ivf's oracle (r8): Lloyd replay for the cells, then
+    the same-cell pair join with the exact raw-cosine threshold. The
+    threshold compares RAW sequential-double cosines, bit-identical on
+    both engines (identical rounded centroids → identical assignments;
+    dot/norm are sequential on identical inputs), so the discrete
+    keep/drop decision can never diverge."""
+    return f"""
+    WITH {_sql_lloyd_cells(8, 3)},
+    base AS (
+      SELECT c.neighbor_id AS id, c.cell,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_sql_norm('e.embedding')} AS n
+      FROM corpus c JOIN embeddings e ON e.vec_id = c.neighbor_id
+    ),
+    pr AS (
+      SELECT a.cell, a.id AS id_a, b.id AS id_b,
+             CASE WHEN a.n * b.n > 0
+                  THEN {_dd('a.v', 'b.v')} / (a.n * b.n)
+                  ELSE 0.0 END AS cos_raw
+      FROM base a JOIN base b ON a.cell = b.cell AND a.id < b.id
+    )
+    SELECT CAST(cell AS INTEGER) AS cell, id_a, id_b,
+           round(cos_raw, 4) AS cos
+    FROM pr WHERE cos_raw >= {threshold!r}"""
+
+
+@query("dedup_semantic_ivf", _semantic_ivf_oracle_sql())
 def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 scale path — SemDeDup-style semantic near-dup pairs: candidates
     only within a k-means cell (Σ|cell|² comparisons instead of N²), exact
     cosine filter after. Exact duplicates share a nearest centroid by
     construction so they are never missed; the subset property and recall
-    vs the global pair set are asserted in tests/test_ivf.py."""
+    vs the global pair set are asserted in tests/test_ivf.py.
+
+    Hash-checked (r8): the oracle replays the Lloyd fit
+    (:func:`_sql_lloyd_cells`) and mirrors the pair join; the >= threshold
+    decision is on raw bit-identical cosines."""
     emb = load(spark, "embeddings", sf_dir)
     centroids = _ivf_centroids(spark, sf_dir)
     return semantic_dedup_pairs(emb, centroids, threshold=0.25)
@@ -652,7 +699,88 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str, m: int = 8, k: int = 64):
     return _PQ_CACHE[key]
 
 
-@query("embedding_pq_codes")  # learned codebooks → rows-only
+def _sql_l2dd(a: str, b: str) -> str:
+    """Sequential squared L2 for operands already DOUBLE[]."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _sql_pq_codebooks(m: int = 8, k: int = 64, iters: int = 5, dim: int = 64) -> str:
+    """Shared CTE fragment (r8): pq_fit's FULL per-subspace Lloyd replay in
+    DuckDB SQL, ending at codebook table ``cb{iters}`` (s, code, c) and the
+    final assignment ``enc`` (vec_id, s, code). Same enabler as
+    :func:`_sql_lloyd_cells`: pq_fit rounds per-cell means to 6 decimals
+    (operators/pq.py r8), so every iteration's codebooks are bit-identical
+    cross-engine; slicing is exact, and the squared-L2 argmin compares
+    sequential 8-element sums that numpy (<= 8 elements: no pairwise
+    split) and DuckDB compute identically, ties to the lowest code.
+    Subspaces stay RELATIONAL (an ``s`` column) — only iterations unroll.
+    Matrix-iteration CTEs are MATERIALIZED (DuckDB inlines plain CTEs —
+    exponential through an iteration chain)."""
+    d_sub = dim // m
+    parts = [f"""sv AS MATERIALIZED (
+      SELECT vec_id, s,
+             list_transform(list_slice(embedding, s * {d_sub} + 1,
+                                       s * {d_sub} + {d_sub}),
+                            x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, {m})) AS s)
+    ),
+    pqseeds AS (
+      SELECT vec_id, row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      FROM (SELECT vec_id FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+    ),
+    cb0 AS MATERIALIZED (
+      SELECT sv.s, pqseeds.code, sv.v AS c
+      FROM pqseeds JOIN sv ON sv.vec_id = pqseeds.vec_id
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    pa{i} AS (
+      SELECT vec_id, s, v, code FROM (
+        SELECT sv.vec_id, sv.s, sv.v, cb.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                 ORDER BY {_sql_l2dd('sv.v', 'cb.c')}, cb.code) AS rk
+        FROM sv JOIN cb{i - 1} cb ON cb.s = sv.s
+      ) WHERE rk = 1
+    ),
+    pm{i} AS (
+      SELECT s, code, list(m6 ORDER BY idx) AS mv FROM (
+        SELECT s, code, idx, round(avg(x), 6) AS m6
+        FROM (SELECT s, code, unnest(v) AS x,
+                     unnest(range(1, len(v) + 1)) AS idx FROM pa{i})
+        GROUP BY s, code, idx
+      ) GROUP BY s, code
+    ),
+    cb{i} AS MATERIALIZED (
+      SELECT c0.s, c0.code, coalesce(pm.mv, c0.c) AS c
+      FROM cb{i - 1} c0
+      LEFT JOIN pm{i} pm ON pm.s = c0.s AND pm.code = c0.code
+    )""")
+    parts.append(f""",
+    enc AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT sv.vec_id, sv.s, cb.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                 ORDER BY {_sql_l2dd('sv.v', 'cb.c')}, cb.code) AS rk
+        FROM sv JOIN cb{iters} cb ON cb.s = sv.s
+      ) WHERE rk = 1
+    )""")
+    return "".join(parts)
+
+
+@query(
+    "embedding_pq_codes",
+    f"""
+    WITH {_sql_pq_codebooks()}
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS pq_codes
+    FROM enc GROUP BY vec_id
+    """,
+)
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 — product-quantization codes (m=8 subspaces, k=64 codewords):
     dim×4 bytes → 8 bytes per vector (32x), the memory/IO side of ANN at 100 TB
@@ -663,7 +791,12 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizes EVERY output — rows-only included — through a pandas
     sort that cannot hash list cells (the r7 gate crash on this exact
     query; same fix as embedding_quantize_int8's q8 column). Lossless:
-    int codes, ',' never appears in an int."""
+    int codes, ',' never appears in an int.
+
+    Hash-checked (r8, after being the r7 gate's one red entry): the
+    oracle replays the whole per-subspace Lloyd fit
+    (:func:`_sql_pq_codebooks`, enabled by pq_fit's 6-decimal mean
+    rounding) and emits the same comma-joined codes."""
     emb = load(spark, "embeddings", sf_dir)
     books = _pq_codebooks(spark, sf_dir)
     return pq_encode(emb, books).select(
@@ -672,13 +805,51 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_pq_adc")  # learned codebooks → rows-only
+def _pq_adc_oracle_sql() -> str:
+    """similarity_pq_adc's oracle (r8): PQ fit replay, reconstruction by
+    codeword lookup (exact — no arithmetic), asymmetric cosine against the
+    raw query, ranked on the ROUNDED score with neighbor_id ties (this
+    query rounds before attaching rk, unlike the raw-score ANN rankers)."""
+    rec_norm = "sqrt(list_sum(list_transform(r.pv, y -> y * y)))"
+    q_dot = (
+        "list_sum(list_transform(list_zip(q.qv, r.pv), "
+        "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    )
+    return f"""
+    WITH {_sql_pq_codebooks()},
+    rec AS MATERIALIZED (
+      SELECT e.vec_id, flatten(list(cb.c ORDER BY e.s)) AS pv
+      FROM enc e JOIN cb5 cb ON cb.s = e.s AND cb.code = e.code
+      GROUP BY e.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {_N_QUERIES}),
+    sc AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id,
+             CASE WHEN {_sql_norm('q.qv')} * {rec_norm} > 0
+                  THEN {q_dot} / ({_sql_norm('q.qv')} * {rec_norm})
+                  ELSE 0.0 END AS s
+      FROM q JOIN rec r ON r.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT query_id, neighbor_id, round(s, 4) AS score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(s, 4) DESC, neighbor_id) AS rk
+      FROM sc
+    ) WHERE rk <= 10"""
+
+
+@query("similarity_pq_adc", _pq_adc_oracle_sql())
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 — PQ asymmetric search: probes stay full-precision, the corpus is
     scored through its reconstruction from PQ codes (decode against
     broadcast-literal codebooks, cosine, per-query top-10). Recall vs the
     exact brute force is pinned in tests/test_pq.py; at scale this reads
-    m-byte codes instead of dim×4-byte vectors."""
+    m-byte codes instead of dim×4-byte vectors.
+
+    Hash-checked (r8): full fit replay in SQL (see embedding_pq_codes);
+    reconstruction is a pure lookup, the cosine is sequential-double on
+    bit-identical inputs, and ranking is on the rounded score."""
     emb = load(spark, "embeddings", sf_dir)
     books = _pq_codebooks(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -977,13 +1148,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ivf_pq_ann")  # learned index → rows-only
+def _ivf_pq_oracle_sql() -> str:
+    """similarity_ivf_pq_ann's oracle (r8): BOTH fits replayed in one WITH
+    (the Lloyd cell chain and the PQ codebook chain share no CTE names),
+    candidates from nprobe cell probing, asymmetric cosine against the PQ
+    reconstruction, ranked on the RAW score (ivf_pq_topk attaches rk
+    before the display round)."""
+    rec_norm = "sqrt(list_sum(list_transform(r.pv, y -> y * y)))"
+    q_dot = (
+        "list_sum(list_transform(list_zip(q.embedding, r.pv), "
+        "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    )
+    return f"""
+    WITH {_sql_lloyd_cells(8, 3)}{_sql_ivf_probe_cand(3, 3)},
+    {_sql_pq_codebooks()},
+    rec AS MATERIALIZED (
+      SELECT e.vec_id, flatten(list(cb.c ORDER BY e.s)) AS pv
+      FROM enc e JOIN cb5 cb ON cb.s = e.s AND cb.code = e.code
+      GROUP BY e.vec_id
+    ),
+    sc AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             CASE WHEN {_sql_norm('q.embedding')} * {rec_norm} > 0
+                  THEN {q_dot} / ({_sql_norm('q.embedding')} * {rec_norm})
+                  ELSE 0.0 END AS s
+      FROM cand ca
+      JOIN embeddings q ON q.vec_id = ca.query_id
+      JOIN rec r ON r.vec_id = ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(s, 4) AS score, rk FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY s DESC, neighbor_id) AS rk
+      FROM sc
+    ) WHERE rk <= 10"""
+
+
+@query("similarity_ivf_pq_ann", _ivf_pq_oracle_sql())
 def similarity_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 — the composed IVF-PQ index (operators/ivf.py::ivf_pq_topk):
     k-means cells bound WHICH vectors a probe touches, PQ codes bound the
     BYTES each touched vector costs — together the Faiss-style production
     layout, expressed as two joins and a window. Recall vs exact brute
-    force asserted in tests/test_ivf_pq.py."""
+    force asserted in tests/test_ivf_pq.py.
+
+    Hash-checked (r8): both learned stages replay in SQL — the Lloyd cell
+    chain (see similarity_ivf_ann) and the PQ codebook chain (see
+    embedding_pq_codes) — composed exactly like ivf_pq_topk."""
     from .operators.ivf import ivf_pq_topk
 
     emb = load(spark, "embeddings", sf_dir)

@@ -71,11 +71,55 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_moments_builtin")  # engine-native accumulators → rows-only
+@query(
+    "agg_moments_builtin",
+    """
+    WITH st AS (
+      SELECT l_returnflag,
+             avg(CAST(l_quantity AS DOUBLE)) AS mq,
+             avg(CAST(l_extendedprice AS DOUBLE)) AS mp
+      FROM lineitem GROUP BY l_returnflag
+    ), mo AS (
+      SELECT l.l_returnflag,
+             count(*) AS n,
+             avg((CAST(l_quantity AS DOUBLE) - mq)
+                 * (CAST(l_extendedprice AS DOUBLE) - mp)) AS cqp,
+             sum((CAST(l_quantity AS DOUBLE) - mq)
+                 * (CAST(l_extendedprice AS DOUBLE) - mp)) AS sqp,
+             avg((CAST(l_quantity AS DOUBLE) - mq)
+                 * (CAST(l_quantity AS DOUBLE) - mq)) AS m2q,
+             avg((CAST(l_extendedprice AS DOUBLE) - mp)
+                 * (CAST(l_extendedprice AS DOUBLE) - mp)) AS m2p,
+             avg(((CAST(l_extendedprice AS DOUBLE) - mp)
+                 * (CAST(l_extendedprice AS DOUBLE) - mp))
+                 * (CAST(l_extendedprice AS DOUBLE) - mp)) AS m3p,
+             avg((((CAST(l_extendedprice AS DOUBLE) - mp)
+                 * (CAST(l_extendedprice AS DOUBLE) - mp))
+                 * (CAST(l_extendedprice AS DOUBLE) - mp))
+                 * (CAST(l_extendedprice AS DOUBLE) - mp)) AS m4p
+      FROM lineitem l JOIN st USING (l_returnflag)
+      GROUP BY l.l_returnflag
+    )
+    SELECT l_returnflag,
+           round(cqp / sqrt(m2q * m2p), 4) AS qty_price_corr,
+           round(sqp / (n - 1), 2) AS qty_price_covar,
+           round(m3p / (m2p * sqrt(m2p)), 4) AS price_skew,
+           round(m4p / (m2p * m2p) - 3, 4) AS price_kurt
+    FROM mo
+    """,
+)
 def agg_moments_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in higher-moment aggregates (corr/covar/skewness/kurtosis) —
-    the idiomatic single-engine surface; cross-engine equality is checked
-    via the exact-sum variant `agg_corr_covar`."""
+    the idiomatic single-engine surface; exact-DECIMAL cross-engine
+    arithmetic is separately pinned by `agg_corr_covar`/`agg_skew_kurt_exact`.
+
+    Hash-checked (r8): the oracle mirrors Spark's POPULATION-moment
+    definitions (skewness = m3/m2^1.5, kurtosis = m4/m2^2 - 3 — DuckDB's
+    builtins apply sample bias corrections, so the formulas are spelled
+    out) as a two-pass centered aggregate. Spark's one-pass streaming
+    accumulator and the oracle's two-pass differ by ~1e-12 relative —
+    invisible under round-4 on O(1) ratios and round-2 on the ~1e5
+    covariance (midpoint collisions measure-zero, the repo convention)."""
     return (
         load(spark, "lineitem", sf_dir)
         .groupBy("l_returnflag")

@@ -563,15 +563,17 @@ def _audit_global_windows(spark, failures: list) -> None:
     print("[global-window audit done]")
 
 
-# Oracle-output-type audit (round 5, VERDICT r4 #1). The driver's
-# canonicalizer pandas-sorts result frames and cannot hash container-typed
-# cells, so an Array/Map/Struct output column in an oracle-checked query is
-# an automatic gate failure (r4: embedding_quantize_int8). Serialize vectors
-# to strings on both sides (concat_ws / array_to_string) instead.
+# Output-type audit (round 5, VERDICT r4 #1; widened to ALL queries r8,
+# VERDICT r7 #1). The driver's canonicalizer pandas-sorts EVERY result frame
+# — rows-only included — and cannot hash container-typed cells, so an
+# Array/Map/Struct output column in ANY registered query is an automatic
+# gate failure (r4: embedding_quantize_int8, oracle-checked; r7:
+# embedding_pq_codes, rows-only — which the oracle-only scope missed).
+# Serialize vectors to strings on both sides (concat_ws / array_to_string).
 def _audit_oracle_output_types(spark, failures: list) -> None:
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    for name in sorted(ORACLES):
+    for name in sorted(QUERIES):
         try:
             df = QUERIES[name](spark, SF_DIR)
         except Exception as ex:
@@ -583,7 +585,7 @@ def _audit_oracle_output_types(spark, failures: list) -> None:
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
         ]
         if bad:
-            failures.append((name, f"complex output column(s) {bad} in oracle-checked query"))
+            failures.append((name, f"complex output column(s) {bad} in registered query"))
             print(f"!! COMPLEX OUTPUT TYPE: {name}: {bad}")
     print("[oracle-output-type audit done]")
 
@@ -661,7 +663,7 @@ def main() -> None:
         _audit_global_windows(spark, failures)
         print("\n===== scan-budget audit (all queries) =====")
         _audit_scan_budget(spark, failures)
-        print("\n===== oracle-output-type audit (all oracle-checked queries) =====")
+        print("\n===== output-type audit (all registered queries) =====")
         _audit_oracle_output_types(spark, failures)
     if failures:
         print("\nAUDIT FAILURES:", failures)
