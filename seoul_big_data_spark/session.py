@@ -64,12 +64,35 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     key = id(spark)
     if key in _SHIPPED:
         return
+    import hashlib
     import shutil
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    base = os.path.join(tempfile.gettempdir(), "seoul_big_data_spark_ship")
-    zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
-                                   os.path.basename(pkg_dir))
+    # Content-addressed archive name (r8): a fixed path raced between
+    # concurrent sessions — Spark's addFile refuses a re-shipped file whose
+    # CONTENTS changed under the same name ("...zip exists and does not
+    # match contents"), so a pytest run rebuilding the zip mid-flight
+    # poisoned every mapInPandas query in a parallel plan-audit session.
+    # Hash the package sources into the name: same code → same path
+    # (reuse), different code → different path (no collision).
+    digest = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                p = os.path.join(root, fn)
+                digest.update(p.encode())
+                with open(p, "rb") as fh:
+                    digest.update(fh.read())
+    tag = digest.hexdigest()[:12]
+    base = os.path.join(
+        tempfile.gettempdir(), f"seoul_big_data_spark_ship_{tag}"
+    )
+    zip_path = base + ".zip"
+    if not os.path.exists(zip_path):
+        tmp = shutil.make_archive(f"{base}.build{os.getpid()}", "zip",
+                                  os.path.dirname(pkg_dir),
+                                  os.path.basename(pkg_dir))
+        os.replace(tmp, zip_path)  # atomic: concurrent builders converge
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED.add(key)

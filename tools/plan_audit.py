@@ -32,6 +32,14 @@ from seoul_big_data_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
 
+# Queries whose plan could not even be BUILT during a full-audit phase.
+# Historically 0; a handful may appear transiently, but a wave of them
+# means the audit ran vacuously (the r8 incident: a ship-zip race poisoned
+# every mapInPandas build and the audit printed AUDIT OK over 1271 skipped
+# checks). Any build error now fails the audit — an unbuildable plan is
+# unauditable, and unauditable must not read as green.
+_BUILD_ERRORS: list[str] = []
+
 CHECKS = {
     "flagship_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate)", "HashAggregate"],
     "filter_eq": ["PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"],
@@ -349,6 +357,7 @@ def _audit_fact_broadcasts(spark, failures: list) -> None:
                 reasons = fact_broadcast_violations(df)
             except Exception as ex:
                 print(f"!! fact-broadcast-audit build error {name}: {str(ex)[:100]}")
+                _BUILD_ERRORS.append(name)
                 continue
             for r in reasons:
                 failures.append((name, r))
@@ -431,6 +440,7 @@ def _audit_scan_budget(spark, failures: list) -> None:
             plan = _plan_str(spark, df)
         except Exception as ex:  # build errors surface in correctness gates
             print(f"!! scan-audit build error {name}: {str(ex)[:100]}")
+            _BUILD_ERRORS.append(name)
             continue
         budget = _SCAN_BUDGET.get(name, _SCAN_BUDGET_DEFAULT)
         for tbl in _SCAN_TABLES:
@@ -556,6 +566,7 @@ def _audit_global_windows(spark, failures: list) -> None:
                 found = global_window_violations(name, df)
             except Exception as ex:
                 print(f"!! window-audit build error {name}: {str(ex)[:100]}")
+                _BUILD_ERRORS.append(name)
                 continue
             failures.extend(found)
     finally:
@@ -578,6 +589,7 @@ def _audit_oracle_output_types(spark, failures: list) -> None:
             df = QUERIES[name](spark, SF_DIR)
         except Exception as ex:
             print(f"!! type-audit build error {name}: {str(ex)[:100]}")
+            _BUILD_ERRORS.append(name)
             continue
         bad = [
             f.name
@@ -665,6 +677,13 @@ def main() -> None:
         _audit_scan_budget(spark, failures)
         print("\n===== output-type audit (all registered queries) =====")
         _audit_oracle_output_types(spark, failures)
+    if _BUILD_ERRORS:
+        failures.append(
+            ("_BUILD_ERRORS",
+             f"{len(_BUILD_ERRORS)} query plan(s) failed to build during "
+             f"audit phases (first 5: {sorted(set(_BUILD_ERRORS))[:5]}) — "
+             "the audit cannot be green over unauditable plans")
+        )
     if failures:
         print("\nAUDIT FAILURES:", failures)
         sys.exit(1)
