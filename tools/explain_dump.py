@@ -109,6 +109,27 @@ SHOWCASE = [
         "x32 in SCALE_RUN.json, window-form equivalence pinned in "
         "tests/test_scale_safe_twins.py.",
     ),
+    (
+        "similarity_ivf_ann",
+        "IVF ANN search plan (r8, now hash-checked end-to-end incl. the "
+        "Lloyd fit): the corpus is assigned cells by a literal dot-fold "
+        "expression riding the scan (no shuffle for assignment), the "
+        "probe set — bounded by a literal vec_id filter pushed into the "
+        "parquet scan — explodes nprobe cells per query and BROADCASTS; "
+        "the cell equi-join streams the corpus, and the per-query top-k "
+        "is a partitioned window. At 100 TB the corpus is written "
+        "partitioned by cell, so a probe reads nprobe/k of the data.",
+    ),
+    (
+        "similarity_ivf_pq_ann",
+        "Composed IVF-PQ plan (r8, hash-checked): cell assignment + PQ "
+        "encode + decode all ride the scan as mapInPandas stages (zero "
+        "shuffle before the candidate join); queries broadcast with "
+        "exploded probe cells; asymmetric scoring against the "
+        "reconstruction and a partitioned top-k window. The PQ stage "
+        "bounds bytes/vector (32x), the cells bound vectors touched — "
+        "the Faiss production layout as DataFrame ops.",
+    ),
 ]
 
 
