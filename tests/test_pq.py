@@ -90,3 +90,44 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir, books):
     # 8x64 codebooks on 64-dim synthetic embeddings (32x compression):
     # mean top-10 recall far above the ~2% random baseline (measured ~0.44)
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_pq_fit_matches_numpy_with_rounding_contract(spark, sf_dir):
+    """The identical per-subspace Lloyd in numpy — md5 seeding, squared-L2
+    argmin with first-hit ties, per-cell means ROUNDED to 6 decimals before
+    re-entering (the r8 cross-engine contract that lets the PQ oracles
+    replay the fit in SQL), empty cells frozen."""
+    import hashlib
+
+    import numpy as np
+
+    rows = (
+        load(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    d_sub = d // M
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    want = []
+    for s in range(M):
+        xs = x[:, s * d_sub : (s + 1) * d_sub]
+        cb = xs[order[:K]].copy()
+        for _ in range(5):  # pq_fit default iters
+            d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            cells = np.argmin(d2, axis=1)
+            nxt = cb.copy()
+            for c in range(K):
+                members = xs[cells == c]
+                if len(members):
+                    nxt[c] = np.round(members.mean(axis=0), 6)
+            cb = nxt
+        want.append(cb)
+    got = pq_fit(load(spark, "embeddings", sf_dir), m=M, k=K)
+    got_arr = np.asarray(got)
+    np.testing.assert_allclose(got_arr, np.asarray(want), atol=1e-9)
