@@ -235,6 +235,8 @@ EXTENDED = [
     "dedup_semantic_cells_md5",
     "text_pack_sequences",
     "mlprep_logreg_newton_step",
+    "text_entropy_compressibility",
+    "dedup_substring_runs",
 ]
 
 

@@ -578,6 +578,93 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_runs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), w AS (
+      SELECT doc_id,
+             unnest([{'pos': i, 'h': md5(array_to_string(t[i:i+7], ' '))}
+                     FOR i IN range(1, greatest(len(t) - 7, 0) + 1)]) AS s
+      FROM toks
+    ), wp AS (
+      SELECT doc_id, s.pos AS pos, s.h AS h FROM w
+    ), dup AS (
+      SELECT h FROM wp GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    ), hits AS (
+      SELECT wp.doc_id, wp.pos FROM wp JOIN dup USING (h)
+    ), runs AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM hits
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INTEGER) AS start_pos,
+           CAST(max(pos) - min(pos) + 8 AS INTEGER) AS len_tokens
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1/N2 — ANY-alignment exact substring dedup (suffix-array semantics,
+    the Lee et al. 'Deduplicating Training Data' operator) expressed
+    Spark-first: every OVERLAPPING 8-token window is hashed (stride 1 —
+    `dedup_span_exact`'s stride-8 detector misses duplicates offset by
+    <8 tokens), windows whose hash appears in >1 document are matched
+    positions, and consecutive matched positions merge into MAXIMAL
+    duplicated runs per document (pos − row_number grouping — the
+    sessionization trick at token granularity). Output: one row per
+    maximal cross-document-duplicated span (doc_id, start_pos,
+    len_tokens >= 8).
+
+    Scale shape at 100 TB: the window explode emits one row per token
+    (same cardinality as the shingle pipeline), the duplicate-hash
+    aggregate map-side-combines before its single shuffle, the join back
+    is hash-partitioned on the window hash, and the run merge is a
+    per-document window — doc-grain, bounded by document length. No
+    suffix array is materialized; the rolling windows + run merge
+    compute the same maximal-duplicated-span answer for spans >= the
+    window width."""
+    d = load(spark, "documents", sf_dir)
+    toks = tx.tokens(F.lower(F.col("text")))
+    L = 8
+    wins = F.when(
+        F.size(toks) >= L,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (L - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(toks, i, L), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    w = (
+        d.select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = w.join(dup, "h").select("doc_id", "pos")
+    ww = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(ww))
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") - F.min("pos") + F.lit(L)).alias("len_tokens"),
+        )
+        .select("doc_id", "start_pos", "len_tokens")
+    )
+
+
+@query(
     "text_fingerprint_md5",
     """
     SELECT doc_id,

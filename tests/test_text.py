@@ -111,3 +111,66 @@ def test_chunking_covers_every_token_with_exact_overlap(spark, sf_dir):
         assert tot <= 512 + 128
         if sid != last:
             assert tot >= 512 - 127
+
+
+def test_substring_runs_are_maximal_and_cover_span_detector(spark, sf_dir):
+    """dedup_substring_runs (any-alignment, stride-1): every run is >= the
+    8-token window, runs within a doc are maximal (non-adjacent matched
+    position ranges — merging left anything unmergeable), and every
+    cross-doc duplicated NON-overlapping span dedup_span_exact finds is
+    covered by some run (stride-8 detection is a strict subset of
+    stride-1)."""
+    from seoul_big_data_spark.queries import QUERIES
+
+    runs = QUERIES["dedup_substring_runs"](spark, sf_dir).collect()
+    assert runs, "test corpus contains cross-doc duplicated substrings"
+    by_doc: dict = {}
+    for r in runs:
+        assert r["len_tokens"] >= 8
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["start_pos"], r["len_tokens"])
+        )
+    for doc, rr in by_doc.items():
+        rr.sort()
+        for (s1, l1), (s2, _l2) in zip(rr, rr[1:]):
+            # matched-position ranges are [s, s+l-8]; maximality means the
+            # next range starts at least 2 past the previous range's end
+            assert s2 > (s1 + l1 - 8) + 1, (doc, rr)
+
+    # subset: each duplicated stride-8 span aligns at some position
+    # 1 + 8*j inside a doc that also reports a covering stride-1 run
+    spans = QUERIES["dedup_span_exact"](spark, sf_dir).collect()
+    docs_with_runs = set(by_doc)
+    span_docs = set()
+    tok_rows = QUERIES["text_fingerprint_md5"](spark, sf_dir).collect()
+    assert tok_rows  # sanity: corpus non-empty
+    if spans:
+        # every doc contributing a duplicated non-overlapping span must
+        # surface in the any-alignment runs too
+        import collections
+
+        span_text = {s["span"] for s in spans}
+        from seoul_big_data_spark.functions import text as tx
+        from seoul_big_data_spark.sources.tables import load
+        from pyspark.sql import functions as F
+
+        d = load(spark, "documents", sf_dir)
+        toks = tx.tokens(F.lower(F.col("text")))
+        exploded = d.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 8,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 7, F.lit(8)),
+                        lambda i: F.array_join(F.slice(toks, i, 8), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("span"),
+        ).collect()
+        for row in exploded:
+            if row["span"] in span_text:
+                span_docs.add(row["doc_id"])
+        assert span_docs <= docs_with_runs, (
+            span_docs - docs_with_runs
+        )
