@@ -629,26 +629,45 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute the same maximal-duplicated-span answer for spans >= the
     window width."""
     d = load(spark, "documents", sf_dir)
-    toks = tx.tokens(F.lower(F.col("text")))
     L = 8
+    # Tokenization materialized in a LOWER projection: referenced once by
+    # size() and once inside the window lambda, and Catalyst does not CSE
+    # through higher-order functions — inlined, the regex split re-runs
+    # once PER WINDOW, i.e. O(n_tokens) tokenizations per doc (the
+    # kmeans_fit norm lesson, operators/ivf.py).
+    # Spread the scan before the heavy per-window md5 generation: a table
+    # written as one large row group scans as ONE task regardless of
+    # byte-range splits (empty-split stragglers — measured at x128: 28
+    # instant tasks + 1 doing all 30M windows for minutes). The shuffle
+    # moves only the raw docs and is amortized by the explode it
+    # parallelizes — the minhash_signatures precedent.
+    par = spark.sparkContext.defaultParallelism
+    td = d.repartition(par).select(
+        "doc_id", tx.tokens(F.lower(F.col("text"))).alias("_t")
+    )
     wins = F.when(
-        F.size(toks) >= L,
+        F.size("_t") >= L,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (L - 1)),
+            F.sequence(F.lit(1), F.size("_t") - (L - 1)),
             lambda i: F.struct(
                 i.alias("pos"),
-                F.md5(F.array_join(F.slice(toks, i, L), " ")).alias("h"),
+                F.md5(F.array_join(F.slice("_t", i, L), " ")).alias("h"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
     w = (
-        d.select("doc_id", F.explode(wins).alias("w"))
+        td.select("doc_id", F.explode(wins).alias("w"))
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
     )
+    # ">1 distinct doc" as min != max, NOT count_distinct: a template span
+    # shared by ~every document is a hot hash, and count_distinct funnels
+    # that key's whole doc-id set through one reducer (measured: the x128
+    # weak-scaling run straggled for minutes on one task). min/max carry
+    # O(1) state per group and combine map-side — skew-immune.
     dup = (
         w.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("multi"))
+        .filter(F.col("multi"))
         .select("h")
     )
     hits = w.join(dup, "h").select("doc_id", "pos")
