@@ -237,6 +237,7 @@ EXTENDED = [
     "mlprep_logreg_newton_step",
     "text_entropy_compressibility",
     "dedup_substring_runs",
+    "multimodal_resize",
 ]
 
 

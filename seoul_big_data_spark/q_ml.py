@@ -1476,6 +1476,71 @@ def similarity_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_resize")  # binary image transform → rows-only (no SQL codec)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 — the RESIZE stage of the multimodal pipeline (decode →
+    feature-extract → resize → frame-sample): every document renders as a
+    deterministic gradient BMP whose dimensions derive from doc_id
+    (non-divisible by the 16×16 target on purpose — the block-partition
+    arithmetic is the part worth pinning), decodes back to a pixel array
+    through the frozen BMP codec, and is thumbnailed by the deterministic
+    area-mean resize (sources/imageops.py — int64 block sums, one float64
+    division per cell; no interpolation library, so thumbnails are
+    bit-stable across hosts). Render, decode, and resize all run inside
+    one Arrow-batched ``mapInPandas`` riding the scan — payload bytes and
+    pixel arrays live executor-side only, the 100 TB shape for media
+    columns. Exact box-mean expectations (constant image → constant
+    thumbnail; 2×2 block image → exact block means) are pinned in
+    tests/test_multimodal.py."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .session import ensure_package_shipped
+    from .sources.imageops import resize_area_mean
+    from .sources.multimodal import _decode_bmp_pixels, encode_bmp
+
+    ensure_package_shipped(spark)
+    d = load(spark, "documents", sf_dir).select("doc_id")
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {
+            "doc_id": [], "src_w": [], "src_h": [],
+            "thumb_mean_r": [], "thumb_mean_g": [], "thumb_mean_b": [],
+            "thumb_md5": [],
+        }
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id)
+                w, h = 17 + g % 43, 11 + g % 29  # rarely divisible by 16
+                payload = encode_bmp(
+                    w, h,
+                    lambda x, y, g=g: (
+                        (g + x * 3) % 256, (g * 5 + y * 7) % 256,
+                        (x * y + g) % 256,
+                    ),
+                )
+                px = _decode_bmp_pixels(payload)[:, :, ::-1]  # BGR -> RGB
+                th = resize_area_mean(px, 16, 16)
+                q = np.floor(th + 0.5).astype(np.uint8)
+                rows["doc_id"].append(g)
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["thumb_mean_r"].append(round(float(th[:, :, 0].mean()), 6))
+                rows["thumb_mean_g"].append(round(float(th[:, :, 1].mean()), 6))
+                rows["thumb_mean_b"].append(round(float(th[:, :, 2].mean()), 6))
+                rows["thumb_md5"].append(hashlib.md5(q.tobytes()).hexdigest())
+        yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        _thumb,
+        "doc_id long, src_w int, src_h int, thumb_mean_r double, "
+        "thumb_mean_g double, thumb_mean_b double, thumb_md5 string",
+    )
+
+
 @query("multimodal_phash_dedup")  # binary image hash → rows-only (no SQL codec)
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N5 — image near-dup grouping via perceptual average-hash: every

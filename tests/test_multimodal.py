@@ -2087,3 +2087,40 @@ def test_tiff_lossless_jpeg_strips_bit_exact():
     assert np.array_equal(
         decode_tiff_pages(encode_tiff(g, compression="jpeg_lossless"))[0], g
     )
+
+
+def test_resize_area_mean_exact_box_semantics():
+    """sources/imageops.py: constant image -> exactly constant thumbnail;
+    divisible block image -> exact block means; non-divisible dims
+    partition blocks by the floor grid (sizes differ by at most one)."""
+    import numpy as np
+
+    from seoul_big_data_spark.sources.imageops import resize_area_mean
+
+    const = np.full((30, 20, 3), 77, dtype=np.uint8)
+    th = resize_area_mean(const, 16, 16)
+    assert th.shape == (16, 16, 3)
+    assert (th == 77.0).all()
+
+    # 4x4 image of 2x2 blocks valued 10/20/30/40 -> 2x2 thumbnail of means
+    a = np.zeros((4, 4), dtype=np.uint8)
+    a[:2, :2], a[:2, 2:], a[2:, :2], a[2:, 2:] = 10, 20, 30, 40
+    t2 = resize_area_mean(a, 2, 2)
+    assert t2[:, :, 0].tolist() == [[10.0, 20.0], [30.0, 40.0]]
+
+    # non-divisible: 5 rows -> 2 target rows split as [0,2) and [2,5)
+    b = np.arange(5, dtype=np.uint8)[:, None]  # 5x1 column
+    t3 = resize_area_mean(b, 2, 1)
+    assert t3[0, 0, 0] == (0 + 1) / 2
+    assert t3[1, 0, 0] == (2 + 3 + 4) / 3
+
+
+def test_multimodal_resize_query_deterministic(spark, sf_dir):
+    from seoul_big_data_spark.queries import QUERIES
+
+    a = {r["doc_id"]: r for r in QUERIES["multimodal_resize"](spark, sf_dir).collect()}
+    b = {r["doc_id"]: r for r in QUERIES["multimodal_resize"](spark, sf_dir).collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert a[k]["thumb_md5"] == b[k]["thumb_md5"]
+        assert a[k]["src_w"] != 16  # the non-divisible geometry is the point
