@@ -1503,7 +1503,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.multimodal import _decode_bmp_pixels, encode_bmp
 
     ensure_package_shipped(spark)
-    d = load(spark, "documents", sf_dir).select("doc_id")
+    # Spread the scan first: render+decode+resize is heavy per-doc Python
+    # work, and a single-row-group table otherwise runs it all in one task
+    # (the dedup_substring_runs x128 lesson; minhash_signatures precedent).
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, "documents", sf_dir).select("doc_id").repartition(par)
 
     def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: dict[str, list] = {

@@ -30,17 +30,18 @@ def resize_area_mean(arr, th: int, tw: int):
     h, w, c = a.shape
     if h == 0 or w == 0 or th <= 0 or tw <= 0:
         raise ValueError(f"resize_area_mean: bad shape {(h, w)} -> {(th, tw)}")
-    ys = [(ty * h) // th for ty in range(th + 1)]
-    xs = [(tx * w) // tw for tx in range(tw + 1)]
+    ys = np.array([(ty * h) // th for ty in range(th + 1)], dtype=np.int64)
+    xs = np.array([(tx * w) // tw for tx in range(tw + 1)], dtype=np.int64)
     a64 = a.astype(np.int64) if a.dtype.kind in "iu" else a.astype(np.float64)
-    out = np.empty((th, tw, c), dtype=np.float64)
-    for ty in range(th):
-        y0, y1 = ys[ty], max(ys[ty + 1], ys[ty] + 1)
-        row = a64[y0:y1]
-        for tx in range(tw):
-            x0, x1 = xs[tx], max(xs[tx + 1], xs[tx] + 1)
-            block = row[:, x0:x1]
-            out[ty, tx] = block.sum(axis=(0, 1)) / float(
-                block.shape[0] * block.shape[1]
-            )
-    return out
+    # Vectorized block sums via add.reduceat (the per-cell python loop was
+    # ~2.5 ms/image — a weak-scaling straggler at x32). reduceat's
+    # duplicate-edge semantics (equal consecutive indices -> the single
+    # element at that index) are EXACTLY the floor-grid guard "blocks have
+    # at least one row/col, overlapping when target > source": integer
+    # inputs sum exactly, so values are bit-identical to the loop form.
+    rows = np.add.reduceat(a64, ys[:-1], axis=0)
+    sums = np.add.reduceat(rows, xs[:-1], axis=1)
+    ry = np.maximum(np.diff(ys), 1).astype(np.float64)
+    rx = np.maximum(np.diff(xs), 1).astype(np.float64)
+    counts = ry[:, None] * rx[None, :]
+    return sums / counts[:, :, None]
