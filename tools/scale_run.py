@@ -66,7 +66,20 @@ _STATIC = ("region", "nation")
 # the r5 diff changed the documents salt (Caesar -> md5 permutation) and
 # added sign flips, and _SUCCESS-based resume would have mixed recipes
 # across tiers (ADVICE r5).
-RECIPE_VERSION = "r6-mdperm-signflip-1"
+RECIPE_VERSION = "r8-mdperm-signflip-32files-1"
+REPLICA_FILES = 32
+
+# Files per replicated table. The original builder wrote each table as ONE
+# parquet file (crossJoin against a broadcast replica list preserves the
+# single-partition base read), so every tier's FIRST stage — scan + map-side
+# work — ran on 1 task of 32 cores until the file crossed the 128 MB
+# maxPartitionBytes boundary (x512), where split-count jumps made ratios
+# artificially sub-linear (measured: text_term_frequency r512/128 = 1.17 on
+# 1-file-vs-4-split dirs). 32 files at every tier keeps scan parallelism
+# constant ≥ the core count (above 128 MB/file Spark's byte-range splitting
+# raises it further), so tier ratios measure work growth, not accidental
+# split-count growth. Round-robin repartition is deterministic
+# (sortBeforeRepartition is on by default).
 
 
 def _marker_ok(path: str) -> bool:
@@ -303,6 +316,26 @@ VARIANTS = {
 # what the requested queries scan instead of the full 10-table replica set.
 VARIANT_TABLES = {name: ("embeddings",) for name in VARIANTS}
 
+# Same declaration for the REGISTERED queries measured at the x512 tier
+# (r8: the tier initially existed only for the kscaled embedding curves;
+# these single-table scan sets let the flagship dedup/text/events/ingest
+# curves reach x512 without replicating the other nine tables 512x).
+# A query whose scan set is not declared here still gets the full replica
+# set — and a wrong declaration fails loudly (missing parquet path), never
+# silently measures the wrong data.
+QUERY_TABLES = {
+    "dedup_minhash_lsh": ("documents",),
+    "dedup_exact": ("documents",),
+    "dedup_substring_runs": ("documents",),
+    "text_term_frequency": ("documents",),
+    "corpus_prep_pipeline": ("documents",),
+    "multimodal_resize": ("documents",),
+    "events_sessionization": ("events",),
+    "window_latest_per_group": ("orders",),
+    "similarity_brute_force_topk": ("embeddings",),
+    "ingest_resume_load": ("lineitem",),
+}
+
 
 def _offsets(spark) -> dict[str, int]:
     """Power-of-ten stride per key family, from the base data's max key."""
@@ -358,7 +391,14 @@ def build(spark, mult: int, tables: tuple | None = None) -> str:
             df.write.mode("overwrite").parquet(dst)
             _write_marker(tmarker)
             continue
-        rep = df.crossJoin(reps)
+        # Spread the BASE rows across REPLICA_FILES partitions before the
+        # expanding crossJoin: the base tables are single small parquet
+        # files (1-3 splits), so without this the mult-fold expansion — and
+        # the per-replica salt case-chains — run on 1-3 tasks (measured: the
+        # x512 lineitem expansion crawled for minutes on one straggler).
+        # Partitioning first also fixes the output file count with no
+        # post-expansion shuffle of the full replica data.
+        rep = df.repartition(REPLICA_FILES).crossJoin(reps)
         for k in _KEYED[table]:
             if k in df.columns:
                 dtype = dict(df.dtypes)[k]
@@ -447,7 +487,7 @@ def build_skew(spark, mult: int = 32, hot_reps: int = 8, hot_user: int = 42) -> 
         spark.range(mult).select(F.col("id").cast("long").alias("_rep"))
     )
     strides = _offsets(spark)
-    rep = df.crossJoin(reps)
+    rep = df.repartition(REPLICA_FILES).crossJoin(reps)
     rep = rep.withColumn(
         "event_id", F.col("event_id") + F.col("_rep") * strides["event_id"]
     )
@@ -517,8 +557,9 @@ def main() -> None:
     # name declares its scan set (the kscaled x512 case); a registered query
     # in the list means the full replica set.
     need: tuple | None = None
-    if all(n in VARIANT_TABLES for n in names):
-        need = tuple(sorted({t for n in names for t in VARIANT_TABLES[n]}))
+    scan_sets = {**QUERY_TABLES, **VARIANT_TABLES}
+    if all(n in scan_sets for n in names):
+        need = tuple(sorted({t for n in names for t in scan_sets[n]}))
     dirs: dict[int, str] = {}
     for m in mults:
         t0 = time.perf_counter()
@@ -548,7 +589,10 @@ def main() -> None:
                 except OSError:
                     pass
                 merged, doc = {}, {}
-        merged.setdefault(name, {}).update(row)
+        # Provenance: which builder recipe produced the dirs these points
+        # were measured on (rows without the field predate the 32-file
+        # layout fix and carry serial-scan first stages).
+        merged.setdefault(name, {}).update({**row, "recipe": RECIPE_VERSION})
         doc.update(
             {
                 "base_sf_dir": BASE_SF,
