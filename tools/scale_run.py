@@ -334,6 +334,10 @@ QUERY_TABLES = {
     "window_latest_per_group": ("orders",),
     "similarity_brute_force_topk": ("embeddings",),
     "ingest_resume_load": ("lineitem",),
+    "dedup_survivor_best_quality": ("documents",),
+    "text_textrank_keywords": ("documents",),
+    "dedup_cluster_size_histogram": ("documents",),
+    "dedup_lsh_recall_eval": ("documents",),
 }
 
 
