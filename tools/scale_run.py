@@ -338,6 +338,20 @@ QUERY_TABLES = {
     "text_textrank_keywords": ("documents",),
     "dedup_cluster_size_histogram": ("documents",),
     "dedup_lsh_recall_eval": ("documents",),
+    "pq_codes_md5": ("embeddings",),
+    "pq_adc_md5": ("embeddings",),
+    "lsh_bucket_assignment_md5": ("embeddings",),
+    "ivf_cell_assignment_md5": ("embeddings",),
+    "similarity_lsh_ann": ("embeddings",),
+    "similarity_ivf_pq_ann": ("embeddings",),
+    "embedding_quantize_int8": ("embeddings",),
+    "embedding_random_projection": ("embeddings",),
+    "dedup_semantic_ivf": ("embeddings",),
+    "events_hourly_rollup": ("events",),
+    "events_bot_detection": ("events",),
+    "events_peak_concurrency": ("events",),
+    "dedup_simhash_md5": ("documents",),
+    "text_entropy_compressibility": ("documents",),
 }
 
 
