@@ -256,3 +256,161 @@ def sessionize(
     return df.withColumn(
         "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+
+
+def gaps_scalable(
+    df: DataFrame,
+    part_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    out: str = "gap",
+    n_slices: int = 256,
+) -> DataFrame:
+    """Consecutive inter-arrival gaps of ``ts_col`` within each
+    ``part_cols`` group WITHOUT the per-key single-task window — for
+    consumers that only aggregate the gaps (mean/variance/count are
+    combinable, so the gap MULTISET is all that matters, not its order).
+
+    Same slice trick as :func:`sessionize_scalable`: ``n_slices`` global
+    time buckets from one broadcast min/max probe; within-``(key, slice)``
+    lag gives the intra-slice gaps; the per-``(key, slice)`` first/last
+    summary (≤ ``n_slices`` rows per key, bounded by construction) yields
+    each boundary gap via a lag over slices. Union = every consecutive gap
+    exactly once: slicing is monotone in ``ts_col`` (ties share a slice),
+    so concatenating slices in order is the group's global order, and
+    min/max per slice ARE the first/last rows' timestamps.
+
+    ``ts_col`` must be numeric (cast timestamps first). Returns
+    ``part_cols + [out]`` with one row per consecutive pair (n−1 per
+    group); order-insensitive by contract.
+    """
+    tie = list(tiebreak_cols or [])
+    ts = F.col(ts_col)
+    mm = df.agg(F.min(ts).alias("_lo"), F.max(ts).alias("_hi"))
+    width = F.greatest(
+        (F.col("_hi") - F.col("_lo")) / F.lit(float(n_slices)), F.lit(1e-9)
+    )
+    slice_id = F.least(
+        F.floor((ts - F.col("_lo")) / width), F.lit(n_slices - 1)
+    ).cast("bigint")
+    d = (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("_slice", slice_id)
+        .drop("_lo", "_hi")
+    )
+    # Persisted for the same reason as sessionize_scalable's d: the
+    # within-slice branch and the boundary-summary branch both read it.
+    from pyspark import StorageLevel
+
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    w_in = Window.partitionBy(*part_cols, "_slice").orderBy(ts_col, *tie)
+    within = d.select(
+        *part_cols, (ts - F.lag(ts).over(w_in)).alias(out)
+    ).filter(F.col(out).isNotNull())
+    summ = d.groupBy(*part_cols, "_slice").agg(
+        F.min(ts).alias("_first"), F.max(ts).alias("_last")
+    )
+    w_s = Window.partitionBy(*part_cols).orderBy("_slice")
+    boundary = summ.select(
+        *part_cols,
+        (F.col("_first") - F.lag("_last").over(w_s)).alias(out),
+    ).filter(F.col(out).isNotNull())
+    return within.unionAll(boundary)
+
+
+def sessionize_scalable(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    n_slices: int = 256,
+) -> DataFrame:
+    """:func:`sessionize` WITHOUT the per-user single-task window — the
+    100 TB form for hot keys (a bot/celebrity user owning a large share of
+    the events puts its whole timeline in ONE task under
+    ``partitionBy(user)``; AQE cannot split a window partition).
+
+    Bucket-and-stitch, the same two-level shape as :func:`lead_scalable`:
+
+    1. Slice the global time range into ``n_slices`` fixed-width buckets
+       from one broadcast min/max probe (no eager collect). A hot user's
+       timeline now spreads across up to ``n_slices`` tasks.
+    2. Lag-gap cumulative sum WITHIN each ``(user, slice)`` partition →
+       local session index ``_ls`` (1-based; the slice's first event is
+       always flagged locally new).
+    3. Per-``(user, slice)`` summary: first/last event second and local
+       session count. At most ``n_slices`` rows per user — bounded by
+       construction, independent of event count — so the stitch window
+       ``partitionBy(user).orderBy(_slice)`` is safe at any scale.
+    4. Stitch: slice k merges into the previous non-empty slice's last
+       session iff the boundary gap ≤ the session gap. With
+       ``D_k = Σ_{j≤k} (n_local_j − merge_j)`` distinct sessions after
+       slice k, the global id of local session s in slice k is
+       ``D_{k−1} − merge_k + s`` (merge maps local 1 onto the previous
+       global session; the first slice has merge 0).
+    5. Join the per-slice offset back on ``(user, slice)`` — a hash join
+       on the partitioning the window already produced.
+
+    Session ids are bit-identical to the window form (equal-second ties
+    share a slice because slicing is monotone in the truncated second, and
+    a zero gap never opens a session, so tie order is immaterial in both
+    forms) — pinned by tests/test_windows_scalable.py against
+    :func:`sessionize` including hot-key and boundary-spanning shapes.
+    Costs ~2 windows + 1 extra shuffle vs the window form's one — the right
+    trade once any key is hot (measured 1.61× skew ratio at x32 with a
+    25%-hot user on the window form; see SCALE_RUN.json).
+    """
+    gap_sec = gap_minutes * 60
+    tss = F.col(ts_col).cast("long")
+    mm = df.agg(F.min(tss).alias("_lo"), F.max(tss).alias("_hi"))
+    width = F.greatest((F.col("_hi") - F.col("_lo")) / F.lit(float(n_slices)), F.lit(1e-9))
+    slice_id = F.least(
+        F.floor((tss - F.col("_lo")) / width), F.lit(n_slices - 1)
+    ).cast("bigint")
+    d = (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("_slice", slice_id)
+        .drop("_lo", "_hi")
+    )
+    w_in = Window.partitionBy(user_col, "_slice").orderBy(ts_col)
+    gap = tss - F.lag(tss).over(w_in)
+    new_local = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    d = d.withColumn(
+        "_ls", F.sum(new_local).over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    # Persist the sliced+locally-sessionized frame: both the summary branch
+    # and the final join-back consume it, and without the persist each
+    # branch re-scans the source AND re-runs the window (4 scans where 2
+    # do — plan_audit's scan budget). Persist-and-let-LRU-evict lifecycle,
+    # same as q_mlprep's feats persist.
+    from pyspark import StorageLevel
+
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    # Summary grain: ≤ n_slices rows per user. min/max of the truncated
+    # second ARE the first/last rows' seconds (the second is nondecreasing
+    # in ts order), so the boundary gap below is computed in the same
+    # truncated-long space as the window form's lag.
+    summ = d.groupBy(user_col, "_slice").agg(
+        F.min(tss).alias("_first"),
+        F.max(tss).alias("_last"),
+        F.max("_ls").alias("_nloc"),
+    )
+    w_s = Window.partitionBy(user_col).orderBy("_slice")
+    merge = F.when(
+        (F.col("_first") - F.lag("_last").over(w_s)) <= gap_sec, 1
+    ).otherwise(0)
+    summ = summ.withColumn("_merge", merge)
+    w_prev = w_s.rowsBetween(Window.unboundedPreceding, -1)
+    offsets = summ.select(
+        user_col,
+        "_slice",
+        (
+            F.coalesce(F.sum(F.col("_nloc") - F.col("_merge")).over(w_prev), F.lit(0))
+            - F.col("_merge")
+        ).alias("_off"),
+    )
+    return (
+        d.join(offsets, [user_col, "_slice"])
+        .withColumn("session_id", F.col("_off") + F.col("_ls"))
+        .drop("_slice", "_ls", "_off")
+    )

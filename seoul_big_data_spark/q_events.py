@@ -12,7 +12,7 @@ from pyspark.sql import types as T
 
 from .operators import windows
 from .operators.joins import asof_join, banded_range_join, range_join
-from .operators.windows import sessionize
+from .operators.windows import gaps_scalable, sessionize
 from .registry import query
 from .sources.tables import load
 from .streaming.batch_windows import hourly_rollup, session_stats
@@ -1682,15 +1682,21 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal headroom: n_gaps*ssq needs |gap_us| <= ~9e12 (n=1e6 gaps of
     ~100 days) before Spark's DECIMAL(38) product can overflow to NULL
     while DuckDB's HUGEINT keeps going; asserted at the profile grain in
-    tests/test_events.py."""
+    tests/test_events.py.
+    Skew: the gaps feed ONLY combinable aggregates, so the gap multiset is
+    computed via operators/windows.py::gaps_scalable (slice-and-stitch, no
+    per-(type,user) single-task window) — the plain window form measured a
+    1.21× skew ratio at x32 with a 25%-hot user (SCALE_RUN.json r8)."""
     e = load(spark, "events", sf_dir).select(
         "event_type", "user_id", F.unix_micros("ts").alias("tus"), "event_id"
     )
-    w = Window.partitionBy("event_type", "user_id").orderBy("tus", "event_id")
-    d = e.select(
-        "event_type",
-        (F.col("tus") - F.lag("tus").over(w)).alias("gap_us"),
-    ).filter(F.col("gap_us").isNotNull())
+    d = gaps_scalable(
+        e,
+        part_cols=["event_type", "user_id"],
+        ts_col="tus",
+        tiebreak_cols=["event_id"],
+        out="gap_us",
+    ).select("event_type", "gap_us")
     # DECIMAL(19,0) operands: wide enough that DuckDB computes the square
     # in int128 (its DECIMAL(18) path multiplies in int64 and overflows).
     gd = F.col("gap_us").cast("decimal(19,0)")

@@ -1855,3 +1855,213 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("c") == 1).cast("long")) / F.count("*"), 6
         ).alias("hapax_rate"),
     )
+
+
+def _bpe_vocab_sql() -> str:
+    """Inline the frozen BPE vocab (functions/bpe_vocab.json) as a VALUES
+    list — the oracle must embed the identical token set the engine
+    encodes with."""
+    from .functions.bpe import load_vocab
+
+    return ", ".join(
+        "('" + t.replace("'", "''") + "')" for t in load_vocab()
+    )
+
+
+@query(
+    "text_bpe_tokenize",
+    f"""
+    WITH RECURSIVE vocab(tok) AS (VALUES {{BPE_VOCAB}}),
+    v AS (SELECT tok, length(tok) AS vlen, substr(tok, 1, 1) AS c1 FROM vocab),
+    t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    w AS (SELECT doc_id, unnest(toks) AS word,
+                 generate_subscripts(toks, 1) AS wpos
+          FROM t),
+    dw AS (SELECT DISTINCT word FROM w),
+    -- greedy longest-match at every char position of every DISTINCT word:
+    -- pick the longest vocab token matching there, single char as fallback
+    pos AS (SELECT dw.word, g.pos, substr(dw.word, g.pos, 1) AS ch
+            FROM dw, LATERAL (SELECT unnest(generate_series(1, length(dw.word))) AS pos) g),
+    jump AS (
+      SELECT p.word, p.pos,
+             coalesce(arg_max(v.tok, v.vlen), any_value(p.ch)) AS tok
+      FROM pos p LEFT JOIN v
+        ON p.ch = v.c1 AND substr(p.word, p.pos, v.vlen) = v.tok
+      GROUP BY p.word, p.pos
+    ),
+    -- pointer-chase the greedy encode: next position = pos + len(match)
+    walk(word, pos, tok, tlen) AS (
+      SELECT word, pos, tok, length(tok) FROM jump WHERE pos = 1
+      UNION ALL
+      SELECT j.word, j.pos, j.tok, length(j.tok)
+      FROM walk x JOIN jump j ON j.word = x.word AND j.pos = x.pos + x.tlen
+    ),
+    enc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_toks,
+             string_agg(CAST(length(tok) AS VARCHAR) || ':' || tok, ''
+                        ORDER BY pos) || '/' AS enc
+      FROM walk GROUP BY word
+    ),
+    we AS (SELECT w.doc_id, w.wpos, e.n_toks, e.enc
+           FROM w JOIN enc e USING (word))
+    SELECT doc_id,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT)    AS n_words,
+           md5(string_agg(enc, '' ORDER BY wpos)) AS token_fingerprint,
+           CAST(sum(n_toks) AS DOUBLE) / count(*) AS tokens_per_word
+    FROM we GROUP BY doc_id
+    """.replace("{BPE_VOCAB}", _bpe_vocab_sql()),
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword (BPE-vocab) token accounting per document — the unit an LLM
+    training pipeline bills by; whitespace counts misestimate it (VERDICT
+    r8 #5). Greedy longest-match against the frozen vocab
+    (functions/bpe_vocab.json; see functions/bpe.py for the encode
+    contract).
+
+    Scale shape — dictionary encode: the Python-side encoder (Arrow-batched
+    mapInPandas, one C-speed regex scan per word) runs over the
+    DISTINCT-word table only — the corpus VOCABULARY, not the corpus — and
+    the corpus-sized work is the exploded-words equi-join against that
+    dictionary plus combinable per-doc aggregates (sum/count/ordered
+    string concat). The per-doc fingerprint is md5 over the length-prefixed
+    token stream in word order — injective over tokenizations — and the
+    oracle replays the identical greedy encode in SQL (recursive
+    pointer-chase over per-position longest matches), so the hash check
+    certifies every token boundary of every word.
+    """
+    from .functions.bpe import encode_words
+
+    d = load(spark, "documents", sf_dir).select("doc_id", "text")
+    w = d.select(
+        "doc_id",
+        F.posexplode(tx.tokens("text")).alias("wpos", "word"),
+    )
+    enc = encode_words(w.select("word").distinct())
+    we = w.join(enc, "word")
+    return we.groupBy("doc_id").agg(
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_words"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "enc"))),
+                    lambda r: r["enc"],
+                ),
+                "",
+            )
+        ).alias("token_fingerprint"),
+        (F.sum("n_toks").cast("double") / F.count("*")).alias("tokens_per_word"),
+    )
+
+
+@query(
+    "text_bpe_token_budget",
+    f"""
+    WITH RECURSIVE vocab(tok) AS (VALUES {{BPE_VOCAB}}),
+    v AS (SELECT tok, length(tok) AS vlen, substr(tok, 1, 1) AS c1 FROM vocab),
+    t AS (SELECT source, {_DUCK_TOKENS} AS toks FROM documents),
+    w AS (SELECT source, unnest(toks) AS word FROM t),
+    dw AS (SELECT DISTINCT word FROM w),
+    pos AS (SELECT dw.word, g.pos, substr(dw.word, g.pos, 1) AS ch
+            FROM dw, LATERAL (SELECT unnest(generate_series(1, length(dw.word))) AS pos) g),
+    jump AS (
+      SELECT p.word, p.pos,
+             coalesce(arg_max(v.tok, v.vlen), any_value(p.ch)) AS tok
+      FROM pos p LEFT JOIN v
+        ON p.ch = v.c1 AND substr(p.word, p.pos, v.vlen) = v.tok
+      GROUP BY p.word, p.pos
+    ),
+    walk(word, pos, tlen) AS (
+      SELECT word, pos, length(tok) FROM jump WHERE pos = 1
+      UNION ALL
+      SELECT j.word, j.pos, length(j.tok)
+      FROM walk x JOIN jump j ON j.word = x.word AND j.pos = x.pos + x.tlen
+    ),
+    enc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_toks
+            FROM walk GROUP BY word),
+    src AS (
+      SELECT source, CAST(sum(e.n_toks) AS BIGINT) AS tokens
+      FROM w JOIN enc e USING (word) GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_src
+      FROM src
+    ), ordered AS (
+      SELECT source, tokens,
+             row_number() OVER (ORDER BY tokens, source) AS rk,
+             sum(tokens) OVER (ORDER BY tokens, source
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS csum
+      FROM src
+    ), caps AS (
+      SELECT o.source, o.tokens, o.rk, t.total, t.n_src,
+             (0.5e0 * t.total - (o.csum - o.tokens)) / (t.n_src - o.rk + 1)
+               AS cap_cand
+      FROM ordered o CROSS JOIN tot t
+    ), cap AS (
+      SELECT max(cap_cand) AS c FROM caps WHERE cap_cand <= tokens
+    )
+    SELECT source, tokens,
+           round(least(CAST(tokens AS DOUBLE), cap.c), 4) AS allocation,
+           round(least(CAST(tokens AS DOUBLE), cap.c) / tokens, 6)
+             AS keep_fraction
+    FROM src CROSS JOIN cap
+    """.replace("{BPE_VOCAB}", _bpe_vocab_sql()),
+)
+def text_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation keyed on REAL subword token
+    counts (mlprep_token_budget_allocation uses n_chars as the proxy; a
+    training pipeline bills by tokenizer output — VERDICT r8 #5). Same
+    closed-form cap solve: sort sources by token mass; for each prefix the
+    candidate cap is (budget − smaller-source mass)/(remaining sources);
+    the true cap is the max candidate within its own source size.
+
+    The corpus-sized work is the same dictionary-encode join as
+    text_bpe_tokenize followed by a combinable sum to the |sources| grain;
+    the solve is windows over ≤|sources| rows.
+    """
+    from .functions.bpe import encode_words
+
+    d = load(spark, "documents", sf_dir).select("source", "text")
+    w = d.select("source", F.explode(tx.tokens("text")).alias("word"))
+    enc = encode_words(w.select("word").distinct()).select("word", "n_toks")
+    src = (
+        w.join(enc, "word")
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("bigint").alias("tokens"))
+    )
+    from pyspark import StorageLevel
+
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    tot = src.agg(
+        F.sum("tokens").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_src"),
+    )
+    w_ord = Window.orderBy("tokens", "source")
+    ordered = src.select(
+        "source",
+        "tokens",
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum("tokens")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("csum"),
+    )
+    caps = ordered.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        (
+            (F.lit(0.5) * F.col("total") - (F.col("csum") - F.col("tokens")))
+            / (F.col("n_src") - F.col("rk") + 1)
+        ).alias("cap_cand"),
+    )
+    cap = caps.filter(F.col("cap_cand") <= F.col("tokens")).agg(
+        F.max("cap_cand").alias("c")
+    )
+    alloc = F.least(F.col("tokens").cast("double"), F.col("c"))
+    return src.crossJoin(F.broadcast(cap)).select(
+        "source",
+        "tokens",
+        F.round(alloc, 4).alias("allocation"),
+        F.round(alloc / F.col("tokens"), 6).alias("keep_fraction"),
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.windows import sessionize
+from ..operators.windows import sessionize_scalable
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
@@ -36,8 +36,14 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
 
 def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Session windows via lag-gap cumulative sum; per-session event count and
-    duration seconds. One shuffle on user_id."""
-    s = sessionize(events, "user_id", "ts", gap_minutes)
+    duration seconds.
+
+    Uses the bucket-and-stitch form (``sessionize_scalable``): a hot user
+    (bot/celebrity — measured 1.61× skew at x32 with a 25%-hot key on the
+    plain window form, SCALE_RUN.json) no longer serializes into one task.
+    The downstream per-session aggregate is combinable (count/min/max), so
+    it partial-aggregates map-side and is skew-immune on its own."""
+    s = sessionize_scalable(events, "user_id", "ts", gap_minutes)
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(

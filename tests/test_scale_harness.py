@@ -91,3 +91,33 @@ def test_recipe_markers_gate_reuse(tmp_path):
     out = tmp_path / "w"
     scale_run._write_marker(str(out))
     assert scale_run._marker_ok(str(out))
+
+
+def test_merge_query_row_per_point_provenance_and_ratio_recompute():
+    """ADVICE r8: (a) a partial re-measure must stamp recipe provenance
+    only on the points it wrote, (b) every consecutive-pair ratio must be
+    recomputed from the MERGED row (a single-tier re-measure previously
+    left r32_8/r128_32 derived from the overwritten point), (c) the
+    over-claiming whole-row `recipe` tag is dropped."""
+    rv = scale_run.RECIPE_VERSION
+    merged = {
+        "q": {"x8": 2.0, "x32": 8.0, "r32_8": 4.0, "recipe": "old-recipe"}
+    }
+    # re-measure ONLY x32
+    scale_run.merge_query_row(merged, "q", {"x32": 4.0})
+    row = merged["q"]
+    assert "recipe" not in row
+    assert row["recipes"] == {"x32": rv}  # x8 NOT relabeled
+    assert row["x8"] == 2.0 and row["x32"] == 4.0
+    assert row["r32_8"] == 2.0  # recomputed from merged points
+
+    # extend with a new tier: ratios for every derivable consecutive pair
+    scale_run.merge_query_row(merged, "q", {"x128": 16.0})
+    row = merged["q"]
+    assert row["recipes"] == {"x32": rv, "x128": rv}
+    assert row["r32_8"] == 2.0 and row["r128_32"] == 4.0
+
+    # fresh row: no stale state paths
+    scale_run.merge_query_row(merged, "new", {"x1": 1.0, "x8": 4.0})
+    assert merged["new"]["r8_1"] == 4.0
+    assert merged["new"]["recipes"] == {"x1": rv, "x8": rv}

@@ -1,0 +1,118 @@
+"""sessionize_scalable ≡ sessionize (bucket-and-stitch window-form parity).
+
+The scalable form exists to kill the hot-key straggler (SCALE_RUN.json skew:
+1.61× at x32 with a 25%-hot user on the window form). It must be bit-equal
+to the window form on session ids — these tests pin that on:
+
+- random timelines (many users, random gaps straddling the 30-min threshold)
+- one hot user owning most events (the shape the rewrite targets)
+- sessions that SPAN slice boundaries (the stitch path)
+- sessions aligned exactly AT the gap threshold (> opens, == continues)
+- single-event users, equal-timestamp ties, tiny n_slices (forced stitches)
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from seoul_big_data_spark.operators.windows import sessionize, sessionize_scalable
+
+
+def _mk(spark, rows):
+    df = spark.createDataFrame(rows, "user_id bigint, tss bigint").select(
+        "user_id", F.timestamp_seconds("tss").alias("ts")
+    )
+    return df
+
+
+def _ids(df):
+    out = df.select("user_id", F.col("ts").cast("long").alias("tss"), "session_id")
+    return sorted(out.collect())
+
+
+def _assert_equiv(spark, rows, n_slices):
+    df = _mk(spark, rows)
+    a = _ids(sessionize(df, "user_id", "ts", gap_minutes=30))
+    b = _ids(sessionize_scalable(df, "user_id", "ts", gap_minutes=30, n_slices=n_slices))
+    assert a == b
+
+
+@pytest.mark.parametrize("n_slices", [2, 7, 64])
+def test_random_timelines(spark, n_slices):
+    rng = random.Random(42 + n_slices)
+    rows = []
+    for u in range(25):
+        t = rng.randrange(0, 10_000)
+        for _ in range(rng.randrange(1, 60)):
+            # gaps hug the 1800 s threshold from both sides
+            t += rng.choice([1, 30, 1799, 1800, 1801, 5000, 40_000])
+            rows.append((u, t))
+    _assert_equiv(spark, rows, n_slices)
+
+
+def test_hot_user_with_boundary_spans(spark):
+    rng = random.Random(7)
+    rows = []
+    t = 0
+    for _ in range(4000):  # one user, 25x everyone else, mostly tight gaps
+        t += rng.choice([5, 10, 60, 1799, 2000])
+        rows.append((1, t))
+    for u in range(2, 12):
+        tu = rng.randrange(0, t)
+        for _ in range(40):
+            tu += rng.choice([60, 3600])
+            rows.append((u, tu))
+    # few slices → almost every session crosses a slice boundary
+    _assert_equiv(spark, rows, n_slices=5)
+
+
+def test_threshold_exact(spark):
+    # == gap continues the session; +1 opens a new one — across a forced
+    # slice boundary too (2 slices over a 2*1800 range puts the pair in
+    # different slices).
+    rows = [(1, 0), (1, 1800), (1, 3600), (2, 0), (2, 1801)]
+    _assert_equiv(spark, rows, n_slices=2)
+
+
+def test_ties_single_events_and_constant_time(spark):
+    rows = [
+        (1, 100), (1, 100), (1, 100),      # equal-second ties
+        (2, 500),                          # single event
+        (3, 0), (3, 0), (3, 90_000),       # tie then huge gap
+    ]
+    _assert_equiv(spark, rows, n_slices=16)
+    # degenerate: all events at one instant (lo == hi ⇒ width guard)
+    _assert_equiv(spark, [(1, 7), (2, 7), (1, 7)], n_slices=64)
+
+
+def test_session_count_matches_definition(spark):
+    # independent oracle: brute-force per-user session count in Python
+    rng = random.Random(3)
+    rows = []
+    for u in range(8):
+        t = 0
+        for _ in range(200):
+            t += rng.choice([10, 1801, 7200])
+            rows.append((u, t))
+    df = _mk(spark, rows)
+    got = (
+        sessionize_scalable(df, "user_id", "ts", gap_minutes=30, n_slices=9)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sess"))
+        .collect()
+    )
+    want = {}
+    per_user: dict[int, list[int]] = {}
+    for u, t in rows:
+        per_user.setdefault(u, []).append(t)
+    for u, ts in per_user.items():
+        ts.sort()
+        n = 1
+        for a, b in zip(ts, ts[1:]):
+            if b - a > 1800:
+                n += 1
+        want[u] = n
+    assert {r["user_id"]: r["n_sess"] for r in got} == want

@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import shutil
 import sys
 import time
@@ -522,6 +523,40 @@ def build_skew(spark, mult: int = 32, hot_reps: int = 8, hot_user: int = 42) -> 
     return out
 
 
+def merge_query_row(merged: dict, name: str, row: dict) -> None:
+    """Merge one run's measured points into the persisted per-query rows
+    (pure on dicts; pinned by tests/test_scale_harness.py). Two contracts
+    from ADVICE r8:
+
+    - Provenance is PER POINT: a partial re-measure must not relabel the
+      row's stale, unre-measured points as produced by the current recipe.
+      ``recipes`` maps each x{m} key measured THIS run to RECIPE_VERSION;
+      the legacy whole-row ``recipe`` tag is dropped on first touch (it
+      over-claimed).
+    - Ratios are derived state: recompute EVERY consecutive-pair ratio
+      derivable from the merged row's points (a single-tier re-measure
+      otherwise keeps stale ratios computed from the overwritten point),
+      and drop any ratio whose operands are gone.
+    """
+    existing = merged.setdefault(name, {})
+    existing.pop("recipe", None)
+    recipes = existing.setdefault("recipes", {})
+    for k in row:
+        if re.fullmatch(r"x\d+", k):
+            recipes[k] = RECIPE_VERSION
+    existing.update(row)
+    pts = sorted(
+        int(k[1:]) for k in existing if re.fullmatch(r"x\d+", k)
+    )
+    for k in [k for k in existing if re.fullmatch(r"r\d+_\d+", k)]:
+        del existing[k]
+    for lo, hi in zip(pts, pts[1:]):
+        denom = existing[f"x{lo}"]
+        existing[f"r{hi}_{lo}"] = (
+            round(existing[f"x{hi}"] / denom, 2) if denom else None
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,8,32")
@@ -581,7 +616,13 @@ def main() -> None:
     dirs: dict[int, str] = {}
     for m in mults:
         t0 = time.perf_counter()
-        dirs[m] = BASE_SF if m == 1 else build(spark, m, tables=need)
+        # x1 goes through build() too (replica 0 is identity, so the data
+        # is unchanged): BASE_SF is a single small parquet file per table
+        # (1-3 splits), so measuring x1 on it serializes first stages onto
+        # 1-3 cores while x8+ dirs have REPLICA_FILES files — r8_1 ratios
+        # would mix layouts, the exact artifact the 32-file recipe fixed
+        # (ADVICE r8).
+        dirs[m] = build(spark, m, tables=need)
         print(f"[build x{m}] {time.perf_counter() - t0:.1f}s -> {dirs[m]}")
 
     out_path = os.path.join(ROOT, "SCALE_RUN.json")
@@ -607,10 +648,7 @@ def main() -> None:
                 except OSError:
                     pass
                 merged, doc = {}, {}
-        # Provenance: which builder recipe produced the dirs these points
-        # were measured on (rows without the field predate the 32-file
-        # layout fix and carry serial-scan first stages).
-        merged.setdefault(name, {}).update({**row, "recipe": RECIPE_VERSION})
+        merge_query_row(merged, name, row)
         doc.update(
             {
                 "base_sf_dir": BASE_SF,
@@ -636,9 +674,8 @@ def main() -> None:
                 q(spark, dirs[m]).count()
                 samples.append(time.perf_counter() - t0)
             row[f"x{m}"] = round(min(samples), 3)
-        for lo, hi in zip(mults, mults[1:]):
-            denom = row[f"x{lo}"]
-            row[f"r{hi}_{lo}"] = round(row[f"x{hi}"] / denom, 2) if denom else None
+        # ratios are computed inside _persist from the MERGED row (all
+        # derivable consecutive pairs, not just this run's --mults)
         _persist(name, row)
         print(f"[{name}] " + json.dumps(row))
 
