@@ -557,6 +557,153 @@ def merge_query_row(merged: dict, name: str, row: dict) -> None:
         )
 
 
+def build_skew_docs(spark, mult: int = 32, hot_reps: int = 8) -> str:
+    """x{mult} variant with a deliberately hot TEXT shape: replicas
+    0..hot_reps-1 skip the per-replica letter permutation, so one template
+    family (verbatim copies of the base corpus) owns hot_reps/mult of all
+    documents — 25% at the defaults, the boilerplate/bot-template shape.
+    This is the text/dedup analogue of build_skew's hot user: hot tokens
+    for term-frequency groupBys (the shared replicas collapse into ONE
+    token universe at 8x count while permuted replicas stay disjoint), hot
+    LSH bands / duplicate-hash joins for the dedup family. doc_ids still
+    stride per replica (no key collisions); non-documents tables symlink
+    from the uniform build. NOTE: this is the adversarial duplicate-clique
+    input build() deliberately salts away for weak-scaling ratios — here
+    it is the point (skew measurement), so the variant lives in its own
+    dir and never feeds the x-ratio record."""
+    base = build(spark, mult)
+    out = os.path.join(SCALE_DIR, f"x{mult}skewdocs")
+    marker = os.path.join(out, "_complete")
+    if _marker_ok(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for table in TABLES:
+        if table != "documents":
+            os.symlink(
+                os.path.join(base, f"{table}.parquet"),
+                os.path.join(out, f"{table}.parquet"),
+            )
+    df = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    reps = F.broadcast(
+        spark.range(mult).select(F.col("id").cast("long").alias("_rep"))
+    )
+    strides = _offsets(spark)
+    rep = df.repartition(REPLICA_FILES).crossJoin(reps)
+    rep = rep.withColumn(
+        "doc_id", F.col("doc_id") + F.col("_rep") * strides["doc_id"]
+    )
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    shifted = None
+    for i in range(hot_reps, mult):
+        perm = _letter_perm(i)
+        expr = F.translate(
+            F.col("text"), lower + lower.upper(), perm + perm.upper()
+        )
+        shifted = (
+            F.when(F.col("_rep") == i, expr)
+            if shifted is None
+            else shifted.when(F.col("_rep") == i, expr)
+        )
+    if shifted is not None:
+        rep = rep.withColumn("text", shifted.otherwise(F.col("text")))
+    rep.drop("_rep").write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    _write_marker(marker)
+    return out
+
+
+def build_realtext(spark) -> str:
+    """A real-text documents tier (VERDICT r8 #7): every scale number so
+    far rides seed-42 synthetic tables + salted replication; this tier
+    replaces `documents` with REAL human-written English harvested locally
+    (no network in the sandbox) — docstrings of the Python stdlib and the
+    installed scientific stack (numpy/pandas/pyspark/...), which carry the
+    true Zipf token distribution, genuine near-dup structure (parameter/
+    Returns boilerplate, templated numpy docstring sections), and natural
+    length variance the synthetic generator lacks.
+
+    Deterministic: sorted file walk, AST docstring extraction, fixed
+    chunking (whitespace-split ~<=600 chars), sequential doc_ids. Other
+    tables symlink from the uniform x32 build. The dir records its own
+    corpus stats in _meta.json for normalizing deltas vs the synthetic
+    tier."""
+    import ast as pyast
+    import glob as pyglob
+
+    out = os.path.join(SCALE_DIR, "realtext")
+    marker = os.path.join(out, "_complete")
+    if _marker_ok(marker):
+        return out
+    base = build(spark, 32)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for table in TABLES:
+        if table != "documents":
+            os.symlink(
+                os.path.join(base, f"{table}.parquet"),
+                os.path.join(out, f"{table}.parquet"),
+            )
+    lib = os.path.dirname(os.path.dirname(pyast.__file__)) + "/python3.11"
+    lib = lib if os.path.isdir(lib) else os.path.dirname(pyast.__file__)
+    docs: list[tuple[int, str, str, str, int]] = []
+    doc_id = 0
+    for path in sorted(pyglob.glob(os.path.join(lib, "**", "*.py"), recursive=True)):
+        rel = os.path.relpath(path, lib)
+        top = rel.split(os.sep)[0]
+        source = (
+            rel.split(os.sep)[1] if top == "site-packages" else f"stdlib:{top}"
+        ).removesuffix(".py")
+        try:
+            tree = pyast.parse(
+                open(path, encoding="utf-8", errors="ignore").read()
+            )
+        except SyntaxError:
+            continue
+        for node in pyast.walk(tree):
+            if isinstance(
+                node,
+                (pyast.Module, pyast.ClassDef, pyast.FunctionDef, pyast.AsyncFunctionDef),
+            ):
+                ds = pyast.get_docstring(node)
+                if not ds or len(ds) < 80:
+                    continue
+                text = " ".join(ds.split())  # collapse whitespace/newlines
+                words, buf, blen = text.split(" "), [], 0
+                for w in words:
+                    if blen + len(w) + 1 > 600 and buf:
+                        chunk = " ".join(buf)
+                        docs.append((doc_id, chunk, "en", source, len(chunk)))
+                        doc_id += 1
+                        buf, blen = [], 0
+                    buf.append(w)
+                    blen += len(w) + 1
+                if buf:
+                    chunk = " ".join(buf)
+                    docs.append((doc_id, chunk, "en", source, len(chunk)))
+                    doc_id += 1
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.repartition(REPLICA_FILES).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    n_chars = sum(d[4] for d in docs)
+    with open(os.path.join(out, "_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "n_docs": len(docs),
+                "n_chars": n_chars,
+                "harvest": "python-stdlib+site-packages docstrings",
+                "chunk_chars": 600,
+            },
+            fh,
+        )
+    _write_marker(marker)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,8,32")
@@ -567,17 +714,45 @@ def main() -> None:
         help="also time each query on the hot-key events variant "
         "(one user owns 25%% of x32 events) and record the skew ratio",
     )
+    ap.add_argument(
+        "--skewdocs",
+        action="store_true",
+        help="time each query on the hot-template documents variant "
+        "(one verbatim template family owns 25%% of x32 documents) and "
+        "record the skewdocs ratio",
+    )
+    ap.add_argument(
+        "--realtext",
+        action="store_true",
+        help="time each query on the real-text documents tier (local "
+        "docstring harvest) next to synthetic x32 and record the ratio "
+        "(normalize by the _meta.json corpus stats when comparing)",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     names = [q for q in args.queries.split(",") if q]
 
-    if args.skew:
+    if args.skew or args.skewdocs or args.realtext:
         spark = get_spark("scale_run_skew")
-        uniform, skewed = build(spark, 32), build_skew(spark, 32)
+        uniform = build(spark, 32)
+        if args.realtext:
+            skewed, tag, ratio_key = (
+                build_realtext(spark),
+                "realtext",
+                "realtext_ratio",
+            )
+        elif args.skewdocs:
+            skewed, tag, ratio_key = (
+                build_skew_docs(spark, 32),
+                "x32skewdocs",
+                "skewdocs_ratio",
+            )
+        else:
+            skewed, tag, ratio_key = build_skew(spark, 32), "x32skew", "skew_ratio"
         skew_out = {}
         for name in names:
             row = {}
-            for tag, d in (("x32", uniform), ("x32skew", skewed)):
+            for tag_i, d in (("x32", uniform), (tag, skewed)):
                 # Same VARIANTS routing as the main loop — a variant name
                 # passed with --skew must resolve, not KeyError (ADVICE r5).
                 q = VARIANTS[name](32) if name in VARIANTS else QUERIES[name]
@@ -587,9 +762,9 @@ def main() -> None:
                     t0 = time.perf_counter()
                     q(spark, d).count()
                     samples.append(time.perf_counter() - t0)
-                row[tag] = round(min(samples), 3)
-            row["skew_ratio"] = (
-                round(row["x32skew"] / row["x32"], 2) if row["x32"] else None
+                row[tag_i] = round(min(samples), 3)
+            row[ratio_key] = (
+                round(row[tag] / row["x32"], 2) if row["x32"] else None
             )
             skew_out[name] = row
             print(f"[skew:{name}] " + json.dumps(row))
@@ -598,7 +773,16 @@ def main() -> None:
         if os.path.exists(out_path):
             with open(out_path) as fh:
                 doc = json.load(fh)
-        doc.setdefault("skew", {}).update(skew_out)
+        # merge per query (a query measured under both --skew and
+        # --skewdocs keeps both readings)
+        sect = doc.setdefault("realtext" if args.realtext else "skew", {})
+        for name, row in skew_out.items():
+            sect.setdefault(name, {}).update(row)
+        if args.realtext:
+            meta_path = os.path.join(skewed, "_meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    sect["_corpus"] = json.load(fh)
         with open(out_path, "w") as fh:
             json.dump(doc, fh, indent=1)
         spark.stop()
