@@ -258,6 +258,22 @@ def sessionize(
     )
 
 
+def _range_probe(df: DataFrame, col) -> tuple[float, float]:
+    """Driver-side (lo, hi) of a numeric column — TWO scalars of driver
+    state, bounded by construction (the repo's annotated-collect
+    convention). Collected rather than cross-joined: a broadcast singleton
+    attach plans as BroadcastNestedLoopJoin (Catalyst constant-folds any
+    literal equi-key back to a nested loop), which breaks consumers whose
+    audited design promise is "no BNLJ anywhere in the plan", and the
+    collected literals keep the slice expression foldable. Returns (0, 0)
+    on an empty/all-null frame — every downstream slice lands on 0 and the
+    frame is empty anyway."""
+    row = df.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi")).collect()[0]
+    lo = row["_lo"]
+    hi = row["_hi"]
+    return (float(lo), float(hi)) if lo is not None else (0.0, 0.0)
+
+
 def gaps_scalable(
     df: DataFrame,
     part_cols: list[str],
@@ -272,7 +288,8 @@ def gaps_scalable(
     combinable, so the gap MULTISET is all that matters, not its order).
 
     Same slice trick as :func:`sessionize_scalable`: ``n_slices`` global
-    time buckets from one broadcast min/max probe; within-``(key, slice)``
+    time buckets from one 2-scalar driver-collected min/max probe
+    (:func:`_range_probe`); within-``(key, slice)``
     lag gives the intra-slice gaps; the per-``(key, slice)`` first/last
     summary (≤ ``n_slices`` rows per key, bounded by construction) yields
     each boundary gap via a lag over slices. Union = every consecutive gap
@@ -286,18 +303,12 @@ def gaps_scalable(
     """
     tie = list(tiebreak_cols or [])
     ts = F.col(ts_col)
-    mm = df.agg(F.min(ts).alias("_lo"), F.max(ts).alias("_hi"))
-    width = F.greatest(
-        (F.col("_hi") - F.col("_lo")) / F.lit(float(n_slices)), F.lit(1e-9)
-    )
+    lo, hi = _range_probe(df, ts)
+    width = max((hi - lo) / n_slices, 1e-9)
     slice_id = F.least(
-        F.floor((ts - F.col("_lo")) / width), F.lit(n_slices - 1)
+        F.floor((ts - F.lit(lo)) / F.lit(width)), F.lit(n_slices - 1)
     ).cast("bigint")
-    d = (
-        df.crossJoin(F.broadcast(mm))
-        .withColumn("_slice", slice_id)
-        .drop("_lo", "_hi")
-    )
+    d = df.withColumn("_slice", slice_id)
     # Persisted for the same reason as sessionize_scalable's d: the
     # within-slice branch and the boundary-summary branch both read it.
     from pyspark import StorageLevel
@@ -324,6 +335,8 @@ def sessionize_scalable(
     ts_col: str,
     gap_minutes: int = 30,
     n_slices: int = 256,
+    gap_units: int | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """:func:`sessionize` WITHOUT the per-user single-task window — the
     100 TB form for hot keys (a bot/celebrity user owning a large share of
@@ -333,8 +346,9 @@ def sessionize_scalable(
     Bucket-and-stitch, the same two-level shape as :func:`lead_scalable`:
 
     1. Slice the global time range into ``n_slices`` fixed-width buckets
-       from one broadcast min/max probe (no eager collect). A hot user's
-       timeline now spreads across up to ``n_slices`` tasks.
+       from one min/max probe (2 scalars of driver state, collected —
+       :func:`_range_probe` explains why not a broadcast attach). A hot
+       user's timeline now spreads across up to ``n_slices`` tasks.
     2. Lag-gap cumulative sum WITHIN each ``(user, slice)`` partition →
        local session index ``_ls`` (1-based; the slice's first event is
        always flagged locally new).
@@ -360,19 +374,23 @@ def sessionize_scalable(
     trade once any key is hot (measured 1.61× skew ratio at x32 with a
     25%-hot user on the window form; see SCALE_RUN.json).
     """
-    gap_sec = gap_minutes * 60
+    # gap_units: gap threshold in ts_col's own numeric units (e.g. a
+    # unix_micros column with gap_units=1_800_000_000) — overrides
+    # gap_minutes, which assumes ts_col casts to epoch SECONDS (timestamp
+    # columns; the cast truncates, matching the window-form convention).
+    # tiebreak_cols: within-slice ordering after ts (session ids are
+    # tie-order-invariant — a zero gap never opens a session — but callers
+    # that ALSO read per-session order downstream pass their total order).
+    gap_sec = gap_units if gap_units is not None else gap_minutes * 60
+    tie = list(tiebreak_cols or [])
     tss = F.col(ts_col).cast("long")
-    mm = df.agg(F.min(tss).alias("_lo"), F.max(tss).alias("_hi"))
-    width = F.greatest((F.col("_hi") - F.col("_lo")) / F.lit(float(n_slices)), F.lit(1e-9))
+    lo, hi = _range_probe(df, tss)
+    width = max((hi - lo) / n_slices, 1e-9)
     slice_id = F.least(
-        F.floor((tss - F.col("_lo")) / width), F.lit(n_slices - 1)
+        F.floor((tss - F.lit(lo)) / F.lit(width)), F.lit(n_slices - 1)
     ).cast("bigint")
-    d = (
-        df.crossJoin(F.broadcast(mm))
-        .withColumn("_slice", slice_id)
-        .drop("_lo", "_hi")
-    )
-    w_in = Window.partitionBy(user_col, "_slice").orderBy(ts_col)
+    d = df.withColumn("_slice", slice_id)
+    w_in = Window.partitionBy(user_col, "_slice").orderBy(ts_col, *tie)
     gap = tss - F.lag(tss).over(w_in)
     new_local = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
     d = d.withColumn(

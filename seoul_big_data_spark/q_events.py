@@ -12,7 +12,7 @@ from pyspark.sql import types as T
 
 from .operators import windows
 from .operators.joins import asof_join, banded_range_join, range_join
-from .operators.windows import gaps_scalable, sessionize
+from .operators.windows import gaps_scalable
 from .registry import query
 from .sources.tables import load
 from .streaming.batch_windows import hourly_rollup, session_stats
@@ -541,7 +541,9 @@ def events_session_busy_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin never appears; the fact side is touched twice
     (sessionize window + hourly count), both one-shuffle passes."""
     e = load(spark, "events", sf_dir)
-    s = sessionize(e, "user_id", "ts", gap_minutes=30).withColumn(
+    # bucket-and-stitch session assignment (r9): the plain window form
+    # measured 1.68x at x32 with a 25%-hot user; ids bit-identical.
+    s = windows.sessionize_scalable(e, "user_id", "ts", gap_minutes=30).withColumn(
         "tss", F.col("ts").cast("long")
     )
     sess = s.groupBy("user_id", "session_id").agg(
@@ -837,34 +839,39 @@ def events_rolling_median_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch attribution: every purchase is credited to the event type
-    that OPENED its session (30-min inactivity gap). Sessionize with the
-    lag/cumsum windows, take first_value per session, aggregate purchases by
-    that first touch — all three windows share one shuffle on user_id (same
-    partitioning), then one bucket-sized aggregate. The standard marketing
+    that OPENED its session (30-min inactivity gap). The standard marketing
     attribution kernel, exact and deterministic under timestamp ties
-    ((ts, event_id) total order)."""
+    ((ts, event_id) total order).
+
+    Skew-proof form (r9 — the window form measured 1.75x at x32 with a
+    25%-hot user): session ids come from the bucket-and-stitch
+    sessionize_scalable (microsecond gap units, bit-identical ids), and the
+    per-session first touch is a COMBINABLE aggregate — min_by over the
+    (tus, event_id) total order — computed in the same session-grain
+    groupBy as the purchase rollup, so no (user)- or (user, session)-
+    partitioned window remains anywhere in the plan."""
     e = load(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("tus")
     )
-    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    gap = F.col("tus") - F.lag("tus").over(w)
-    new_sess = F.when(
-        gap.isNull() | (gap > 1_800_000_000), F.lit(1)
-    ).otherwise(F.lit(0))
-    s = e.withColumn(
-        "session_id",
-        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    s = windows.sessionize_scalable(
+        e,
+        "user_id",
+        "tus",
+        gap_units=1_800_000_000,
+        tiebreak_cols=["event_id"],
     )
-    wf = Window.partitionBy("user_id", "session_id").orderBy(
-        "tus", "event_id"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    f = s.withColumn("first_touch", F.first("event_type").over(wf))
+    is_p = F.col("event_type") == "purchase"
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", F.struct("tus", "event_id")).alias("first_touch"),
+        F.sum(is_p.cast("long")).alias("n_purchases"),
+        F.sum(F.when(is_p, F.col("value")).otherwise(F.lit(0.0))).alias("pvalue"),
+    )
     return (
-        f.filter(F.col("event_type") == "purchase")
+        sess.filter(F.col("n_purchases") > 0)
         .groupBy("first_touch")
         .agg(
-            F.count("*").alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("attributed_value"),
+            F.sum("n_purchases").cast("bigint").alias("n_purchases"),
+            F.round(F.sum("pvalue"), 2).alias("attributed_value"),
         )
     )
 
@@ -1266,19 +1273,17 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, "events", sf_dir).select(
         "user_id", "event_type", F.unix_micros("ts").alias("tus"), "event_id"
     )
-    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    g = e.withColumn(
-        "new_sess",
-        F.when(
-            F.lag("tus").over(w).isNull()
-            | (F.col("tus") - F.lag("tus").over(w) > 1_800_000_000),
-            1,
-        ).otherwise(0),
-    )
-    s = g.withColumn(
-        "sid",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    # bucket-and-stitch session assignment (r9): the inline window form
+    # measured 2.01x at x32 with a 25%-hot user; ids bit-identical. The
+    # path build below is already session-grain (collect_list bounded by
+    # session length), so no per-user window remains.
+    s = windows.sessionize_scalable(
+        e,
+        "user_id",
+        "tus",
+        gap_units=1_800_000_000,
+        tiebreak_cols=["event_id"],
+    ).withColumnRenamed("session_id", "sid")
     paths = s.groupBy("user_id", "sid").agg(
         F.array_join(
             F.transform(

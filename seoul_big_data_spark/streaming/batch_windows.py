@@ -42,8 +42,13 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     (bot/celebrity — measured 1.61× skew at x32 with a 25%-hot key on the
     plain window form, SCALE_RUN.json) no longer serializes into one task.
     The downstream per-session aggregate is combinable (count/min/max), so
-    it partial-aggregates map-side and is skew-immune on its own."""
-    s = sessionize_scalable(events, "user_id", "ts", gap_minutes)
+    it partial-aggregates map-side and is skew-immune on its own.
+    Projected to the two consumed columns BEFORE sessionizing — the
+    operator persists its sliced frame for the stitch, and the stats here
+    need only (user_id, ts)."""
+    s = sessionize_scalable(
+        events.select("user_id", "ts"), "user_id", "ts", gap_minutes
+    )
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(

@@ -16,6 +16,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from seoul_big_data_spark.operators.windows import sessionize, sessionize_scalable
@@ -116,3 +117,35 @@ def test_session_count_matches_definition(spark):
                 n += 1
         want[u] = n
     assert {r["user_id"]: r["n_sess"] for r in got} == want
+
+
+def test_gap_units_microseconds_matches_window_form(spark):
+    # the attribution/path queries sessionize on unix_micros with a
+    # 1.8e9 µs gap — sub-second gaps must count (second-truncation would
+    # merge sessions the µs form splits)
+    rng = random.Random(99)
+    rows = []
+    for u in range(10):
+        t = rng.randrange(0, 10**9)
+        for _ in range(300):
+            t += rng.choice(
+                [500_000, 1_799_999_999, 1_800_000_000, 1_800_000_001, 10**10]
+            )
+            rows.append((u, t))
+    df = spark.createDataFrame(rows, "user_id bigint, tus bigint").withColumn(
+        "event_id", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    want = df.withColumn(
+        "session_id",
+        F.sum(
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    got = sessionize_scalable(
+        df, "user_id", "tus", gap_units=1_800_000_000,
+        tiebreak_cols=["event_id"], n_slices=7,
+    )
+    cols = ["user_id", "tus", "event_id", "session_id"]
+    assert sorted(want.select(cols).collect()) == sorted(got.select(cols).collect())

@@ -430,6 +430,11 @@ _SCAN_BUDGET = {
     "sample_negative_pairs": 3,  # anchors/partners/count: three narrow projections
     "corpus_refinery_pipeline": 3,  # three genuinely different filtered subsets
     "dq_fk_orphans": 3,         # one scan per FK direction by definition
+    # 2 physical reads (sessionize_scalable's persisted frame + the hourly
+    # rollup); the third Location line is the SAME persisted subtree
+    # rendered again under the stitch-offsets branch — an
+    # InMemoryTableScan cache hit, not a third file read
+    "events_session_busy_overlap": 3,
 }
 
 
@@ -487,6 +492,8 @@ _GLOBAL_WINDOW_OK = {
     "events_cusum_change_point": "day grain (calendar-bounded)",
     "text_rake_keywords": "phrase grain, top-k rank",
     "mlprep_token_budget_allocation": "source grain (bounded source list)",
+    "text_bpe_token_budget": "source grain (bounded source list; the "
+    "corpus-sized BPE join reduces to |sources| rows before the window)",
     "dq_psi_drift": "10 fixed bins",
     "timeseries_trend_decompose": "day grain (calendar-bounded)",
     "events_type_share": "event-type grain",
