@@ -238,6 +238,9 @@ EXTENDED = [
     "text_entropy_compressibility",
     "dedup_substring_runs",
     "multimodal_resize",
+    # round 9 additions
+    "text_bpe_tokenize",
+    "text_bpe_token_budget",
 ]
 
 

@@ -246,16 +246,131 @@ def sessionize(
     user_col: str,
     ts_col: str,
     gap_minutes: int = 30,
+    gap_units: int | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Session assignment via lag-gap cumulative sum (batch sessionization,
     SURVEY.md §2.8): a new session starts when the gap to the previous event
-    of the same user exceeds ``gap_minutes``. One shuffle on user_col."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    of the same user exceeds the threshold. One shuffle on user_col.
+    ``gap_units``/``tiebreak_cols`` as in :func:`sessionize_scalable`."""
+    gap_sec = gap_units if gap_units is not None else gap_minutes * 60
+    tie = list(tiebreak_cols or [])
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tie)
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    new_sess = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
     return df.withColumn(
         "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+
+
+def gaps_auto(
+    df: DataFrame,
+    part_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    out: str = "gap",
+    hot_threshold: int = 200_000,
+    n_slices: int = 256,
+) -> DataFrame:
+    """Skew-split inter-arrival gaps — :func:`gaps_scalable`'s routing
+    companion (same rationale as :func:`sessionize_auto`): keys with >
+    ``hot_threshold`` rows take the slice-and-stitch path, the cold mass
+    takes one plain lag window. ``|hot| ≤ N/hot_threshold`` by
+    construction, so the routing broadcast is provably safe. Gap multiset
+    identical to the window form on both paths. Same measured outcome as
+    :func:`sessionize_auto` (see its docstring): at every measurable tier
+    the pure :func:`gaps_scalable` dominates, so production call sites use
+    that; this is the documented asymptotic alternative."""
+    from pyspark import StorageLevel
+
+    tie = list(tiebreak_cols or [])
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = df.groupBy(*part_cols).agg(F.count("*").alias("_n"))
+    hot = counts.filter(F.col("_n") > hot_threshold).select(*part_cols)
+    w = Window.partitionBy(*part_cols).orderBy(ts_col, *tie)
+    ts = F.col(ts_col)
+    cold = (
+        df.join(F.broadcast(hot), part_cols, "left_anti")
+        .select(*part_cols, (ts - F.lag(ts).over(w)).alias(out))
+        .filter(F.col(out).isNotNull())
+    )
+    hot_g = gaps_scalable(
+        df.join(F.broadcast(hot), part_cols, "left_semi"),
+        part_cols,
+        ts_col,
+        tiebreak_cols=tie,
+        out=out,
+        n_slices=n_slices,
+    )
+    return cold.unionByName(hot_g)
+
+
+def sessionize_auto(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    gap_units: int | None = None,
+    tiebreak_cols: list[str] | None = None,
+    hot_threshold: int = 200_000,
+    n_slices: int = 256,
+) -> DataFrame:
+    """Skew-split sessionization — the production form. The plain window
+    (:func:`sessionize`) is optimal for the cold mass but serializes a hot
+    key's whole timeline into one task; the bucket-and-stitch form
+    (:func:`sessionize_scalable`) is hot-key-proof but pays ~2 extra
+    passes on EVERY key. This routes each user to the right plan — the
+    AQE skew-join split idea applied to a window, which AQE itself cannot
+    split:
+
+    1. per-user counts (combinable aggregate, skew-immune);
+    2. hot = users with > ``hot_threshold`` events. ``|hot| ≤
+       N/hot_threshold`` BY CONSTRUCTION (at 100 B events and the default
+       threshold that is ≤ 500k ids, a few MB) — so the broadcast below
+       is provably safe, not heuristically;
+    3. cold mass → plain window; hot slice → bucket-and-stitch; union.
+
+    Both paths produce bit-identical session ids (each pinned against the
+    window form; tests/test_windows_scalable.py adds the mixed-population
+    union case), so routing is invisible to consumers and oracles. The
+    input is persisted (counts + both branches read it; the house
+    persist-and-let-LRU-evict lifecycle) — project to the columns you
+    need BEFORE calling.
+
+    MEASURED OUTCOME (r9, x32 = 3.2M events / 32 cores): the routing
+    plumbing (persist + counts + anti/semi joins + two branches) costs
+    MORE than it saves at every tier this box can measure — uniform x32
+    2.27 s vs the pure scalable form's 1.95 s, and hot-shape ratios
+    1.02–1.28 vs the pure form's 0.74–0.97 — so production call sites use
+    :func:`sessionize_scalable` directly. This form is the asymptotic
+    design for corpora where the cold mass is large enough that one plain
+    window pass beats slicing everything (the per-branch fixed costs
+    amortize away as N grows); re-evaluate the routing threshold there
+    before adopting.
+    """
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = df.groupBy(user_col).agg(F.count("*").alias("_n"))
+    hot = counts.filter(F.col("_n") > hot_threshold).select(user_col)
+    cold_s = sessionize(
+        df.join(F.broadcast(hot), user_col, "left_anti"),
+        user_col,
+        ts_col,
+        gap_minutes,
+        gap_units=gap_units,
+        tiebreak_cols=tiebreak_cols,
+    )
+    hot_s = sessionize_scalable(
+        df.join(F.broadcast(hot), user_col, "left_semi"),
+        user_col,
+        ts_col,
+        gap_minutes,
+        n_slices=n_slices,
+        gap_units=gap_units,
+        tiebreak_cols=tiebreak_cols,
+    )
+    return cold_s.unionByName(hot_s)
 
 
 def _range_probe(df: DataFrame, col) -> tuple[float, float]:

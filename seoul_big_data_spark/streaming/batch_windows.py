@@ -40,9 +40,12 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     Uses the bucket-and-stitch form (``sessionize_scalable``): a hot user
     (bot/celebrity — measured 1.61× skew at x32 with a 25%-hot key on the
-    plain window form, SCALE_RUN.json) no longer serializes into one task.
-    The downstream per-session aggregate is combinable (count/min/max), so
-    it partial-aggregates map-side and is skew-immune on its own.
+    plain window form, SCALE_RUN.json) no longer serializes into one task
+    (measured 0.74 post-fix; the skew-split ``sessionize_auto`` variant
+    measured WORSE on both axes at every observable tier — see its
+    docstring — so the pure form is the production path). The downstream
+    per-session aggregate is combinable (count/min/max), so it
+    partial-aggregates map-side and is skew-immune on its own.
     Projected to the two consumed columns BEFORE sessionizing — the
     operator persists its sliced frame for the stitch, and the stats here
     need only (user_id, ts)."""

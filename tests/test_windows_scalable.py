@@ -149,3 +149,54 @@ def test_gap_units_microseconds_matches_window_form(spark):
     )
     cols = ["user_id", "tus", "event_id", "session_id"]
     assert sorted(want.select(cols).collect()) == sorted(got.select(cols).collect())
+
+
+def test_sessionize_auto_mixed_population(spark):
+    # hot user routed to bucket-and-stitch, cold mass to the plain window —
+    # the union must equal the window form run over EVERYTHING
+    from seoul_big_data_spark.operators.windows import sessionize_auto
+
+    rng = random.Random(5)
+    rows = []
+    t = 0
+    for _ in range(3000):  # hot user (threshold set below 3000)
+        t += rng.choice([10, 1799, 1801, 4000])
+        rows.append((1, t))
+    for u in range(2, 30):
+        tu = rng.randrange(0, t)
+        for _ in range(30):
+            tu += rng.choice([60, 2000])
+            rows.append((u, tu))
+    df = _mk(spark, rows)
+    want = _ids(sessionize(df, "user_id", "ts", gap_minutes=30))
+    got = _ids(
+        sessionize_auto(
+            df, "user_id", "ts", gap_minutes=30, hot_threshold=1000, n_slices=8
+        )
+    )
+    assert want == got
+    # threshold boundary: exactly-at-threshold user stays on the window path
+    got_all_cold = _ids(
+        sessionize_auto(df, "user_id", "ts", gap_minutes=30, hot_threshold=10**9)
+    )
+    assert want == got_all_cold
+
+
+def test_gaps_auto_mixed_population(spark):
+    from seoul_big_data_spark.operators.windows import gaps_auto
+
+    rng = random.Random(17)
+    rows = [(1, rng.randrange(0, 10**7)) for _ in range(2500)]  # hot key
+    for u in range(2, 20):
+        rows += [(u, rng.randrange(0, 10**7)) for _ in range(50)]
+    df = spark.createDataFrame(rows, "k bigint, t bigint")
+    w = Window.partitionBy("k").orderBy("t")
+    want = sorted(
+        df.select("k", (F.col("t") - F.lag("t").over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+        .collect()
+    )
+    got = sorted(
+        gaps_auto(df, ["k"], "t", hot_threshold=1000, n_slices=9).collect()
+    )
+    assert want == got

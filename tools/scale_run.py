@@ -353,6 +353,12 @@ QUERY_TABLES = {
     "events_peak_concurrency": ("events",),
     "dedup_simhash_md5": ("documents",),
     "text_entropy_compressibility": ("documents",),
+    "events_interarrival_profile": ("events",),
+    "events_attribution_first_touch": ("events",),
+    "events_top_session_paths": ("events",),
+    "events_session_busy_overlap": ("events",),
+    "text_bpe_tokenize": ("documents",),
+    "text_bpe_token_budget": ("documents",),
 }
 
 
