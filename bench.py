@@ -241,6 +241,7 @@ EXTENDED = [
     # round 9 additions
     "text_bpe_tokenize",
     "text_bpe_token_budget",
+    "text_bpe_chunk",
 ]
 
 

@@ -359,6 +359,7 @@ QUERY_TABLES = {
     "events_session_busy_overlap": ("events",),
     "text_bpe_tokenize": ("documents",),
     "text_bpe_token_budget": ("documents",),
+    "text_bpe_chunk": ("documents",),
 }
 
 
