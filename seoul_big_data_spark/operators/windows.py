@@ -547,3 +547,191 @@ def sessionize_scalable(
         .withColumn("session_id", F.col("_off") + F.col("_ls"))
         .drop("_slice", "_ls", "_off")
     )
+
+
+def sessionize_agg_scalable(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    local_aggs: list[Column],
+    merge_aggs: list[Column],
+    gap_minutes: int = 30,
+    n_slices: int = 256,
+    gap_units: int | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """:func:`sessionize_scalable` fused with a session-grain aggregate —
+    for the (common) consumer that only ever reads per-session AGGREGATES,
+    never the row-level session labels.
+
+    Every production consumer of :func:`sessionize_scalable` follows it
+    with ``groupBy(user, session_id).agg(...)`` over re-aggregable
+    functions (count→sum, min/max→min/max, min_by carried with its key,
+    collect_list merged by flatten+sort). For those, joining the stitch
+    offsets back onto the FULL event frame — and then shuffling that full
+    frame again to (user, session_id) grain — moves two corpus-sized
+    frames that never needed to exist. This form aggregates DOWN TO
+    SESSION GRAIN while the data is still partitioned by the bucket
+    window, and everything after the one big shuffle is session-grain:
+
+    1. Slice + within-``(user, slice)`` lag-gap cumsum → ``_ls``
+       (identical to :func:`sessionize_scalable` steps 1–2; the only
+       corpus-sized shuffle in the plan).
+    2. ``groupBy(user, _slice, _ls).agg(*local_aggs)`` — the grouping
+       keys are a superset of the window's partition keys, so Catalyst
+       plans NO exchange here: the corpus collapses to local-session
+       grain inside the same stage. ``s_first_tss``/``s_last_tss``
+       (min/max of the cast-to-long timestamp) are always added for the
+       stitch and are visible to ``merge_aggs``.
+    3. The per-``(user, slice)`` stitch summary, offsets window, and
+       offset join all run on the step-2 frame — ≤ one row per local
+       session, bounded session grain (worst case one row per event when
+       every event is its own session, i.e. never worse than the
+       row-level form's join-back).
+    4. ``groupBy(user, session_id).agg(*merge_aggs)`` merges the
+       fragments of boundary-spanning sessions. Session ids are the same
+       ``D_{k-1} − merge_k + s`` stitch as :func:`sessionize_scalable` —
+       bit-identical to the window form (pinned in
+       tests/test_windows_scalable.py).
+
+    ``local_aggs`` see the input columns (evaluated once per LOCAL
+    session fragment); ``merge_aggs`` see the ``local_aggs`` output
+    columns plus ``s_first_tss``/``s_last_tss`` and must re-aggregate
+    (e.g. local ``count(*) as n`` merges as ``sum(n) as n``). Output:
+    ``(user_col, session_id, *merge_aggs)``.
+
+    vs the row-level form at sf0.1 (events, 32 threads): the persist of
+    the corpus-sized sliced frame, the full-frame offset join, and the
+    consumer's full-frame (user, session_id) shuffle all disappear —
+    the plan is scan → window+local agg → session-grain stitch. The
+    x512 spill named on SCALE_RUN's r512_128=5.05 row was exactly the
+    row-level persisted frame.
+    """
+    gap_sec = gap_units if gap_units is not None else gap_minutes * 60
+    tie = list(tiebreak_cols or [])
+    tss = F.col(ts_col).cast("long")
+    lo, hi = _range_probe(df, tss)
+    width = max((hi - lo) / n_slices, 1e-9)
+    slice_id = F.least(
+        F.floor((tss - F.lit(lo)) / F.lit(width)), F.lit(n_slices - 1)
+    ).cast("bigint")
+    d = df.withColumn("_slice", slice_id)
+    w_in = Window.partitionBy(user_col, "_slice").orderBy(ts_col, *tie)
+    gap = tss - F.lag(tss).over(w_in)
+    new_local = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    d = d.withColumn(
+        "_ls", F.sum(new_local).over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    # Local-session grain: no exchange (grouping keys ⊇ window partition
+    # keys). This is where the corpus-sized frame dies.
+    loc = d.groupBy(user_col, "_slice", "_ls").agg(
+        F.min(tss).alias("s_first_tss"),
+        F.max(tss).alias("s_last_tss"),
+        *local_aggs,
+    )
+    # Persisted for the stitch's two consumers (summary + offset join) —
+    # session grain, so the footprint is bounded by the session count,
+    # not the corpus. Persist-and-let-LRU-evict lifecycle.
+    from pyspark import StorageLevel
+
+    loc = loc.persist(StorageLevel.MEMORY_AND_DISK)
+    # Slice summary from the local-session frame itself: min/max of the
+    # local sessions' bounds ARE the slice's first/last second, and
+    # max(_ls) is the local session count.
+    summ = loc.groupBy(user_col, "_slice").agg(
+        F.min("s_first_tss").alias("_first"),
+        F.max("s_last_tss").alias("_last"),
+        F.max("_ls").alias("_nloc"),
+    )
+    w_s = Window.partitionBy(user_col).orderBy("_slice")
+    merge = F.when(
+        (F.col("_first") - F.lag("_last").over(w_s)) <= gap_sec, 1
+    ).otherwise(0)
+    summ = summ.withColumn("_merge", merge)
+    w_prev = w_s.rowsBetween(Window.unboundedPreceding, -1)
+    offsets = summ.select(
+        user_col,
+        "_slice",
+        (
+            F.coalesce(F.sum(F.col("_nloc") - F.col("_merge")).over(w_prev), F.lit(0))
+            - F.col("_merge")
+        ).alias("_off"),
+    )
+    return (
+        loc.join(offsets, [user_col, "_slice"])
+        .withColumn("session_id", F.col("_off") + F.col("_ls"))
+        .groupBy(user_col, "session_id")
+        .agg(*merge_aggs)
+    )
+
+
+def gap_moments_scalable(
+    df: DataFrame,
+    part_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    moment_aggs: list[Column] | None = None,
+    gap_col: str = "gap",
+    n_slices: int = 256,
+) -> DataFrame:
+    """:func:`gaps_scalable` fused with the per-key gap aggregate — for
+    consumers that only read combinable MOMENTS of the gap multiset
+    (count/sum/sum-of-squares — mean, rate, cv), never individual gaps.
+
+    :func:`gaps_scalable` persists the corpus-sized sliced frame because
+    its two branches (within-slice lags, boundary summary) both scan it,
+    and returns one row per gap for the caller to aggregate. Here both
+    branches collapse inside the window stage: the within-slice gaps
+    partial-aggregate to ``(part_cols, _slice)`` grain with NO exchange
+    (grouping keys ⊇ the lag window's partition keys), the boundary gaps
+    come from the same tiny frame's slice-lag, and the union the caller
+    aggregates is summary-grain — no persist, no corpus-sized union, one
+    corpus shuffle total.
+
+    ``moment_aggs`` are evaluated over ``F.col(gap_col)`` at BOTH grains
+    and must be combinable by plain re-aggregation downstream (the
+    default: ``n/s/ssq`` with the exact DECIMAL(19,0) convention of
+    events_interarrival_profile — order-independent integer sums, so the
+    two-level aggregation is bit-equal to the flat one). Returns
+    ``part_cols + moment_agg columns`` at ``(part_cols, _slice)``-grain ∪
+    boundary rows; the caller finishes with ``groupBy(...).agg(sum...)``.
+    """
+    tie = list(tiebreak_cols or [])
+    ts = F.col(ts_col)
+    g = F.col(gap_col)
+    if moment_aggs is None:
+        gd = g.cast("decimal(19,0)")
+        moment_aggs = [
+            F.count(g).alias("n_gaps"),
+            F.sum(gd).alias("s"),
+            F.sum(gd * gd).alias("ssq"),
+        ]
+    lo, hi = _range_probe(df, ts)
+    width = max((hi - lo) / n_slices, 1e-9)
+    slice_id = F.least(
+        F.floor((ts - F.lit(lo)) / F.lit(width)), F.lit(n_slices - 1)
+    ).cast("bigint")
+    d = df.withColumn("_slice", slice_id)
+    w_in = Window.partitionBy(*part_cols, "_slice").orderBy(ts_col, *tie)
+    d = d.withColumn(gap_col, ts - F.lag(ts).over(w_in))
+    # One pass: per-(key, slice) gap moments AND the slice's first/last
+    # timestamp (for boundary gaps) — grouping keys ⊇ window partition
+    # keys, so the corpus collapses to summary grain with no exchange.
+    loc = d.groupBy(*part_cols, "_slice").agg(
+        F.min(ts).alias("_first"),
+        F.max(ts).alias("_last"),
+        *moment_aggs,
+    )
+    w_s = Window.partitionBy(*part_cols).orderBy("_slice")
+    boundary = (
+        loc.withColumn(gap_col, F.col("_first") - F.lag("_last").over(w_s))
+        .filter(F.col(gap_col).isNotNull())
+        .groupBy(*part_cols, "_slice")
+        .agg(*moment_aggs)
+    )
+    out_cols = [c for c in loc.columns if c not in ("_first", "_last")]
+    return (
+        loc.select(*out_cols)
+        .unionByName(boundary.select(*out_cols))
+        .drop("_slice")
+    )

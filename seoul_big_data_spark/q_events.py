@@ -12,7 +12,7 @@ from pyspark.sql import types as T
 
 from .operators import windows
 from .operators.joins import asof_join, banded_range_join, range_join
-from .operators.windows import gaps_scalable
+from .operators.windows import gap_moments_scalable
 from .registry import query
 from .sources.tables import load
 from .streaming.batch_windows import hourly_rollup, session_stats
@@ -542,12 +542,19 @@ def events_session_busy_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sessionize window + hourly count), both one-shuffle passes."""
     e = load(spark, "events", sf_dir)
     # bucket-and-stitch session assignment (r9): the plain window form
-    # measured 1.68x at x32 with a 25%-hot user; ids bit-identical.
-    s = windows.sessionize_scalable(e, "user_id", "ts", gap_minutes=30).withColumn(
-        "tss", F.col("ts").cast("long")
-    )
-    sess = s.groupBy("user_id", "session_id").agg(
-        F.min("tss").alias("s_start"), F.max("tss").alias("s_end")
+    # measured 1.68x at x32 with a 25%-hot user; ids bit-identical. The
+    # session-grain fused form (only min/max bounds are consumed) keeps
+    # everything after the bucket window at session grain.
+    sess = windows.sessionize_agg_scalable(
+        e.select("user_id", "ts"),
+        "user_id",
+        "ts",
+        local_aggs=[],
+        merge_aggs=[
+            F.min("s_first_tss").alias("s_start"),
+            F.max("s_last_tss").alias("s_end"),
+        ],
+        gap_minutes=30,
     )
     hrs = (
         e.select(F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("hr"))
@@ -844,27 +851,36 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
     ((ts, event_id) total order).
 
     Skew-proof form (r9 — the window form measured 1.75x at x32 with a
-    25%-hot user): session ids come from the bucket-and-stitch
-    sessionize_scalable (microsecond gap units, bit-identical ids), and the
-    per-session first touch is a COMBINABLE aggregate — min_by over the
-    (tus, event_id) total order — computed in the same session-grain
-    groupBy as the purchase rollup, so no (user)- or (user, session)-
-    partitioned window remains anywhere in the plan."""
+    25%-hot user): session ids come from the bucket-and-stitch stitch math
+    (microsecond gap units, bit-identical ids), and the per-session first
+    touch is a COMBINABLE aggregate — min_by over the (tus, event_id)
+    total order, carried with its key through the session-grain fused form
+    (sessionize_agg_scalable) so fragments of boundary-spanning sessions
+    merge exactly — no (user)- or (user, session)-partitioned window and
+    no corpus-sized join-back anywhere in the plan."""
     e = load(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("tus")
     )
-    s = windows.sessionize_scalable(
+    is_p = F.col("event_type") == "purchase"
+    sess = windows.sessionize_agg_scalable(
         e,
         "user_id",
         "tus",
+        local_aggs=[
+            F.min_by("event_type", F.struct("tus", "event_id")).alias("ft"),
+            F.min(F.struct("tus", "event_id")).alias("ft_key"),
+            F.sum(is_p.cast("long")).alias("n_purchases"),
+            F.sum(F.when(is_p, F.col("value")).otherwise(F.lit(0.0))).alias(
+                "pvalue"
+            ),
+        ],
+        merge_aggs=[
+            F.min_by("ft", "ft_key").alias("first_touch"),
+            F.sum("n_purchases").alias("n_purchases"),
+            F.sum("pvalue").alias("pvalue"),
+        ],
         gap_units=1_800_000_000,
         tiebreak_cols=["event_id"],
-    )
-    is_p = F.col("event_type") == "purchase"
-    sess = s.groupBy("user_id", "session_id").agg(
-        F.min_by("event_type", F.struct("tus", "event_id")).alias("first_touch"),
-        F.sum(is_p.cast("long")).alias("n_purchases"),
-        F.sum(F.when(is_p, F.col("value")).otherwise(F.lit(0.0))).alias("pvalue"),
     )
     return (
         sess.filter(F.col("n_purchases") > 0)
@@ -1275,28 +1291,32 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bucket-and-stitch session assignment (r9): the inline window form
     # measured 2.01x at x32 with a 25%-hot user; ids bit-identical. The
-    # path build below is already session-grain (collect_list bounded by
-    # session length), so no per-user window remains.
-    s = windows.sessionize_scalable(
+    # path build is a mergeable session aggregate (collect fragments per
+    # local session, flatten + array_sort at merge — the struct sort IS
+    # the (tus, event_id) total order), so the session-grain fused form
+    # applies: no per-user window and no corpus-sized join-back remain.
+    sess = windows.sessionize_agg_scalable(
         e,
         "user_id",
         "tus",
+        local_aggs=[
+            F.collect_list(F.struct("tus", "event_id", "event_type")).alias(
+                "frag"
+            )
+        ],
+        merge_aggs=[
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.flatten(F.collect_list("frag"))),
+                    lambda r: r["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        ],
         gap_units=1_800_000_000,
         tiebreak_cols=["event_id"],
-    ).withColumnRenamed("session_id", "sid")
-    paths = s.groupBy("user_id", "sid").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("tus", "event_id", "event_type")
-                    )
-                ),
-                lambda r: r["event_type"],
-            ),
-            ">",
-        ).alias("path")
     )
+    paths = sess.select("user_id", "session_id", "path")
     counted = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
     wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
     return (
@@ -1688,28 +1708,34 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~100 days) before Spark's DECIMAL(38) product can overflow to NULL
     while DuckDB's HUGEINT keeps going; asserted at the profile grain in
     tests/test_events.py.
-    Skew: the gaps feed ONLY combinable aggregates, so the gap multiset is
-    computed via operators/windows.py::gaps_scalable (slice-and-stitch, no
-    per-(type,user) single-task window) — the plain window form measured a
-    1.21× skew ratio at x32 with a 25%-hot user (SCALE_RUN.json r8)."""
+    Skew: the gaps feed ONLY combinable moments, so the fused
+    operators/windows.py::gap_moments_scalable applies (slice-and-stitch,
+    no per-(type,user) single-task window — the plain window form measured
+    a 1.21× skew ratio at x32 with a 25%-hot user, SCALE_RUN.json r8):
+    per-(key, slice) moments partial-aggregate INSIDE the lag-window stage
+    (exact DECIMAL sums, so the two-level aggregation is bit-equal to the
+    flat one), and only summary-grain rows reach the groupBy here. The
+    n_gaps > 0 filter keeps the fused form's row set identical to the
+    gap-multiset form: a type whose every (user) series has a single event
+    produces NO gap rows there, but WOULD produce an n=0 moment row here.
+    The DECIMAL(19,0) gap operands are wide enough that DuckDB computes
+    the square in int128 (its DECIMAL(18) path multiplies in int64 and
+    overflows)."""
     e = load(spark, "events", sf_dir).select(
         "event_type", "user_id", F.unix_micros("ts").alias("tus"), "event_id"
     )
-    d = gaps_scalable(
+    d = gap_moments_scalable(
         e,
         part_cols=["event_type", "user_id"],
         ts_col="tus",
         tiebreak_cols=["event_id"],
-        out="gap_us",
-    ).select("event_type", "gap_us")
-    # DECIMAL(19,0) operands: wide enough that DuckDB computes the square
-    # in int128 (its DECIMAL(18) path multiplies in int64 and overflows).
-    gd = F.col("gap_us").cast("decimal(19,0)")
+        gap_col="gap_us",
+    ).select("event_type", "n_gaps", "s", "ssq")
     m = d.groupBy("event_type").agg(
-        F.count("gap_us").alias("n_gaps"),
-        F.sum(gd).alias("s"),
-        F.sum(gd * gd).alias("ssq"),
-    )
+        F.sum("n_gaps").alias("n_gaps"),
+        F.sum("s").alias("s"),
+        F.sum("ssq").alias("ssq"),
+    ).filter(F.col("n_gaps") > 0)
     n = F.col("n_gaps")
     s_dbl = F.col("s").cast("double")
     var_num = (n * F.col("ssq") - F.col("s") * F.col("s")).cast("double")

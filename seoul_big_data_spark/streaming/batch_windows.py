@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.windows import sessionize_scalable
+from ..operators.windows import sessionize_agg_scalable
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
@@ -38,24 +38,27 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Session windows via lag-gap cumulative sum; per-session event count and
     duration seconds.
 
-    Uses the bucket-and-stitch form (``sessionize_scalable``): a hot user
-    (bot/celebrity — measured 1.61× skew at x32 with a 25%-hot key on the
-    plain window form, SCALE_RUN.json) no longer serializes into one task
-    (measured 0.74 post-fix; the skew-split ``sessionize_auto`` variant
-    measured WORSE on both axes at every observable tier — see its
-    docstring — so the pure form is the production path). The downstream
-    per-session aggregate is combinable (count/min/max), so it
-    partial-aggregates map-side and is skew-immune on its own.
-    Projected to the two consumed columns BEFORE sessionizing — the
-    operator persists its sliced frame for the stitch, and the stats here
-    need only (user_id, ts)."""
-    s = sessionize_scalable(
-        events.select("user_id", "ts"), "user_id", "ts", gap_minutes
-    )
-    return s.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
-            "duration_sec"
-        ),
-        F.min(F.col("ts").cast("long")).alias("start_tss"),
+    Uses the bucket-and-stitch form: a hot user (bot/celebrity — measured
+    1.61× skew at x32 with a 25%-hot key on the plain window form,
+    SCALE_RUN.json) no longer serializes into one task (measured 0.74
+    post-fix; the skew-split ``sessionize_auto`` variant measured WORSE on
+    both axes at every observable tier — see its docstring — so the pure
+    form is the production path). Every stat here is a re-aggregable
+    session aggregate (count→sum, min/max of the session bounds), so the
+    SESSION-GRAIN fused form applies: the corpus collapses to local-session
+    grain inside the bucket-window stage, and the stitch, offset join, and
+    final merge all run on session-grain frames — no corpus-sized persist
+    or join-back (``sessionize_agg_scalable``'s docstring has the plan
+    delta). Projected to the two consumed columns before sessionizing."""
+    return sessionize_agg_scalable(
+        events.select("user_id", "ts"),
+        "user_id",
+        "ts",
+        local_aggs=[F.count("*").alias("n_events")],
+        merge_aggs=[
+            F.sum("n_events").alias("n_events"),
+            (F.max("s_last_tss") - F.min("s_first_tss")).alias("duration_sec"),
+            F.min("s_first_tss").alias("start_tss"),
+        ],
+        gap_minutes=gap_minutes,
     )

@@ -200,3 +200,109 @@ def test_gaps_auto_mixed_population(spark):
         gaps_auto(df, ["k"], "t", hot_threshold=1000, n_slices=9).collect()
     )
     assert want == got
+
+
+def _agg_ref(df):
+    """Window-form session stats: the ground truth the fused form must hit."""
+    s = sessionize(df, "user_id", "ts", gap_minutes=30)
+    tss = F.col("ts").cast("long")
+    return sorted(
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(tss).alias("lo"),
+            F.max(tss).alias("hi"),
+        )
+        .collect()
+    )
+
+
+@pytest.mark.parametrize("n_slices", [2, 7, 64])
+def test_sessionize_agg_scalable_matches_window_form(spark, n_slices):
+    """The session-grain fused form (local aggs per (user, slice, local
+    session) + merge aggs after the stitch) must reproduce the window
+    form's per-session aggregates exactly — including sessions whose
+    fragments span multiple slices (count merges by sum, bounds by
+    min/max)."""
+    from seoul_big_data_spark.operators.windows import sessionize_agg_scalable
+
+    rng = random.Random(99 + n_slices)
+    rows = []
+    for u in range(20):
+        t = rng.randrange(0, 5_000)
+        for _ in range(rng.randrange(1, 80)):
+            t += rng.choice([1, 30, 1799, 1800, 1801, 5000, 40_000])
+            rows.append((u, t))
+    # hot user: 60% of all events, long runs without a session break —
+    # fragments guaranteed to span slices at small n_slices
+    t = 0
+    for _ in range(600):
+        t += rng.choice([1, 200, 1700])
+        rows.append((999, t))
+    df = _mk(spark, rows)
+    got = sorted(
+        sessionize_agg_scalable(
+            df,
+            "user_id",
+            "ts",
+            local_aggs=[F.count("*").alias("n_events")],
+            merge_aggs=[
+                F.sum("n_events").alias("n_events"),
+                F.min("s_first_tss").alias("lo"),
+                F.max("s_last_tss").alias("hi"),
+            ],
+            gap_minutes=30,
+            n_slices=n_slices,
+        ).collect()
+    )
+    assert got == _agg_ref(df)
+
+
+@pytest.mark.parametrize("n_slices", [2, 7, 64])
+def test_gap_moments_scalable_matches_flat_gaps(spark, n_slices):
+    """Fused per-(key, slice) gap moments ∪ boundary-gap moments must sum
+    to the flat window form's moments exactly (integer gaps — the decimal
+    sums are order-independent)."""
+    from seoul_big_data_spark.operators.windows import gap_moments_scalable
+
+    rng = random.Random(1234 + n_slices)
+    rows = []
+    for u in range(15):
+        t = rng.randrange(0, 3_000)
+        for _ in range(rng.randrange(1, 70)):
+            t += rng.randrange(1, 9_000)
+            rows.append((u, t))
+    rows.append((777, 42))  # single-event key: zero gaps, must vanish
+    df = spark.createDataFrame(rows, "user_id bigint, tss bigint")
+    fused = (
+        gap_moments_scalable(
+            df,
+            part_cols=["user_id"],
+            ts_col="tss",
+            gap_col="g",
+            n_slices=n_slices,
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_gaps").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("ssq").alias("ssq"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("tss")
+    gd = (F.col("tss") - F.lag("tss").over(w)).cast("decimal(19,0)")
+    flat = (
+        df.select("user_id", gd.alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("g").alias("n"),
+            F.sum("g").alias("s"),
+            F.sum(F.col("g") * F.col("g")).alias("ssq"),
+        )
+    )
+    a = sorted((r["user_id"], r["n"], int(r["s"]), int(r["ssq"])) for r in fused.collect())
+    b = sorted((r["user_id"], r["n"], int(r["s"]), int(r["ssq"])) for r in flat.collect())
+    assert a == b
+    assert 777 not in {r[0] for r in a}
