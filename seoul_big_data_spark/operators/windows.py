@@ -722,6 +722,16 @@ def gap_moments_scalable(
         F.max(ts).alias("_last"),
         *moment_aggs,
     )
+    # Persisted: the union's two branches (cell moments, boundary gaps)
+    # both read loc, and without the persist the corpus-sized window
+    # stage runs twice (measured at x512: 34.4 s vs ~18 s — the fused
+    # form's one saved shuffle is worth nothing if the window re-runs).
+    # Unlike the session fusion, gap cells compress poorly for sparse
+    # keys (≈ one event per (key, slice) cell at 256 global time
+    # slices), so loc is corpus-ish at scale — persist-and-let-LRU-evict.
+    from pyspark import StorageLevel
+
+    loc = loc.persist(StorageLevel.MEMORY_AND_DISK)
     w_s = Window.partitionBy(*part_cols).orderBy("_slice")
     boundary = (
         loc.withColumn(gap_col, F.col("_first") - F.lag("_last").over(w_s))
