@@ -121,6 +121,20 @@ SHOWCASE = [
         "partitioned by cell, so a probe reads nprobe/k of the data.",
     ),
     (
+        "events_sessionization",
+        "Session-grain fused bucket-and-stitch (r9, "
+        "windows.sessionize_agg_scalable): ONE corpus-sized exchange — the "
+        "(user, slice) bucket window; the per-session aggregate's grouping "
+        "keys are a superset of the window partition keys, so the corpus "
+        "collapses to local-session grain with NO second exchange; the "
+        "stitch summary, offsets window, offset join, and fragment merge "
+        "below it are all session-grain. The row-level form's corpus "
+        "persist + full-frame offset join + full final shuffle (the "
+        "r512_128=5.05 spill) do not appear. Hot keys spread across "
+        "n_slices tasks (skew 1.61 -> 0.94 at x32, 25%-hot user); x512 "
+        "16.3 -> 10.1 s vs the row-level form on the same dirs.",
+    ),
+    (
         "similarity_ivf_pq_ann",
         "Composed IVF-PQ plan (r8, hash-checked): cell assignment + PQ "
         "encode + decode all ride the scan as mapInPandas stages (zero "
