@@ -306,3 +306,41 @@ def test_gap_moments_scalable_matches_flat_gaps(spark, n_slices):
     b = sorted((r["user_id"], r["n"], int(r["s"]), int(r["ssq"])) for r in flat.collect())
     assert a == b
     assert 777 not in {r[0] for r in a}
+
+
+def test_fused_local_agg_rides_the_window_stage(spark):
+    """The session-grain fusion's load-bearing plan property: the
+    local-session aggregate's grouping keys (user, _slice, _ls) are a
+    superset of the bucket window's partition keys (user, _slice), so
+    Catalyst must plan NO Exchange between the WindowExec and the
+    HashAggregate above it — the corpus collapses to session grain inside
+    the window stage. If partitioning propagation ever breaks (a Spark
+    upgrade, an accidental projection that re-aliases the keys), the
+    corpus gets a second full shuffle and every measured claim about the
+    fused form dies silently — this pins it."""
+    from seoul_big_data_spark.operators.windows import sessionize_agg_scalable
+
+    rows = [(u, 1000 * u + 7 * i) for u in range(5) for i in range(40)]
+    df = _mk(spark, rows)
+    out = sessionize_agg_scalable(
+        df,
+        "user_id",
+        "ts",
+        local_aggs=[F.count("*").alias("n")],
+        merge_aggs=[F.sum("n").alias("n")],
+        gap_minutes=30,
+        n_slices=8,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # locate the partial aggregate keyed by _ls and the Window below it;
+    # plan strings print parent above child, so any Exchange between them
+    # would appear in the slice
+    agg_idx = next(
+        i for i, ln in enumerate(lines) if "HashAggregate" in ln and "_ls" in ln
+    )
+    win_idx = next(
+        i for i in range(agg_idx + 1, len(lines)) if "Window" in lines[i]
+    )
+    between = "\n".join(lines[agg_idx : win_idx + 1])
+    assert "Exchange" not in between, between
