@@ -415,6 +415,13 @@ def gaps_scalable(
     ``ts_col`` must be numeric (cast timestamps first). Returns
     ``part_cols + [out]`` with one row per consecutive pair (n−1 per
     group); order-insensitive by contract.
+
+    This is the ROW-LEVEL form — use it only when individual gap rows are
+    consumed downstream. Consumers that only aggregate combinable moments
+    of the gaps (every production consumer today) should use
+    :func:`gap_moments_scalable`, which collapses to summary grain inside
+    the window stage and measured 18.8 → 6.5 s at x512
+    (events_interarrival_profile, SCALE_RUN.json).
     """
     tie = list(tiebreak_cols or [])
     ts = F.col(ts_col)
@@ -488,6 +495,13 @@ def sessionize_scalable(
     Costs ~2 windows + 1 extra shuffle vs the window form's one — the right
     trade once any key is hot (measured 1.61× skew ratio at x32 with a
     25%-hot user on the window form; see SCALE_RUN.json).
+
+    This is the ROW-LEVEL form — use it only when per-event session ids
+    are consumed downstream. Consumers that only read per-session
+    AGGREGATES (every production consumer today) should use
+    :func:`sessionize_agg_scalable`, which drops this form's corpus-sized
+    persist, offset join-back, and final full shuffle (x512: 16.3 →
+    10.1 s on events_sessionization, SCALE_RUN.json).
     """
     # gap_units: gap threshold in ts_col's own numeric units (e.g. a
     # unix_micros column with gap_units=1_800_000_000) — overrides
