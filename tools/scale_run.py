@@ -621,6 +621,61 @@ def build_skew_docs(spark, mult: int = 32, hot_reps: int = 8) -> str:
     return out
 
 
+def build_skew_emb(spark, mult: int = 32, hot_reps: int = 8) -> str:
+    """x{mult} variant with a deliberately hot EMBEDDING shape: replicas
+    0..hot_reps-1 skip the per-replica sign flip, so hot_reps verbatim
+    copies of every base vector coexist — 25% of the corpus at the
+    defaults is duplicate-flooded, the mode-collapse / re-crawled-content
+    shape real embedding dedup sees. Identical vectors share a nearest
+    centroid by construction, so every IVF cell's hot share is an
+    hot_reps-way duplicate clique and SemDeDup's Σ|cell|² candidate work
+    amplifies QUADRATICALLY in the flood factor — exactly the adversarial
+    input build() deliberately salts away for weak-scaling ratios (see
+    the embeddings branch there); here it is the point. Probe-bounded ANN
+    search over the same dirs is the control: its per-query top-k work is
+    flood-invariant. vec_ids still stride per replica; other tables
+    symlink from the uniform build."""
+    base = build(spark, mult)
+    out = os.path.join(SCALE_DIR, f"x{mult}skewemb")
+    marker = os.path.join(out, "_complete")
+    if _marker_ok(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for table in TABLES:
+        if table != "embeddings":
+            os.symlink(
+                os.path.join(base, f"{table}.parquet"),
+                os.path.join(out, f"{table}.parquet"),
+            )
+    df = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    reps = F.broadcast(
+        spark.range(mult).select(F.col("id").cast("long").alias("_rep"))
+    )
+    strides = _offsets(spark)
+    rep = df.repartition(REPLICA_FILES).crossJoin(reps)
+    rep = rep.withColumn(
+        "vec_id", F.col("vec_id") + F.col("_rep") * strides["vec_id"]
+    )
+    dim = len(df.select("embedding").first()[0])
+    flipped = None
+    for i in range(hot_reps, mult):
+        signs = F.array(*[F.lit(s) for s in _sign_array(i, dim)])
+        expr = F.zip_with("embedding", signs, lambda x, s: (x * s).cast("float"))
+        flipped = (
+            F.when(F.col("_rep") == i, expr)
+            if flipped is None
+            else flipped.when(F.col("_rep") == i, expr)
+        )
+    if flipped is not None:
+        rep = rep.withColumn("embedding", flipped.otherwise(F.col("embedding")))
+    rep.drop("_rep").write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    _write_marker(marker)
+    return out
+
+
 def build_realtext(spark) -> str:
     """A real-text documents tier (VERDICT r8 #7): every scale number so
     far rides seed-42 synthetic tables + salted replication; this tier
@@ -729,6 +784,13 @@ def main() -> None:
         "record the skewdocs ratio",
     )
     ap.add_argument(
+        "--skewemb",
+        action="store_true",
+        help="time each query on the duplicate-flooded embeddings variant "
+        "(25%% of x32 vectors are verbatim copies of the base corpus) and "
+        "record the skewemb ratio",
+    )
+    ap.add_argument(
         "--realtext",
         action="store_true",
         help="time each query on the real-text documents tier (local "
@@ -739,7 +801,7 @@ def main() -> None:
     mults = [int(m) for m in args.mults.split(",")]
     names = [q for q in args.queries.split(",") if q]
 
-    if args.skew or args.skewdocs or args.realtext:
+    if args.skew or args.skewdocs or args.skewemb or args.realtext:
         spark = get_spark("scale_run_skew")
         uniform = build(spark, 32)
         if args.realtext:
@@ -747,6 +809,12 @@ def main() -> None:
                 build_realtext(spark),
                 "realtext",
                 "realtext_ratio",
+            )
+        elif args.skewemb:
+            skewed, tag, ratio_key = (
+                build_skew_emb(spark, 32),
+                "x32skewemb",
+                "skewemb_ratio",
             )
         elif args.skewdocs:
             skewed, tag, ratio_key = (
