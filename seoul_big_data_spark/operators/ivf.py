@@ -492,6 +492,112 @@ def semantic_dedup_pairs(
     )
 
 
+def semantic_dedup_pairs_windowed(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    window: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sorted-neighborhood SemDeDup — the MODE-COLLAPSE-safe scale path.
+
+    :func:`semantic_dedup_pairs` does Σ|cell|² work, and the whole of a
+    cell's share runs in ONE cell-keyed join task: under a mode-collapsed
+    corpus (25% of vectors near-identical — templated/spam content; the
+    duplicate-FLOOD shape measured flat 0.91–0.98 because copies stay
+    spread, but collapse concentrates mass in one cell regardless of k)
+    the hot cell's (0.25·N)² pairs are a measured quadratic straggler:
+    SCALE_RUN.json `collapse` — kscaled 1.54×, hier 1.76× at x32, ANN
+    control 1.09×. Here each vector is compared only to its ``window``
+    rank-neighbors within the cell, ordered by (dot-to-own-centroid, id):
+    work is N·window by construction, independent of how mass distributes
+    over cells.
+
+    Recall contract (the :func:`~..operators.dedup` sorted-neighborhood
+    guarantee, embedding edition): PAIR enumeration is partial — two
+    near-dups more than ``window`` ranks apart are not emitted — but a
+    RUN of near-identical vectors is contiguous in the sort order (they
+    share the dot-to-centroid key up to jitter), so consecutive windowed
+    pairs CHAIN it into one connected component and survivor selection
+    (components → keep lowest id) still collapses the whole clique:
+    cluster recall on collapse shapes is complete while pair work stays
+    linear. Asserted in tests/test_ivf.py. The within-cell rank is one
+    row_number window per cell — a sort, not pair work; a hot cell sorts
+    in a single task, which is the bounded O(|cell| log |cell|) cost the
+    quadratic join is traded for (ntile_scalable-style bucketed ranking
+    is the further step if a single sort task ever measures as the
+    bottleneck; at the tiers measured it does not).
+
+    Returns ``cell, id_a (lower id), id_b, cos`` — same convention as
+    :func:`semantic_dedup_pairs`, so consumers (clusters, survivors) are
+    drop-in."""
+    from ..functions.vector import dot_precast, to_double_array
+
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("s"), dot(F.col(vec_col), _lit_vec(c)), F.lit("ni"), F.lit(-i)
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(scored)
+    cells = df.select(
+        (-best["ni"]).cast("int").alias("cell"),
+        best["s"].alias("_key"),
+        F.col(id_col).alias("_id"),
+        to_double_array(vec_col).alias("_v"),
+        norm(vec_col).alias("_n"),
+    )
+    w = Window.partitionBy("cell").orderBy("_key", "_id")
+    r = cells.withColumn("_rk", F.row_number().over(w))
+    # Persisted: the skinny exploded side, the vector-carrying side, and
+    # the va re-attach all read r (persist-and-let-LRU-evict lifecycle).
+    from pyspark import StorageLevel
+
+    r = r.persist(StorageLevel.MEMORY_AND_DISK)
+    # Amplify SKINNY (no vectors): window copies of (cell, id, rank) only;
+    # vectors re-attach via N-row equi-joins, so shuffle volume is
+    # N·window·O(16 bytes) + 2·N·O(dim), not N·window·O(dim).
+    a = r.select(
+        "cell",
+        F.col("_id").alias("id_a"),
+        F.explode(
+            F.sequence(F.col("_rk") + 1, F.col("_rk") + window)
+        ).alias("_rkb"),
+    )
+    b = r.select(
+        F.col("cell").alias("cell_b"),
+        F.col("_rk").alias("_rkb"),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    va = r.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+    )
+    pairs = a.join(
+        b, (a.cell == b.cell_b) & (a._rkb == b._rkb)
+    ).join(va, "id_a")
+    nn = F.col("na") * F.col("nb")
+    cos_raw = F.when(nn > 0, dot_precast("va", "vb") / nn).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("cos_raw", cos_raw)
+        .filter(F.col("cos_raw") >= threshold)
+        .select(
+            "cell",
+            F.least("id_a", "id_b").alias("ida"),
+            F.greatest("id_a", "id_b").alias("idb"),
+            F.round("cos_raw", 4).alias("cos"),
+        )
+        .withColumnRenamed("ida", "id_a")
+        .withColumnRenamed("idb", "id_b")
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .functions.vector import cosine, dot, norm
-from .operators.ivf import ivf_topk, kmeans_fit, semantic_dedup_pairs
+from .operators.ivf import (
+    ivf_topk,
+    kmeans_fit,
+    semantic_dedup_pairs,
+    semantic_dedup_pairs_windowed,
+)
 from .operators.pq import pq_decode, pq_encode, pq_fit
 from .operators.similarity import brute_force_topk, brute_force_topk_np, lsh_topk
 from .registry import query
@@ -584,6 +589,71 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
     centroids = _ivf_centroids(spark, sf_dir)
     return semantic_dedup_pairs(emb, centroids, threshold=0.25)
+
+
+def _semantic_windowed_oracle_sql(threshold: float = 0.25, window: int = 8) -> str:
+    """dedup_semantic_windowed's oracle: Lloyd replay for the cells, the
+    dot-to-OWN-centroid sort key, a within-cell row_number rank, and the
+    banded rank self-join (0 < rk_b − rk_a ≤ window) with the exact
+    raw-cosine threshold. The rank is cross-engine deterministic because
+    the key doubles are bit-identical (same sequential-double dot on
+    identical rounded centroids — the r8 Lloyd-replay contract) and ties
+    break on vec_id."""
+    return f"""
+    WITH {_sql_lloyd_cells(8, 3)},
+    keyed AS (
+      SELECT c.neighbor_id AS id, c.cell,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {_sql_norm('e.embedding')} AS n,
+             {_sql_dot('e.embedding', 'cn.c')} AS key
+      FROM corpus c
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+      JOIN cn3 cn ON cn.cell = c.cell
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY cell ORDER BY key, id) AS rk
+      FROM keyed
+    ),
+    pr AS (
+      SELECT a.cell, a.id AS ia, b.id AS ib,
+             CASE WHEN a.n * b.n > 0
+                  THEN {_dd('a.v', 'b.v')} / (a.n * b.n)
+                  ELSE 0.0 END AS cos_raw
+      FROM ranked a JOIN ranked b
+        ON a.cell = b.cell AND b.rk > a.rk AND b.rk <= a.rk + {window}
+    )
+    SELECT CAST(cell AS INTEGER) AS cell,
+           least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+           round(cos_raw, 4) AS cos
+    FROM pr WHERE cos_raw >= {threshold!r}"""
+
+
+@query("dedup_semantic_windowed", _semantic_windowed_oracle_sql())
+def dedup_semantic_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 scale path, mode-collapse-safe — sorted-neighborhood SemDeDup:
+    each vector is compared only to its `window` rank-neighbors within
+    its k-means cell (rank = dot-to-own-centroid order), so candidate
+    work is N·window by construction, independent of how mass
+    distributes over cells. The quadratic same-cell form
+    (`dedup_semantic_ivf`) measured 1.54–1.76× under a mode-collapsed
+    corpus (25% of vectors near one direction — templated/spam content;
+    SCALE_RUN.json `collapse`) because the hot cell's (0.25·N)² pairs
+    run in ONE cell-keyed task; this form measured flat on the same
+    shape. Pair recall is partial (window-bounded) but near-identical
+    runs are contiguous in rank order, so windowed pairs CHAIN a
+    collapsed clique into one connected component and survivor selection
+    matches the quadratic form — asserted in tests/test_ivf.py.
+
+    Hash-checked: the oracle replays the Lloyd fit, the own-centroid
+    sort key (bit-identical sequential-double dots on identical rounded
+    centroids), the within-cell rank (key ties break on vec_id), the
+    banded rank join, and the raw-cosine threshold."""
+    emb = load(spark, "embeddings", sf_dir)
+    centroids = _ivf_centroids(spark, sf_dir)
+    return semantic_dedup_pairs_windowed(
+        emb, centroids, threshold=0.25, window=8
+    )
 
 
 def _rp_oracle_sql() -> str:

@@ -292,3 +292,63 @@ def test_kmeans_null_vector_contract(spark):
     )
     clean_c = kmeans_fit(clean, k=3, iters=2, bulk_assign_from=10**9)
     assert expr_c == bulk_c == clean_c
+
+
+def test_windowed_pairs_subset_and_cluster_recall_on_collapse(spark, sf_dir):
+    """semantic_dedup_pairs_windowed: (a) every emitted pair is a true
+    within-cell near-dup pair of the quadratic form (precision exact,
+    subset property); (b) on a mode-collapsed clique — the shape the
+    operator exists for — the windowed pairs CHAIN the whole clique into
+    one connected component, so survivor selection collapses it exactly
+    like the quadratic form (cluster recall complete at linear cost)."""
+    from seoul_big_data_spark.operators.ivf import (
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_windowed,
+    )
+
+    emb = load(spark, "embeddings", sf_dir)
+    # plant a 30-member near-identical clique: one direction + tiny jitter
+    base = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rows = []
+    for j in range(30):
+        v = [float(x) + (((j * 31 + i) % 7) - 3) * 1e-4 for i, x in enumerate(base)]
+        rows.append((2_000_000 + j, v))
+    clique = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    data = emb.select("vec_id", "embedding").unionByName(clique)
+    cents = kmeans_fit(data.withColumn("label", F.lit("x")), k=K, iters=ITERS)
+    win = semantic_dedup_pairs_windowed(data, cents, threshold=0.5, window=4)
+    got = {(r["id_a"], r["id_b"]) for r in win.collect()}
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(data, cents, threshold=0.5).collect()
+    }
+    assert got <= full  # precision: windowed ⊆ quadratic
+    # cluster recall: union-find over windowed pairs joins all 30 clique ids
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a_, b_ in got:
+        parent[find(a_)] = find(b_)
+    clique_ids = [2_000_000 + j for j in range(30)]
+    roots = {find(i) for i in clique_ids}
+    assert len(roots) == 1, f"clique split into {len(roots)} components"
+
+
+def test_windowed_pairs_work_is_linear_in_window(spark, sf_dir):
+    """The candidate count (pre-threshold) is ≤ N·window by construction —
+    the property that makes the operator collapse-safe. Checked by
+    counting candidates at two window sizes on the gate data."""
+    from seoul_big_data_spark.operators.ivf import semantic_dedup_pairs_windowed
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    n = emb.count()
+    cents = kmeans_fit(emb.withColumn("label", F.lit("x")), k=K, iters=ITERS)
+    for w in (2, 6):
+        cand = semantic_dedup_pairs_windowed(emb, cents, threshold=-1.0, window=w)
+        assert cand.count() <= n * w

@@ -348,6 +348,7 @@ QUERY_TABLES = {
     "embedding_quantize_int8": ("embeddings",),
     "embedding_random_projection": ("embeddings",),
     "dedup_semantic_ivf": ("embeddings",),
+    "dedup_semantic_windowed": ("embeddings",),
     "events_hourly_rollup": ("events",),
     "events_bot_detection": ("events",),
     "events_peak_concurrency": ("events",),
@@ -676,6 +677,75 @@ def build_skew_emb(spark, mult: int = 32, hot_reps: int = 8) -> str:
     return out
 
 
+def build_collapse_emb(spark, mult: int = 32, hot_reps: int = 8) -> str:
+    """x{mult} variant with a MODE-COLLAPSED embedding shape: replicas
+    0..hot_reps-1 replace every vector with ONE fixed direction plus a
+    tiny deterministic per-(vec_id, element) jitter — 25% of the corpus
+    at the defaults is near-identical-but-distinct, the shape templated/
+    spam content embeds to. Unlike the duplicate flood (build_skew_emb,
+    measured flat 0.91–0.98: copies land in their base vectors' own
+    cells, so cell mass stays spread), collapse concentrates a 0.25·N
+    mass in ONE k-means cell regardless of k: SemDeDup's within-cell
+    candidate join does (0.25·N)² work in a single cell-keyed task — the
+    quadratic straggler this variant exists to measure. Jitter keeps the
+    vectors distinct (an exact-duplicate collapse cannot absorb them)
+    with pairwise cosines ≈ 1. vec_ids stride per replica; other tables
+    symlink from the uniform build."""
+    base = build(spark, mult)
+    out = os.path.join(SCALE_DIR, f"x{mult}collapse")
+    marker = os.path.join(out, "_complete")
+    if _marker_ok(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for table in TABLES:
+        if table != "embeddings":
+            os.symlink(
+                os.path.join(base, f"{table}.parquet"),
+                os.path.join(out, f"{table}.parquet"),
+            )
+    df = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    reps = F.broadcast(
+        spark.range(mult).select(F.col("id").cast("long").alias("_rep"))
+    )
+    strides = _offsets(spark)
+    rep = df.repartition(REPLICA_FILES).crossJoin(reps)
+    rep = rep.withColumn(
+        "vec_id", F.col("vec_id") + F.col("_rep") * strides["vec_id"]
+    )
+    dim = len(df.select("embedding").first()[0])
+    # the collapse direction: the base corpus's vec_id-0 vector (any fixed
+    # direction works; using real data keeps the norm scale realistic)
+    base_vec = (
+        df.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    base_lit = F.array(*[F.lit(float(v)) for v in base_vec])
+    jittered = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.element_at(base_lit, i + 1)
+            + (F.xxhash64(F.col("vec_id"), i) % 1000).cast("double")
+            / F.lit(1.0e6)
+        ).cast("float"),
+    )
+    flipped = None
+    for i in range(hot_reps, mult):
+        signs = F.array(*[F.lit(s) for s in _sign_array(i, dim)])
+        expr = F.zip_with("embedding", signs, lambda x, s: (x * s).cast("float"))
+        flipped = (
+            F.when(F.col("_rep") == i, expr)
+            if flipped is None
+            else flipped.when(F.col("_rep") == i, expr)
+        )
+    collapsed = jittered if flipped is None else flipped.otherwise(jittered)
+    rep = rep.withColumn("embedding", collapsed)
+    rep.drop("_rep").write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    _write_marker(marker)
+    return out
+
+
 def build_realtext(spark) -> str:
     """A real-text documents tier (VERDICT r8 #7): every scale number so
     far rides seed-42 synthetic tables + salted replication; this tier
@@ -791,6 +861,13 @@ def main() -> None:
         "record the skewemb ratio",
     )
     ap.add_argument(
+        "--modecollapse",
+        action="store_true",
+        help="time each query on the mode-collapsed embeddings variant "
+        "(25%% of x32 vectors near-identical in ONE direction) and record "
+        "the collapse ratio",
+    )
+    ap.add_argument(
         "--realtext",
         action="store_true",
         help="time each query on the real-text documents tier (local "
@@ -801,7 +878,8 @@ def main() -> None:
     mults = [int(m) for m in args.mults.split(",")]
     names = [q for q in args.queries.split(",") if q]
 
-    if args.skew or args.skewdocs or args.skewemb or args.realtext:
+    if (args.skew or args.skewdocs or args.skewemb or args.modecollapse
+            or args.realtext):
         spark = get_spark("scale_run_skew")
         uniform = build(spark, 32)
         if args.realtext:
@@ -809,6 +887,12 @@ def main() -> None:
                 build_realtext(spark),
                 "realtext",
                 "realtext_ratio",
+            )
+        elif args.modecollapse:
+            skewed, tag, ratio_key = (
+                build_collapse_emb(spark, 32),
+                "x32collapse",
+                "collapse_ratio",
             )
         elif args.skewemb:
             skewed, tag, ratio_key = (
