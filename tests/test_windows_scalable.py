@@ -344,3 +344,40 @@ def test_fused_local_agg_rides_the_window_stage(spark):
     )
     between = "\n".join(lines[agg_idx : win_idx + 1])
     assert "Exchange" not in between, between
+
+
+def test_fused_forms_on_empty_and_singleton_frames(spark):
+    """Degenerate inputs through the fused forms: an EMPTY frame exercises
+    _range_probe's (0, 0) sentinel (every slice expression must still
+    evaluate), and a single-row frame is the smallest stitch. Both must
+    match the window form (empty → empty, singleton → one session of 1)."""
+    from seoul_big_data_spark.operators.windows import (
+        gap_moments_scalable,
+        sessionize_agg_scalable,
+    )
+
+    def stats(df):
+        return sorted(
+            sessionize_agg_scalable(
+                df,
+                "user_id",
+                "ts",
+                local_aggs=[F.count("*").alias("n")],
+                merge_aggs=[F.sum("n").alias("n")],
+                gap_minutes=30,
+                n_slices=4,
+            ).collect()
+        )
+
+    empty = _mk(spark, []).filter(F.lit(False))
+    assert stats(empty) == []
+    single = _mk(spark, [(7, 1000)])
+    assert [tuple(r) for r in stats(single)] == [(7, 1, 1)]
+    g = gap_moments_scalable(
+        empty.select("user_id", F.col("ts").cast("long").alias("tss")),
+        part_cols=["user_id"],
+        ts_col="tss",
+        gap_col="g",
+        n_slices=4,
+    )
+    assert g.count() == 0
