@@ -191,6 +191,7 @@ def assign_cells_bulk(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
+    with_key: bool = False,
 ) -> DataFrame:
     """``assign_cells`` for LARGE k: argmax over a broadcast numpy centroid
     matrix inside mapInPandas (one BLAS matmul per Arrow batch).
@@ -211,14 +212,27 @@ def assign_cells_bulk(
     where the expression path would silently yield a null cell). Zero
     shuffles — the matmul rides the scan exactly like the expression form.
     """
+    # with_key=True additionally emits `_key` = the max dot itself (the
+    # dot with the OWN centroid) — the within-cell sort key
+    # semantic_dedup_pairs_windowed ranks by; computed from the same
+    # matmul the argmax reads, so the pair costs nothing extra.
     import numpy as np
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
     cmat = np.asarray(centroids, dtype=np.float64)  # k × dim
-    out_schema = StructType(df.schema.fields + [StructField("cell", IntegerType())])
+    extra = [StructField("cell", IntegerType())]
+    if with_key:
+        extra.append(StructField("_key", DoubleType()))
+    out_schema = StructType(df.schema.fields + extra)
 
     def _assign(batches):
         for pdf in batches:
+            pdf = pdf.copy()
             if len(pdf):
                 if pdf[vec_col].isna().any():
                     raise ValueError(
@@ -226,11 +240,14 @@ def assign_cells_bulk(
                         " — filter nulls before assignment"
                     )
                 v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                pdf = pdf.copy()
-                pdf["cell"] = (v @ cmat.T).argmax(axis=1).astype("int32")
+                scores = v @ cmat.T
+                pdf["cell"] = scores.argmax(axis=1).astype("int32")
+                if with_key:
+                    pdf["_key"] = scores.max(axis=1)
             else:
-                pdf = pdf.copy()
                 pdf["cell"] = np.array([], dtype="int32")
+                if with_key:
+                    pdf["_key"] = np.array([], dtype="float64")
             yield pdf
 
     return df.mapInPandas(_assign, out_schema)
@@ -278,6 +295,7 @@ def assign_cells_hier(
     vec_col: str = "embedding",
     coarse_w: int = 2,
     n_coarse: int | None = None,
+    with_key: bool = False,
 ) -> DataFrame:
     """Coarse-then-fine assignment — bounds per-row work at O(√k) MACs
     (SCALE.md's documented next step once k passes ~10^4, where even the
@@ -301,10 +319,21 @@ def assign_cells_hier(
     argmax over a dense row x k score matrix, without materializing one
     (an N x k buffer costs the same O(N*k) memory traffic the coarse
     routing exists to avoid)."""
+    # with_key=True additionally emits `_key` = the winning dot (the dot
+    # with the assigned centroid — the running max the probe loop keeps
+    # anyway), the within-cell sort key semantic_dedup_pairs_windowed
+    # ranks by. NOTE: under multi-probe approximation the key is exact
+    # FOR THE ASSIGNED cell (it is that cell's true dot), so the rank
+    # order within a cell is exact regardless of probe recall.
     import math
 
     import numpy as np
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
     cmat = np.asarray(centroids, dtype=np.float64)  # k × dim
     k = cmat.shape[0]
@@ -313,13 +342,18 @@ def assign_cells_hier(
     g_n = coarse.shape[0]
     w = min(coarse_w, g_n)
     fine = [cmat[m] for m in members]
-    out_schema = StructType(df.schema.fields + [StructField("cell", IntegerType())])
+    extra = [StructField("cell", IntegerType())]
+    if with_key:
+        extra.append(StructField("_key", DoubleType()))
+    out_schema = StructType(df.schema.fields + extra)
 
     def _assign(batches):
         for pdf in batches:
             pdf = pdf.copy()
             if not len(pdf):
                 pdf["cell"] = np.array([], dtype="int32")
+                if with_key:
+                    pdf["_key"] = np.array([], dtype="float64")
                 yield pdf
                 continue
             if pdf[vec_col].isna().any():
@@ -353,6 +387,8 @@ def assign_cells_hier(
                 best[r_upd] = sc[upd]
                 best_cell[r_upd] = cells[upd]
             pdf["cell"] = best_cell.astype("int32")
+            if with_key:
+                pdf["_key"] = best
             yield pdf
 
     return df.mapInPandas(_assign, out_schema)
@@ -499,6 +535,8 @@ def semantic_dedup_pairs_windowed(
     window: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bulk_assign: bool = False,
+    hier_assign: bool = False,
 ) -> DataFrame:
     """Sorted-neighborhood SemDeDup — the MODE-COLLAPSE-safe scale path.
 
@@ -534,22 +572,43 @@ def semantic_dedup_pairs_windowed(
     drop-in."""
     from ..functions.vector import dot_precast, to_double_array
 
-    scored = F.array(
-        *[
-            F.named_struct(
-                F.lit("s"), dot(F.col(vec_col), _lit_vec(c)), F.lit("ni"), F.lit(-i)
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    best = F.array_max(scored)
-    cells = df.select(
-        (-best["ni"]).cast("int").alias("cell"),
-        best["s"].alias("_key"),
-        F.col(id_col).alias("_id"),
-        to_double_array(vec_col).alias("_v"),
-        norm(vec_col).alias("_n"),
-    )
+    if bulk_assign or hier_assign:
+        # large-k deployment paths (k ∝ N): bulk = one BLAS matmul per
+        # Arrow batch (N·k MACs — measured 17.96/step at k=4096, the
+        # quadratic wall); hier = coarse-then-fine O(√k) MACs/row, the
+        # k ≳ 10³ form. Both yield cell AND key together; same ulp caveat
+        # as assign_cells_bulk (agreement with the expression path on
+        # tie-free data).
+        assigner = assign_cells_hier if hier_assign else assign_cells_bulk
+        cells = assigner(
+            df, centroids, vec_col=vec_col, with_key=True
+        ).select(
+            "cell",
+            "_key",
+            F.col(id_col).alias("_id"),
+            to_double_array(vec_col).alias("_v"),
+            norm(vec_col).alias("_n"),
+        )
+    else:
+        scored = F.array(
+            *[
+                F.named_struct(
+                    F.lit("s"),
+                    dot(F.col(vec_col), _lit_vec(c)),
+                    F.lit("ni"),
+                    F.lit(-i),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        best = F.array_max(scored)
+        cells = df.select(
+            (-best["ni"]).cast("int").alias("cell"),
+            best["s"].alias("_key"),
+            F.col(id_col).alias("_id"),
+            to_double_array(vec_col).alias("_v"),
+            norm(vec_col).alias("_n"),
+        )
     w = Window.partitionBy("cell").orderBy("_key", "_id")
     r = cells.withColumn("_rk", F.row_number().over(w))
     # Persisted: the skinny exploded side, the vector-carrying side, and

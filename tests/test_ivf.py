@@ -352,3 +352,39 @@ def test_windowed_pairs_work_is_linear_in_window(spark, sf_dir):
     for w in (2, 6):
         cand = semantic_dedup_pairs_windowed(emb, cents, threshold=-1.0, window=w)
         assert cand.count() <= n * w
+
+
+def test_windowed_bulk_assign_matches_expression_path(spark, sf_dir):
+    """semantic_dedup_pairs_windowed(bulk_assign=True) must emit the same
+    pairs as the expression path on tie-free data (same argmax/max from
+    the BLAS matmul vs the literal dot-folds — the assign_cells_bulk
+    agreement contract, extended to the sort key)."""
+    from seoul_big_data_spark.operators.ivf import semantic_dedup_pairs_windowed
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cents = kmeans_fit(emb.withColumn("label", F.lit("x")), k=K, iters=ITERS)
+    expr = semantic_dedup_pairs_windowed(emb, cents, threshold=0.3, window=5)
+    bulk = semantic_dedup_pairs_windowed(
+        emb, cents, threshold=0.3, window=5, bulk_assign=True
+    )
+    a = sorted(map(tuple, expr.collect()))
+    b = sorted(map(tuple, bulk.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_windowed_hier_assign_matches_expression_path(spark, sf_dir):
+    """hier_assign=True with full probe (coarse_w == n_coarse via small k
+    here: exactness by the parity contract) must emit the same windowed
+    pairs — and its emitted sort key is the assigned cell's true dot, so
+    within-cell rank order is exact even under multi-probe."""
+    from seoul_big_data_spark.operators.ivf import semantic_dedup_pairs_windowed
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cents = kmeans_fit(emb.withColumn("label", F.lit("x")), k=K, iters=ITERS)
+    expr = semantic_dedup_pairs_windowed(emb, cents, threshold=0.3, window=5)
+    hier = semantic_dedup_pairs_windowed(
+        emb, cents, threshold=0.3, window=5, hier_assign=True
+    )
+    a = sorted(map(tuple, expr.collect()))
+    b = sorted(map(tuple, hier.collect()))
+    assert a == b and len(a) > 0

@@ -305,8 +305,43 @@ def _semantic_kscaled_hier_assign(mult: int):
 # determinism, the variant re-parameterizes it the way a real deployment
 # scales (documented per entry); timings land in SCALE_RUN.json beside the
 # registered queries under the variant name.
+def _semantic_kscaled_windowed(mult: int):
+    """The kscaled deployment (k = 8·mult) on the MODE-COLLAPSE-safe
+    windowed pair form (`semantic_dedup_pairs_windowed`, bulk assignment
+    past k=64): candidate work is N·window regardless of how mass
+    distributes over cells. Exists so the collapse readings on the
+    quadratic kscaled variants (1.54×/1.76× at x32) have their mitigation
+    measured on the SAME deployment shape, not only on the registered
+    fixed-k query."""
+
+    def run(spark, sf_dir):
+        from seoul_big_data_spark.operators.ivf import (  # noqa: PLC0415
+            kmeans_fit,
+            semantic_dedup_pairs_windowed,
+        )
+        from seoul_big_data_spark.sources.tables import load  # noqa: PLC0415
+
+        emb = load(spark, "embeddings", sf_dir)
+        k = 8 * mult
+        # assignment routing mirrors the quadratic variants: expression
+        # path at small k, BLAS matmul to k ~ 10^3, coarse-then-fine
+        # O(sqrt k) past that (at x512/k=4096 the flat matmul alone
+        # measured ~100 s — the 17.96/step wall the hier path avoids).
+        return semantic_dedup_pairs_windowed(
+            emb,
+            kmeans_fit(emb, k=k, iters=0),
+            threshold=0.4,
+            window=8,
+            bulk_assign=64 <= k < 1024,
+            hier_assign=k >= 1024,
+        )
+
+    return run
+
+
 VARIANTS = {
     "dedup_semantic_cells_kscaled": _semantic_kscaled,
+    "dedup_semantic_cells_kscaled_windowed": _semantic_kscaled_windowed,
     "dedup_semantic_cells_kscaled_hier": _semantic_kscaled_hier,
     "dedup_semantic_cells_kscaled_fit": _semantic_kscaled_fit,
     "dedup_semantic_cells_kscaled_assign": _semantic_kscaled_assign,
