@@ -556,17 +556,22 @@ _OFFICIAL_GREEN = None  # resolved lazily after _R1_OFFICIAL is defined
 
 def _stale_hash_names() -> frozenset:
     """Queries whose source/oracle changed since their last certification
-    (ADVICE r7): compare each entry's CURRENT sha256(function source +
-    oracle SQL) against tools/cert_hashes.json, the ledger
+    (ADVICE r7): compare each entry's CURRENT deep fingerprint (sha256 over
+    the query function's transitive in-package source closure + oracle SQL,
+    certhash.deep_fingerprint) against tools/cert_hashes.json, the ledger
     tools/record_cert_hashes.py refreshes once per round right after the
     new CORRECTNESS file is committed. A mismatch means the official green
-    row describes a different query text — treat the entry as never gated
-    (rank -1) so semantic changes re-front automatically instead of waiting
-    for staleness rotation."""
-    import hashlib
-    import inspect
+    row describes a different PROGRAM — the query text or any engine helper
+    it transitively calls — so the entry demotes to never-gated rank (-1)
+    and re-fronts automatically instead of waiting for staleness rotation.
+    (r10: shallow function-source hashes missed helper rewrites — r9's
+    fused-sessionization rewrite changed events_sessionization's plan via
+    streaming/batch_windows.py without touching the query body, and the
+    mechanism stayed silent; VERDICT r9 What's missing #2.)"""
     import json
     import os
+
+    from .certhash import deep_fingerprint
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "tools", "cert_hashes.json")
@@ -580,14 +585,7 @@ def _stale_hash_names() -> frozenset:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        try:
-            src = inspect.getsource(fn)
-        except (OSError, TypeError):
-            src = repr(fn)
-        cur = hashlib.sha256(
-            (src + "\0" + ORACLES.get(name, "")).encode()
-        ).hexdigest()[:16]
-        if cur != rec.get("hash"):
+        if deep_fingerprint(fn, ORACLES.get(name, "")) != rec.get("hash"):
             stale.add(name)
     return frozenset(stale)
 

@@ -5,9 +5,12 @@ a query whose output semantics changed kept its officially-green rank from a
 years-old CORRECTNESS row for the OLD query text, and re-certification
 depended only on staleness rotation reaching it.
 
-Fix: this tool snapshots sha256(query function source + oracle SQL) for
-every currently-registered query into ``tools/cert_hashes.json``, tagged
-with the latest round that officially gated it. The gate ordering in
+Fix: this tool snapshots the deep fingerprint (sha256 over the query
+function's TRANSITIVE in-package source closure + oracle SQL — see
+seoul_big_data_spark/certhash.py; r10 upgraded from shallow function-source
+hashes, which missed helper rewrites) for every currently-registered query
+into ``tools/cert_hashes.json``, tagged with the latest round that
+officially gated it. The gate ordering in
 ``seoul_big_data_spark/queries.py`` compares each green query's CURRENT
 source hash against the ledger: a mismatch means the green record describes
 a different query text, so the entry demotes to never-gated rank (-1) and
@@ -24,8 +27,6 @@ Usage: python tools/record_cert_hashes.py
 from __future__ import annotations
 
 import glob
-import hashlib
-import inspect
 import json
 import os
 import re
@@ -37,18 +38,13 @@ LEDGER = os.path.join(REPO, "tools", "cert_hashes.json")
 
 
 def current_hashes() -> dict[str, str]:
+    from seoul_big_data_spark.certhash import deep_fingerprint
     from seoul_big_data_spark.queries import ORACLES, QUERIES
 
-    out = {}
-    for name, fn in QUERIES.items():
-        try:
-            src = inspect.getsource(fn)
-        except (OSError, TypeError):
-            src = repr(fn)
-        out[name] = hashlib.sha256(
-            (src + "\0" + ORACLES.get(name, "")).encode()
-        ).hexdigest()[:16]
-    return out
+    return {
+        name: deep_fingerprint(fn, ORACLES.get(name, ""))
+        for name, fn in QUERIES.items()
+    }
 
 
 def latest_official_round() -> dict[str, int]:
