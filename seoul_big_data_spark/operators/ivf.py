@@ -42,24 +42,38 @@ def _normalized(vec: F.Column | str) -> F.Column:
     ).otherwise(F.transform(v, lambda x: x.cast("double")))
 
 
-def _nearest_cell(vec: F.Column | str, centroids: list[list[float]]) -> F.Column:
-    """Index of the max-dot centroid (ties → lowest cell id). One array_max
-    over (dot, -cell) structs — k dot products, whole-stage codegen, no UDF.
+def _nearest_cell_struct(
+    vec: F.Column | str, centroids: list[list[float]]
+) -> F.Column:
+    """Max-dot centroid as a ``{s: dot, ni: -cell}`` struct (ties → lowest
+    cell id, because struct comparison falls through to the larger ``ni``).
+    One array_max over (dot, -cell) structs — k dot products, whole-stage
+    codegen, no UDF. The argmax TIE RULE here is a cross-engine oracle
+    contract (the DuckDB Lloyd-replay oracles re-derive it); every engine
+    path that scores against centroids must consume THIS helper so the rule
+    cannot silently fork (ADVICE r9 #2).
 
     The input vector is used RAW: centroids are unit-norm, so
     argmax_c dot(v, c) = argmax_c cos(v, c) — dividing every dot by the same
     |v| never changes the argmax. Skipping normalization here keeps the
     per-row cost at k array traversals instead of k+1 (and dodges Catalyst's
     lack of CSE for repeated higher-order subexpressions)."""
-    scored = F.array(
-        *[
-            F.named_struct(
-                F.lit("s"), dot(vec, _lit_vec(c)), F.lit("ni"), F.lit(-i)
-            )
-            for i, c in enumerate(centroids)
-        ]
+    return F.array_max(
+        F.array(
+            *[
+                F.named_struct(
+                    F.lit("s"), dot(vec, _lit_vec(c)), F.lit("ni"), F.lit(-i)
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
     )
-    return (-F.array_max(scored)["ni"]).cast("int")
+
+
+def _nearest_cell(vec: F.Column | str, centroids: list[list[float]]) -> F.Column:
+    """Index of the max-dot centroid (ties → lowest cell id) — see
+    :func:`_nearest_cell_struct` for the scoring/tie contract."""
+    return (-_nearest_cell_struct(vec, centroids)["ni"]).cast("int")
 
 
 def kmeans_fit(
@@ -590,18 +604,7 @@ def semantic_dedup_pairs_windowed(
             norm(vec_col).alias("_n"),
         )
     else:
-        scored = F.array(
-            *[
-                F.named_struct(
-                    F.lit("s"),
-                    dot(F.col(vec_col), _lit_vec(c)),
-                    F.lit("ni"),
-                    F.lit(-i),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        best = F.array_max(scored)
+        best = _nearest_cell_struct(F.col(vec_col), centroids)
         cells = df.select(
             (-best["ni"]).cast("int").alias("cell"),
             best["s"].alias("_key"),

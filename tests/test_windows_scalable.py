@@ -34,10 +34,17 @@ def _ids(df):
     return sorted(out.collect())
 
 
-def _assert_equiv(spark, rows, n_slices):
+def _assert_equiv(spark, rows, n_slices, hot_threshold=0):
+    """hot_threshold=0 marks EVERY key hot — forcing the slice-and-stitch
+    path the r10 hot-routing would otherwise skip on these small frames."""
     df = _mk(spark, rows)
     a = _ids(sessionize(df, "user_id", "ts", gap_minutes=30))
-    b = _ids(sessionize_scalable(df, "user_id", "ts", gap_minutes=30, n_slices=n_slices))
+    b = _ids(
+        sessionize_scalable(
+            df, "user_id", "ts", gap_minutes=30, n_slices=n_slices,
+            hot_threshold=hot_threshold,
+        )
+    )
     assert a == b
 
 
@@ -100,7 +107,7 @@ def test_session_count_matches_definition(spark):
             rows.append((u, t))
     df = _mk(spark, rows)
     got = (
-        sessionize_scalable(df, "user_id", "ts", gap_minutes=30, n_slices=9)
+        sessionize_scalable(df, "user_id", "ts", gap_minutes=30, n_slices=9, hot_threshold=0)
         .groupBy("user_id")
         .agg(F.max("session_id").alias("n_sess"))
         .collect()
@@ -145,7 +152,7 @@ def test_gap_units_microseconds_matches_window_form(spark):
     )
     got = sessionize_scalable(
         df, "user_id", "tus", gap_units=1_800_000_000,
-        tiebreak_cols=["event_id"], n_slices=7,
+        tiebreak_cols=["event_id"], n_slices=7, hot_threshold=0,
     )
     cols = ["user_id", "tus", "event_id", "session_id"]
     assert sorted(want.select(cols).collect()) == sorted(got.select(cols).collect())
@@ -253,6 +260,7 @@ def test_sessionize_agg_scalable_matches_window_form(spark, n_slices):
             ],
             gap_minutes=30,
             n_slices=n_slices,
+            hot_threshold=0,
         ).collect()
     )
     assert got == _agg_ref(df)
@@ -281,6 +289,7 @@ def test_gap_moments_scalable_matches_flat_gaps(spark, n_slices):
             ts_col="tss",
             gap_col="g",
             n_slices=n_slices,
+            hot_threshold=0,
         )
         .groupBy("user_id")
         .agg(
@@ -330,6 +339,7 @@ def test_fused_local_agg_rides_the_window_stage(spark):
         merge_aggs=[F.sum("n").alias("n")],
         gap_minutes=30,
         n_slices=8,
+        hot_threshold=0,
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
@@ -381,3 +391,121 @@ def test_fused_forms_on_empty_and_singleton_frames(spark):
         n_slices=4,
     )
     assert g.count() == 0
+
+
+def test_hot_routing_mixed_population_row_level(spark):
+    """r10 hot routing INSIDE sessionize_scalable: hot user sliced, cold
+    users at slice 0 — union must equal the window form over everything,
+    at thresholds putting the split at every interesting place."""
+    rng = random.Random(31)
+    rows = []
+    t = 0
+    for _ in range(2000):  # hot user
+        t += rng.choice([5, 1799, 1801, 4000])
+        rows.append((1, t))
+    for u in range(2, 25):
+        tu = rng.randrange(0, t)
+        for _ in range(35):
+            tu += rng.choice([60, 1800, 2000])
+            rows.append((u, tu))
+    df = _mk(spark, rows)
+    want = _ids(sessionize(df, "user_id", "ts", gap_minutes=30))
+    for thr in (0, 100, 10**9):  # all-hot / mixed / all-cold routes
+        got = _ids(
+            sessionize_scalable(
+                df, "user_id", "ts", gap_minutes=30, n_slices=6,
+                hot_threshold=thr,
+            )
+        )
+        assert want == got, f"hot_threshold={thr}"
+
+
+def test_hot_routing_mixed_population_fused(spark):
+    rng = random.Random(67)
+    rows = []
+    t = 0
+    for _ in range(1500):
+        t += rng.choice([5, 1799, 1801, 4000])
+        rows.append((1, t))
+    for u in range(2, 20):
+        tu = rng.randrange(0, t)
+        for _ in range(30):
+            tu += rng.choice([60, 1800, 2000])
+            rows.append((u, tu))
+    from seoul_big_data_spark.operators.windows import sessionize_agg_scalable
+
+    df = _mk(spark, rows)
+    ref = _agg_ref(df)
+    for thr in (0, 100, 10**9):
+        got = sorted(
+            sessionize_agg_scalable(
+                df,
+                "user_id",
+                "ts",
+                local_aggs=[F.count("*").alias("n_events")],
+                merge_aggs=[
+                    F.sum("n_events").alias("n_events"),
+                    F.min("s_first_tss").alias("lo"),
+                    F.max("s_last_tss").alias("hi"),
+                ],
+                gap_minutes=30,
+                n_slices=6,
+                hot_threshold=thr,
+            ).collect()
+        )
+        assert got == ref, f"hot_threshold={thr}"
+
+
+def test_hot_routing_gap_moments_mixed(spark):
+    from seoul_big_data_spark.operators.windows import gap_moments_scalable
+
+    rng = random.Random(11)
+    rows = [(1, rng.randrange(0, 10**7)) for _ in range(1200)]  # hot key
+    for u in range(2, 15):
+        rows += [(u, rng.randrange(0, 10**7)) for _ in range(40)]
+    rows.append((777, 42))  # single-event key
+    df = spark.createDataFrame(rows, "user_id bigint, tss bigint")
+    w = Window.partitionBy("user_id").orderBy("tss")
+    gd = (F.col("tss") - F.lag("tss").over(w)).cast("decimal(19,0)")
+    flat = (
+        df.select("user_id", gd.alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("g").alias("n"), F.sum("g").alias("s"),
+             F.sum(F.col("g") * F.col("g")).alias("ssq"))
+    )
+    b = sorted((r["user_id"], r["n"], int(r["s"]), int(r["ssq"]))
+               for r in flat.collect())
+    for thr in (0, 100, 10**9):
+        fused = (
+            gap_moments_scalable(
+                df, part_cols=["user_id"], ts_col="tss", gap_col="g",
+                n_slices=5, hot_threshold=thr,
+            )
+            .groupBy("user_id")
+            .agg(F.sum("n_gaps").alias("n"), F.sum("s").alias("s"),
+                 F.sum("ssq").alias("ssq"))
+            .filter(F.col("n") > 0)
+        )
+        a = sorted((r["user_id"], r["n"], int(r["s"]), int(r["ssq"]))
+                   for r in fused.collect())
+        assert a == b, f"hot_threshold={thr}"
+
+
+def test_agg_scalable_reserved_column_assertion(spark):
+    from seoul_big_data_spark.operators.windows import sessionize_agg_scalable
+
+    df = _mk(spark, [(1, 0), (1, 10)]).withColumn("_ls", F.lit(1))
+    with pytest.raises(AssertionError, match="reserves"):
+        sessionize_agg_scalable(
+            df, "user_id", "ts",
+            local_aggs=[F.count("*").alias("n")],
+            merge_aggs=[F.sum("n").alias("n")],
+        )
+    df2 = _mk(spark, [(1, 0), (1, 10)])
+    with pytest.raises(AssertionError, match="collides"):
+        sessionize_agg_scalable(
+            df2, "user_id", "ts",
+            local_aggs=[F.count("*").alias("_slice")],
+            merge_aggs=[F.sum("_slice").alias("n")],
+        )

@@ -122,17 +122,19 @@ SHOWCASE = [
     ),
     (
         "events_sessionization",
-        "Session-grain fused bucket-and-stitch (r9, "
-        "windows.sessionize_agg_scalable): ONE corpus-sized exchange — the "
-        "(user, slice) bucket window; the per-session aggregate's grouping "
-        "keys are a superset of the window partition keys, so the corpus "
-        "collapses to local-session grain with NO second exchange; the "
-        "stitch summary, offsets window, offset join, and fragment merge "
-        "below it are all session-grain. The row-level form's corpus "
-        "persist + full-frame offset join + full final shuffle (the "
-        "r512_128=5.05 spill) do not appear. Hot keys spread across "
-        "n_slices tasks (skew 1.61 -> 0.94 at x32, 25%-hot user); x512 "
-        "16.3 -> 10.1 s vs the row-level form on the same dirs.",
+        "Hot-routed session-grain fused bucket-and-stitch (r10, "
+        "windows.sessionize_agg_scalable): a key-grain stats pass "
+        "(combinable aggregate -> 3 collected scalars) finds hot users; "
+        "only THEY are time-sliced, everyone else takes slice 0 — so the "
+        "r9 fragmentation (global-time slices made 'session grain' ~= "
+        "corpus grain, measured 0.959 at x512) is gone, and with no hot "
+        "user the plan IS the plain window form plus the stats scan. "
+        "Still ONE corpus-sized exchange — the (user, slice) bucket "
+        "window; the per-session aggregate's grouping keys are a superset "
+        "of the window partition keys, so the corpus collapses to session "
+        "grain with NO second exchange; stitch summary, offsets window, "
+        "offset join, fragment merge all session-grain. Hot keys spread "
+        "across n_slices tasks (skew 1.61 -> 0.94 at x32, 25%-hot user).",
     ),
     (
         "similarity_ivf_pq_ann",

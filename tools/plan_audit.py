@@ -430,10 +430,9 @@ _SCAN_BUDGET = {
     "sample_negative_pairs": 3,  # anchors/partners/count: three narrow projections
     "corpus_refinery_pipeline": 3,  # three genuinely different filtered subsets
     "dq_fk_orphans": 3,         # one scan per FK direction by definition
-    # 2 physical reads (sessionize_scalable's persisted frame + the hourly
-    # rollup); the third Location line is the SAME persisted subtree
-    # rendered again under the stitch-offsets branch — an
-    # InMemoryTableScan cache hit, not a third file read
+    # 3 reads by design (r10 hot-routed sessionization): the hot-key stats
+    # pass (combinable aggregate), the bucket-window pass, and the hourly
+    # rollup — each a single-shuffle projection-pruned scan
     "events_session_busy_overlap": 3,
 }
 
