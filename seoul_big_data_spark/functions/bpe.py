@@ -94,3 +94,129 @@ def encode_words(words: DataFrame, word_col: str = "word") -> DataFrame:
 
 def doc_fingerprint(enc_concat: str) -> str:
     return hashlib.md5(enc_concat.encode()).hexdigest()
+
+
+def chars_of(word_col: str) -> F.Column:
+    """Character-split expression: word → array of single chars.
+    ``(?!^)`` splits at every inter-character boundary (and the string
+    end — the empty tail is filtered), with no escaping concerns for
+    arbitrary word content."""
+    return F.filter(
+        F.split(F.col(word_col), r"(?!^)"), lambda t: t != F.lit("")
+    )
+
+
+def _apply_merge(toks: F.Column, a: str, b: str) -> F.Column:
+    """One BPE merge applied to a token array — the greedy LEFT-TO-RIGHT
+    single-pass scan (a merged pair's output never re-merges with the next
+    token within the same step), as a pure fold expression: append each
+    token unless it is ``b`` and the accumulator's last element is an
+    UNCONSUMED ``a``, in which case replace that last element with ``a+b``.
+    Identical to the reference trainer's j-loop (tools/gen_bpe_vocab.py)
+    and to the oracle's recursive pointer-chase — pinned against both in
+    tests/test_bpe_train.py.
+
+    Why not string replace: left-to-right non-overlapping REPLACE over a
+    separator-joined string diverges from the scan on runs — in
+    [a,a,a,a,a] the replace's second match lands on tokens (3,4) because
+    the first consumed the separator before token 2, where the scan merges
+    (2,3) — so the fold is the only string-free formulation that preserves
+    merge POSITIONS, which later steps' pair counts depend on."""
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train_merges(
+    words: DataFrame,
+    n_merges: int = 40,
+    word_col: str = "w",
+    freq_col: str = "f",
+) -> list[tuple[int, str, str, str, int]]:
+    """Distributed BPE vocabulary training (VERDICT r9 #4): the classic
+    frequency-weighted merge loop as an iterative DataFrame job over the
+    DISTINCT-word table. Returns ``[(step, a, b, merged, count), ...]``
+    (1-based steps), stopping early when the best pair's count drops
+    below 2 — byte-compatible with the pinned single-node twin
+    ``tools/gen_bpe_vocab.py::train`` (asserted in tests/test_bpe_train.py,
+    including byte-equality of the derived vocab with the committed
+    ``bpe_vocab.json`` on its training corpus).
+
+    Scale shape (the Lloyd-iteration pattern): per merge step, ONE
+    combinable aggregate over the vocabulary-grain table — adjacent-pair
+    counts weighted by word frequency, map-side partial sums, shuffle
+    carries (pairs × tasks), never the corpus — then a driver argmin of a
+    single collected row (deterministic (-count, a, b) tie-break; driver
+    state is ≤ n_merges pair rows, bounded by construction) and one narrow
+    fold projection applying the merge. Lineage is truncated each step
+    (localCheckpoint) so the plan stays O(1) deep regardless of n_merges.
+    At 100 TB the distinct-word table is ~10⁸ rows (the corpus VOCABULARY);
+    each step is a short aggregate job like one k-means iteration; the
+    corpus itself is touched once, by the word-count producer upstream.
+    """
+    toks = (
+        words.filter(F.length(word_col) > 0)
+        .select(
+            F.col(freq_col).cast("long").alias("_f"),
+            chars_of(word_col).alias("_t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pair_arr = F.when(
+            F.size("_t") > 1,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - 2),
+                lambda i: F.struct(
+                    F.get("_t", i).alias("a"), F.get("_t", i + 1).alias("b")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            toks.select("_f", F.explode(pair_arr).alias("_p"))
+            .groupBy("_p.a", "_p.b")
+            .agg(F.sum("_f").alias("_cnt"))
+            # driver argmin, 1 row: struct min is lexicographic, so
+            # (-count, a, b) is exactly the twin's tie-break
+            .agg(F.min(F.struct((-F.col("_cnt")).alias("nc"), "a", "b")).alias("m"))
+            .collect()[0]["m"]
+        )
+        if best is None or -best["nc"] < 2:
+            break
+        a, b, cnt = best["a"], best["b"], int(-best["nc"])
+        merges.append((step, a, b, a + b, cnt))
+        toks = toks.select("_f", _apply_merge(F.col("_t"), a, b).alias("_t"))
+        # lazy: materialized by the NEXT step's aggregate job, so each step
+        # runs ONE job instead of checkpoint-then-aggregate running two
+        toks = toks.localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_train_vocab(
+    words: DataFrame,
+    n_merges: int = 40,
+    word_col: str = "w",
+    freq_col: str = "f",
+) -> list[str]:
+    """Full learned vocabulary: the corpus character set ∪ the merged
+    tokens, sorted — the exact artifact shape ``bpe_vocab.json`` freezes
+    (single-char alphabet collected once; bounded by the character set)."""
+    merges = bpe_train_merges(words, n_merges, word_col, freq_col)
+    chars = [
+        r["c"]
+        for r in words.filter(F.length(word_col) > 0)
+        .select(F.explode(chars_of(word_col)).alias("c"))
+        .distinct()
+        .collect()
+    ]
+    return sorted(set(chars) | {m for _, _, _, m, _ in merges})

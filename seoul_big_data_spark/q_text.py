@@ -2142,3 +2142,100 @@ def text_bpe_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("wpos").cast("bigint").alias("first_wpos"),
         )
     )
+
+
+def _bpe_train_oracle_sql(n_merges: int = 40) -> str:
+    """text_bpe_train's oracle: the FULL merge trajectory replayed in
+    DuckDB as chained MATERIALIZED CTEs (the rounded-fit replay pattern of
+    the kmeans/PQ oracles, q_ml.py) — per step, adjacent-pair counts over
+    the token-list table, the (count DESC, a, b) argmax, and the greedy
+    left-to-right merge application as a recursive pointer-chase over each
+    word's token list (the same scan the Spark fold and the pinned twin
+    tools/gen_bpe_vocab.py::train perform; a string REPLACE would diverge
+    on runs — see functions/bpe.py::_apply_merge). A step whose best count
+    drops below 2 yields an empty b{i} CTE: the NULL scalar subqueries make
+    every later step a pass-through and the merge table simply ends, which
+    is exactly the trainer's stop rule."""
+    parts = [
+        """wf AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x != '')) AS w
+        FROM documents)
+      WHERE length(w) > 0 GROUP BY w
+    ),
+    t0 AS MATERIALIZED (
+      SELECT w, f, list_transform(range(1, length(w) + 1), i -> w[i]) AS t
+      FROM wf
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(f"""p{i} AS MATERIALIZED (
+      SELECT t[j] AS a, t[j + 1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+      FROM t{i}, unnest(range(1, len(t))) AS u(j)
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT a, b, cnt FROM p{i} WHERE cnt >= 2
+      ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s{i} AS (
+      SELECT w, f, t, 1 AS j, CAST([] AS VARCHAR[]) AS out FROM t{i}
+      UNION ALL
+      SELECT w, f, t,
+        CASE WHEN j < len(t) AND t[j] = (SELECT a FROM b{i})
+                  AND t[j + 1] = (SELECT b FROM b{i})
+             THEN j + 2 ELSE j + 1 END,
+        list_append(out,
+          CASE WHEN j < len(t) AND t[j] = (SELECT a FROM b{i})
+                    AND t[j + 1] = (SELECT b FROM b{i})
+               THEN (SELECT a || b FROM b{i}) ELSE t[j] END)
+      FROM s{i} WHERE j <= len(t)
+    ),
+    t{i + 1} AS MATERIALIZED (
+      SELECT w, f, out AS t FROM s{i} WHERE j = len(t) + 1
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS step, a || b AS tok, cnt FROM b{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "\n    WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT step, tok, cnt FROM ({union})"
+    )
+
+
+@query("text_bpe_train", _bpe_train_oracle_sql(40))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary TRAINING (VERDICT r9 #4 — the committed
+    bpe_vocab.json was driver-trained offline; a 100 TB pipeline must learn
+    its tokenizer on the corpus). The merge loop runs as an iterative
+    DataFrame job over the vocabulary-grain distinct-word table
+    (functions/bpe.py::bpe_train_merges: per step one combinable
+    adjacent-pair aggregate + a 1-row driver argmax with the deterministic
+    (-count, a, b) tie-break + a fold projection applying the merge;
+    lineage truncated per step). Output is the learned merge table —
+    (step, merged token, weighted pair count) — whose derived vocab
+    byte-equals the committed artifact on its training corpus
+    (tests/test_bpe_train.py).
+
+    Hash-checked end-to-end: the oracle replays the ENTIRE training
+    trajectory in SQL (chained per-step CTEs; greedy merge application as
+    a recursive pointer-chase), so the hash certifies every merge decision
+    — pair statistics, tie-breaks, and merge positions — of every step.
+    All-integer arithmetic: no rounding contract needed, the trajectories
+    are exactly equal or not."""
+    from .functions.bpe import bpe_train_merges
+
+    d = load(spark, "documents", sf_dir).select("text")
+    wf = (
+        d.select(F.explode(tx.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    merges = bpe_train_merges(wf, n_merges=40, word_col="w", freq_col="f")
+    return spark.createDataFrame(
+        [(s, m, c) for (s, _a, _b, m, c) in merges],
+        "step int, tok string, cnt bigint",
+    )
