@@ -252,23 +252,42 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Steady-state methodology: one warm run (JIT/codegen compilation,
-    # file-listing caches), then the timed run. Cold-start costs are a
+    # file-listing caches), then the timed runs. Cold-start costs are a
     # per-JVM constant, not a per-query property — at 100 TB they amortize
     # to zero, so timing them would just add noise to the comparison.
-    # Headline timings are min-of-2 (one warm run, two timed, keep the
-    # faster): the host VM's throughput drifts 20-40% between identical
-    # runs, and min-of-N is the standard low-noise estimator when the
-    # quantity of interest is the code's cost, not the machine's mood.
+    #
+    # r10 (VERDICT r9 #8): the same-code headline spread on this box
+    # (11.4–18.5 s across five runs in r9) exceeds any single
+    # optimization, so the protocol is now median-of-5 INTERLEAVED passes —
+    # the whole suite runs 5 times in round-robin, so slow machine phases
+    # hit every query equally instead of whichever query they landed on.
+    # "queries"/"value" keep the legacy min-of-N estimator (series
+    # continuity back to r1 — min answers "what does the CODE cost");
+    # "value_median"/"value_spread"/"queries_median" carry the robust
+    # estimator round-over-round comparisons should use from r10 on.
     # Extended entries stay single-timed (they are trend indicators).
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for name in HEADLINE:  # warm pass
         QUERIES[name](spark, sf_dir).count()
-        samples = []
-        for _ in range(2):
+    pass_totals: list[float] = []
+    for _ in range(n_passes):
+        tot = 0.0
+        for name in HEADLINE:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            tot += dt
+        pass_totals.append(tot)
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    timings = {name: round(min(xs), 3) for name, xs in samples.items()}
+    timings_median = {name: round(_median(xs), 3) for name, xs in samples.items()}
 
     extended: dict[str, float] = {}
     for name in EXTENDED:
@@ -281,6 +300,8 @@ def main() -> None:
     side = {
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
+        "headline_median": timings_median,
+        "headline_pass_totals": [round(t, 3) for t in pass_totals],
         "vs_prev": {
             q: round(timings[q] / prev_head[q], 2)
             for q in timings
@@ -307,6 +328,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # keep the official line COMPACT (r2's fat line got tail-truncated):
+        # per-query medians live in bench_extended.json
+        "value_median": round(_median(pass_totals), 3),
+        "value_spread": round(max(pass_totals) - min(pass_totals), 3),
         "sf": sf,
     }
     spark.stop()
