@@ -585,7 +585,16 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-checked (r8): the oracle replays the Lloyd fit
     (:func:`_sql_lloyd_cells`) and mirrors the pair join; the >= threshold
-    decision is on raw bit-identical cosines."""
+    decision is on raw bit-identical cosines.
+
+    ROUTING (r10, VERDICT r9 #7): this exact quadratic form is
+    collapse-prone — a mode-collapsed corpus puts (0.25N)² pairs in one
+    cell's join tasks (measured 1.54× at x32, SCALE_RUN.json `collapse`).
+    For UNSCREENED corpora the production default is
+    :func:`dedup_semantic_windowed` (candidates ≤ N·window, measured 0.89
+    flat on both flood and collapse); use this form after cell-size
+    screening or when exact Σ|cell|² pair semantics are required — see
+    COVERAGE.md's N2 row and SCALE.md round-10."""
     emb = load(spark, "embeddings", sf_dir)
     centroids = _ivf_centroids(spark, sf_dir)
     return semantic_dedup_pairs(emb, centroids, threshold=0.25)
@@ -2007,7 +2016,11 @@ def dedup_semantic_cells_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       252,560 pairs at sf0.1 = 0.1% overhead) — the r4 VERDICT's
       double-fold concern is disproven in EXPLAIN.md rather than fixed,
       because the condition placement is the plan you want: non-survivors
-      never materialize as rows."""
+      never materialize as rows.
+
+    ROUTING (r10): quadratic-in-cell-size like `dedup_semantic_ivf` — for
+    unscreened corpora prefer `dedup_semantic_windowed` (see its docstring
+    and COVERAGE.md's N2 row for the measured collapse numbers)."""
     from .functions.vector import dot_precast, to_double_array
 
     emb = load(spark, "embeddings", sf_dir)

@@ -339,6 +339,32 @@ def _semantic_kscaled_windowed(mult: int):
     return run
 
 
+def _join_skew_unsalted_twin(mult: int):
+    """join_skew_salted WITHOUT the salting — the same equi-join + agg on
+    the plain key. Under the hot-events dir this is the AQE skew-join
+    test bench: the tiers side (distinct user_id) is too big to
+    auto-broadcast at x32, so the sort-merge join's hot partition is
+    exactly what spark.sql.adaptive.skewJoin exists to split — this twin
+    measures whether it actually does, next to the explicit-salt form
+    (VERDICT r9 #6)."""
+
+    def run(spark, sf_dir):
+        from seoul_big_data_spark.sources.tables import load
+
+        e = load(spark, "events", sf_dir)
+        tiers = (
+            e.select("user_id").distinct()
+            .withColumn("tier", (F.col("user_id") % 5).cast("bigint"))
+        )
+        joined = e.select("user_id", "value").join(tiers, "user_id")
+        return joined.groupBy("tier").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+
+    return run
+
+
 VARIANTS = {
     "dedup_semantic_cells_kscaled": _semantic_kscaled,
     "dedup_semantic_cells_kscaled_windowed": _semantic_kscaled_windowed,
@@ -351,6 +377,8 @@ VARIANTS = {
 # Tables each variant actually reads — lets a high tier (x512) build only
 # what the requested queries scan instead of the full 10-table replica set.
 VARIANT_TABLES = {name: ("embeddings",) for name in VARIANTS}
+VARIANTS["join_skew_unsalted_twin"] = _join_skew_unsalted_twin
+VARIANT_TABLES["join_skew_unsalted_twin"] = ("events",)
 
 # Same declaration for the REGISTERED queries measured at the x512 tier
 # (r8: the tier initially existed only for the kscaled embedding curves;
@@ -598,6 +626,52 @@ def merge_query_row(merged: dict, name: str, row: dict) -> None:
         existing[f"r{hi}_{lo}"] = (
             round(existing[f"x{hi}"] / denom, 2) if denom else None
         )
+
+
+def build_skew_orders(
+    spark, mult: int = 32, hot_reps: int = 8, hot_cust: int = 7
+) -> str:
+    """x{mult} variant with a deliberately hot JOIN foreign key: replicas
+    0..hot_reps-1 of ORDERS point o_custkey at ONE customer, so one
+    customer owns hot_reps/mult of all orders (25% at the defaults — the
+    whale-account shape). o_orderkey keeps its per-replica offset (PK
+    uniqueness; the lineitem→orders join stays uniform, so the skew lands
+    exactly on the orders→customer equi-join and any o_custkey-partitioned
+    window). Non-orders tables are symlinked from the uniform build
+    (VERDICT r9 #6 — the join family had no skew measurements)."""
+    base = build(spark, mult)
+    out = os.path.join(SCALE_DIR, f"x{mult}skeworders")
+    marker = os.path.join(out, "_complete")
+    if _marker_ok(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for table in TABLES:
+        if table != "orders":
+            os.symlink(
+                os.path.join(base, f"{table}.parquet"),
+                os.path.join(out, f"{table}.parquet"),
+            )
+    df = spark.read.parquet(os.path.join(BASE_SF, "orders.parquet"))
+    reps = F.broadcast(
+        spark.range(mult).select(F.col("id").cast("long").alias("_rep"))
+    )
+    strides = _offsets(spark)
+    rep = df.repartition(REPLICA_FILES).crossJoin(reps)
+    rep = rep.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("_rep") * strides["orderkey"]
+    )
+    rep = rep.withColumn(
+        "o_custkey",
+        F.when(F.col("_rep") < hot_reps, F.lit(hot_cust)).otherwise(
+            F.col("o_custkey") + F.col("_rep") * strides["custkey"]
+        ),
+    )
+    rep.drop("_rep").write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    _write_marker(marker)
+    return out
 
 
 def build_skew_docs(spark, mult: int = 32, hot_reps: int = 8) -> str:
@@ -871,6 +945,79 @@ def build_realtext(spark) -> str:
     return out
 
 
+def build_realemb(spark) -> str:
+    """A real-geometry embeddings tier (VERDICT r9 #5): every ANN/SemDeDup
+    scale number so far rides i.i.d. synthetic vectors; this tier derives
+    embeddings FROM the realtext corpus with in-repo operators — hashed
+    token-frequency features random-projected to 64 dims (the SimHash-style
+    ±1 plane trick as float weights: weight(token, dim) =
+    xxhash64(token, dim) mapped into [-1, 1], embedding = Σ tf(token) ·
+    weight) — so near-dup docstrings (numpy parameter boilerplate,
+    templated Returns sections) produce genuinely high-cosine neighborhoods
+    and the corpus carries the anisotropic, cluster-heavy geometry real
+    embedding models emit, instead of i.i.d. Gaussian isotropy.
+
+    Deterministic (xxhash64 on content), pure Catalyst expressions, one
+    aggregate over the exploded-token table. vec_id = doc_id; other tables
+    symlink from the uniform x32 build. _meta.json records corpus stats for
+    normalizing deltas vs the synthetic tier (the realtext precedent)."""
+    out = os.path.join(SCALE_DIR, "realemb")
+    marker = os.path.join(out, "_complete")
+    if _marker_ok(marker):
+        return out
+    realtext = build_realtext(spark)
+    base = build(spark, 32)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for table in TABLES:
+        if table != "embeddings":
+            os.symlink(
+                os.path.join(base, f"{table}.parquet"),
+                os.path.join(out, f"{table}.parquet"),
+            )
+    d = spark.read.parquet(os.path.join(realtext, "documents.parquet"))
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("w"),
+    ).groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dims = [
+        F.sum(
+            F.col("tf").cast("double")
+            * ((F.xxhash64(F.col("w"), F.lit(i)) % 10007) / 10007.0 * 2.0 - 1.0)
+        ).alias(f"_e{i}")
+        for i in range(64)
+    ]
+    emb = (
+        toks.groupBy("doc_id")
+        .agg(*dims)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(*[F.col(f"_e{i}").cast("float") for i in range(64)]).alias(
+                "embedding"
+            ),
+            (F.col("doc_id") % 10).cast("int").alias("label"),
+        )
+    )
+    emb.repartition(REPLICA_FILES).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    n_vecs = spark.read.parquet(os.path.join(out, "embeddings.parquet")).count()
+    with open(os.path.join(out, "_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "n_vecs": n_vecs,
+                "dim": 64,
+                "recipe": "realtext hashed-tf random projection (xxhash64 planes)",
+                "source_tier": "realtext",
+            },
+            fh,
+        )
+    _write_marker(marker)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,8,32")
@@ -880,6 +1027,12 @@ def main() -> None:
         action="store_true",
         help="also time each query on the hot-key events variant "
         "(one user owns 25%% of x32 events) and record the skew ratio",
+    )
+    ap.add_argument(
+        "--skeworders",
+        action="store_true",
+        help="time each query on the hot-FK orders variant (one customer "
+        "owns 25%% of x32 orders) and record the skeworders ratio",
     )
     ap.add_argument(
         "--skewdocs",
@@ -903,6 +1056,14 @@ def main() -> None:
         "the collapse ratio",
     )
     ap.add_argument(
+        "--realemb",
+        action="store_true",
+        help="time each query on the real-geometry embeddings tier "
+        "(hashed-tf random projection of the realtext corpus) next to "
+        "synthetic x32 and record the ratio (normalize by _meta.json "
+        "corpus stats when comparing)",
+    )
+    ap.add_argument(
         "--realtext",
         action="store_true",
         help="time each query on the real-text documents tier (local "
@@ -914,10 +1075,16 @@ def main() -> None:
     names = [q for q in args.queries.split(",") if q]
 
     if (args.skew or args.skewdocs or args.skewemb or args.modecollapse
-            or args.realtext):
+            or args.realtext or args.skeworders or args.realemb):
         spark = get_spark("scale_run_skew")
         uniform = build(spark, 32)
-        if args.realtext:
+        if args.realemb:
+            skewed, tag, ratio_key = (
+                build_realemb(spark),
+                "realemb",
+                "realemb_ratio",
+            )
+        elif args.realtext:
             skewed, tag, ratio_key = (
                 build_realtext(spark),
                 "realtext",
@@ -928,6 +1095,12 @@ def main() -> None:
                 build_collapse_emb(spark, 32),
                 "x32collapse",
                 "collapse_ratio",
+            )
+        elif args.skeworders:
+            skewed, tag, ratio_key = (
+                build_skew_orders(spark, 32),
+                "x32skeworders",
+                "skeworders_ratio",
             )
         elif args.skewemb:
             skewed, tag, ratio_key = (
@@ -969,10 +1142,13 @@ def main() -> None:
                 doc = json.load(fh)
         # merge per query (a query measured under both --skew and
         # --skewdocs keeps both readings)
-        sect = doc.setdefault("realtext" if args.realtext else "skew", {})
+        section = (
+            "realemb" if args.realemb else "realtext" if args.realtext else "skew"
+        )
+        sect = doc.setdefault(section, {})
         for name, row in skew_out.items():
             sect.setdefault(name, {}).update(row)
-        if args.realtext:
+        if args.realtext or args.realemb:
             meta_path = os.path.join(skewed, "_meta.json")
             if os.path.exists(meta_path):
                 with open(meta_path) as fh:
