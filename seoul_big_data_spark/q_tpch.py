@@ -332,7 +332,15 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: substring-derived key + scalar-subquery threshold +
     NOT EXISTS anti-join (restricted to urgent orders so the synthetic data
-    yields a non-empty result)."""
+    yields a non-empty result).
+
+    Skew: the anti join's right side carries only EXISTENCE per key, so it
+    is deduplicated to distinct custkeys before the join — the partial
+    (map-side) aggregate collapses a hot foreign key (a whale account
+    owning 25% of orders measured 2.92× on the x32skeworders tier,
+    SCALE_RUN.json r10) to one row per mapper before any exchange, and the
+    distinct key set is small enough to broadcast, so the anti join itself
+    plans as a BroadcastHashJoin with no orders-sized shuffle at all."""
     c = load(spark, "customer", sf_dir)
     code = F.substring("c_name", 17, 2)
     # The average-balance threshold rides in the plan as a broadcast 1-row
@@ -355,6 +363,7 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, "orders", sf_dir)
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
     )
     return (
         eligible.join(o, "c_custkey", "left_anti")
