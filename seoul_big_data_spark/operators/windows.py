@@ -373,22 +373,63 @@ def sessionize_auto(
     return cold_s.unionByName(hot_s)
 
 
+#: Expected sampled rows for a key sitting exactly at ``hot_threshold``
+#: under the sampled probe (below: detection cutoff is half of this).
+_PROBE_SAMPLE_TARGET = 64
+
+
 def _hot_key_stats(
     df: DataFrame, key_cols: list[str], ts_expr, hot_threshold: int
 ) -> tuple[tuple[float, float], DataFrame | None]:
-    """One key-grain aggregate pass → the global ts range AND the hot-key
-    set, replacing :func:`_range_probe`'s separate scan for the slice-and-
-    stitch family.
+    """Hot-key probe for the slice-and-stitch family: returns
+    ``((lo, hi), hot)`` where ``hot`` is the frame of keys with more than
+    ``hot_threshold`` rows, or ``None`` when no key is hot (then
+    ``(lo, hi)`` may be ``(0, 0)`` — the caller takes the plain window
+    route and never reads the bounds).
 
-    Returns ``((lo, hi), hot)`` where ``hot`` is the frame of keys with
-    more than ``hot_threshold`` rows, or ``None`` when no key is hot.
-    Driver state: THREE scalars (lo, hi, hot-key count) — the repo's
-    annotated-collect convention (:func:`_range_probe` explains why a
-    collect, not a broadcast singleton attach). ``hot`` is bounded by
-    construction: ``|hot| ≤ N/hot_threshold`` (the :func:`sessionize_auto`
-    step-2 argument), so broadcasting it is provably safe. The key-grain
-    stats frame is persisted (the scalar probe and the hot filter both
-    read it; persist-and-let-LRU-evict).
+    SAMPLED, not key-grain (r10 second iteration): the first hot-route
+    probe ran ``groupBy(keys).agg(count, min, max)`` over the corpus —
+    exact, but at x2048 the (type, user) key space is ~600M groups, so the
+    probe itself shuffled and persisted a corpus-sized partial-aggregate
+    frame (events_interarrival_profile read 43 s vs the r9 form's 35 s —
+    the probe WAS the regression). A key can only be hot if it shows up
+    repeatedly in a Bernoulli sample, so:
+
+    1. **Sampled scan** (fraction ``f = _PROBE_SAMPLE_TARGET /
+       hot_threshold``, seeded): keys with ≥ ``_PROBE_SAMPLE_TARGET / 2``
+       sampled rows become candidates. No corpus shuffle — the groupBy
+       runs over ~``f·N`` rows. A key at the threshold expects
+       ``_PROBE_SAMPLE_TARGET`` sampled rows, so missing one needs a
+       ~50% downward fluctuation (Chernoff: P ≤ e^{-target/8} ≈ 3e-4),
+       and a missed *borderline* key costs only a plain-window task of
+       ~threshold rows — benign by the threshold's own definition. A
+       whale key (the shape this exists for) oversamples by orders of
+       magnitude and cannot be missed. Candidates are bounded by
+       construction: ``|cand| ≤ f·N/(target/2) = 2N/hot_threshold``.
+    2. **No candidates** (the uniform-corpus common case): done — the
+       whole probe cost one 0.03%-materialized scan, no shuffle, no
+       persist, no second pass.
+    3. **Exact verification** (only when candidates exist): ONE scan
+       grouped by ``candidate-key-or-null`` (broadcast membership test;
+       ≤ |cand|+1 groups, map-side combinable — a tiny shuffle) yields
+       exact per-candidate counts AND the exact global min/max in the
+       same pass. False candidates drop here, so routing is exact over
+       the candidate set; ``(lo, hi)`` are exact whenever slicing
+       happens.
+
+    ``hot_threshold ≤ _PROBE_SAMPLE_TARGET`` (tests pinning specific
+    routes, the ``hot_threshold=0`` force-slice convention) skips the
+    sample and runs the verification grouping with every key a candidate
+    of itself — the pre-r10 exact semantics at sizes where exactness is
+    free.
+
+    Driver state: 3–4 scalars per pass (annotated-collect convention;
+    :func:`_range_probe` explains why a collect, not a broadcast
+    singleton attach). Routing is the ONLY thing the probe decides —
+    session ids are bit-identical on every route (a single slice's local
+    sessions ARE its global sessions; pinned in
+    tests/test_windows_scalable.py) — so sampling cannot affect results,
+    only which keys pay the slice-and-stitch machinery.
 
     WHY hot routing (r10, VERDICT r9 What's wrong #2): slicing EVERY key's
     timeline into global time buckets fragments the typical key — at x512
@@ -397,33 +438,66 @@ def _hot_key_stats(
     0.959), so "session grain" ≈ corpus grain and the stitch stages run at
     corpus size. Only keys that can actually straggle a single window task
     need slicing; everyone else gets slice 0 — zero fragments, and the
-    stitch degenerates to the plain window form (bit-identical ids either
-    way: a single slice's local sessions ARE its global sessions).
+    stitch degenerates to the plain window form.
     """
     from pyspark import StorageLevel
 
-    stats = (
-        df.groupBy(*key_cols)
-        .agg(
-            F.count("*").alias("_hn"),
-            F.min(ts_expr).alias("_mn"),
-            F.max(ts_expr).alias("_mx"),
+    # Null-component keys are never hot BY CONTRACT: _hot_sliced flags hot
+    # keys via a plain equi-join, which a null component can never match —
+    # so marking one hot could not route it anyway. Routing-only effect
+    # (results stay bit-identical); the null group still contributes to
+    # the exact (lo, hi).
+    keys_non_null = F.lit(True)
+    for c in key_cols:
+        keys_non_null = keys_non_null & F.col(c).isNotNull()
+
+    if hot_threshold > _PROBE_SAMPLE_TARGET:
+        f = _PROBE_SAMPLE_TARGET / float(hot_threshold)
+        cand = (
+            df.sample(fraction=f, seed=42)
+            .filter(keys_non_null)
+            .groupBy(*key_cols)
+            .agg(F.count("*").alias("_sn"))
+            .filter(F.col("_sn") >= _PROBE_SAMPLE_TARGET // 2)
+            .select(*key_cols)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        # Plain .count(), NOT .limit(1).count(): the empty-result common
+        # case makes a limit run its incremental partition waves over the
+        # WHOLE sampled scan with throttled parallelism (measured +13 s at
+        # x2048); one fully-parallel count materializes the persist and
+        # answers emptiness in a single pass.
+        if not cand.count():
+            cand.unpersist()
+            return (0.0, 0.0), None
+        flagged = F.broadcast(cand.withColumn("_isc", F.lit(True)))
+        # One exact pass: candidate keys keep their identity, everything
+        # else folds into one cold bucket (keys nulled, _isc false) —
+        # ≤ |cand|+1 groups, map-side combinable, tiny shuffle.
+        is_cand = F.col("_isc").isNotNull()
+        grouped = df.join(flagged, key_cols, "left").groupBy(
+            is_cand.alias("_isc_g"),
+            *[F.when(is_cand, F.col(c)).alias(c) for c in key_cols],
+        )
+        hot_eligible = F.col("_isc_g")
+    else:
+        grouped = df.groupBy(*key_cols)
+        hot_eligible = keys_non_null
+    stats = grouped.agg(
+        F.count("*").alias("_hn"),
+        F.min(ts_expr).alias("_mn"),
+        F.max(ts_expr).alias("_mx"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    is_hot = (F.col("_hn") > hot_threshold) & hot_eligible
     row = stats.agg(
         F.min("_mn").alias("_lo"),
         F.max("_mx").alias("_hi"),
-        F.sum((F.col("_hn") > hot_threshold).cast("long")).alias("_nhot"),
+        F.sum(is_hot.cast("long")).alias("_nhot"),
     ).collect()[0]
     lo, hi, nhot = row["_lo"], row["_hi"], row["_nhot"]
     if lo is None:
         return (0.0, 0.0), None
-    hot = (
-        stats.filter(F.col("_hn") > hot_threshold).select(*key_cols)
-        if nhot
-        else None
-    )
+    hot = stats.filter(is_hot).select(*key_cols) if nhot else None
     return (float(lo), float(hi)), hot
 
 
@@ -664,10 +738,21 @@ def sessionize_scalable(
             - F.col("_merge")
         ).alias("_off"),
     )
+    # Null-safe stitch keys: a plain equi-join would silently DROP
+    # null-keyed rows (and null-ts rows on a sliced key) that the window
+    # form keeps as ordinary partitions — the r10 null-key parity test
+    # caught exactly that. eqNullSafe stays a hash-joinable equi-key.
+    off = offsets.withColumnRenamed(user_col, "_sk").withColumnRenamed(
+        "_slice", "_ss"
+    )
     return (
-        d.join(offsets, [user_col, "_slice"])
+        d.join(
+            off,
+            F.col(user_col).eqNullSafe(F.col("_sk"))
+            & F.col("_slice").eqNullSafe(F.col("_ss")),
+        )
         .withColumn("session_id", F.col("_off") + F.col("_ls"))
-        .drop("_slice", "_ls", "_off")
+        .drop("_slice", "_ls", "_off", "_sk", "_ss")
     )
 
 
@@ -809,8 +894,19 @@ def sessionize_agg_scalable(
             - F.col("_merge")
         ).alias("_off"),
     )
+    # Null-safe stitch keys — same rationale as sessionize_scalable's
+    # join-back (a plain equi-join drops null-keyed/null-ts rows the
+    # window form keeps).
+    off = offsets.withColumnRenamed(user_col, "_sk").withColumnRenamed(
+        "_slice", "_ss"
+    )
     return (
-        loc.join(offsets, [user_col, "_slice"])
+        loc.join(
+            off,
+            F.col(user_col).eqNullSafe(F.col("_sk"))
+            & F.col("_slice").eqNullSafe(F.col("_ss")),
+        )
+        .drop("_sk", "_ss")
         .withColumn("session_id", F.col("_off") + F.col("_ls"))
         .groupBy(user_col, "session_id")
         .agg(*merge_aggs)

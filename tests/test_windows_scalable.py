@@ -509,3 +509,80 @@ def test_agg_scalable_reserved_column_assertion(spark):
             local_aggs=[F.count("*").alias("_slice")],
             merge_aggs=[F.sum("_slice").alias("n")],
         )
+
+
+# ---------------------------------------------------------------- r10 probe
+
+
+def test_sampled_probe_detects_whale_and_matches_window_form(spark):
+    """hot_threshold above _PROBE_SAMPLE_TARGET engages the SAMPLED probe
+    (one Bernoulli-sampled scan, exact verification only over candidates).
+    A whale key far above the threshold must be detected and the sliced
+    result must stay bit-equal to the window form."""
+    from seoul_big_data_spark.operators.windows import _hot_key_stats
+
+    rows = [(7, 1000 + 3 * i) for i in range(5000)]  # whale: 5000 rows
+    rows += [(u, 500 + 40 * u) for u in range(100)]  # cold singletons
+    df = _mk(spark, rows)
+    (lo, hi), hot = _hot_key_stats(
+        df, ["user_id"], F.col("ts").cast("long"), hot_threshold=100
+    )
+    assert hot is not None
+    assert [r["user_id"] for r in hot.collect()] == [7]
+    # exact bounds, from the verification pass (not the sample)
+    assert (lo, hi) == (float(500), float(1000 + 3 * 4999))
+    _assert_equiv(spark, rows, n_slices=16, hot_threshold=100)
+
+
+def test_sampled_probe_uniform_short_circuit(spark):
+    """No key close to the threshold: the sampled probe returns hot=None
+    without the verification pass, and the operator takes the plain
+    window route — still bit-equal."""
+    from seoul_big_data_spark.operators.windows import _hot_key_stats
+
+    rows = [(u, 100 * u + 7 * i) for u in range(40) for i in range(12)]
+    df = _mk(spark, rows)
+    (_, _), hot = _hot_key_stats(
+        df, ["user_id"], F.col("ts").cast("long"), hot_threshold=100_000
+    )
+    assert hot is None
+    _assert_equiv(spark, rows, n_slices=8, hot_threshold=100_000)
+
+
+def test_probe_null_keys_never_hot_and_results_match(spark):
+    """Null-keyed rows can never be routed hot (the flag equi-join cannot
+    match them) — the probe excludes them BY CONTRACT on both branches,
+    and session ids still match the window form, which groups nulls as a
+    plain partition."""
+    from seoul_big_data_spark.operators.windows import (
+        _hot_key_stats,
+        sessionize,
+        sessionize_scalable,
+    )
+
+    rows = [(None, 100 + 3 * i) for i in range(3000)]
+    rows += [(1, 10_000 + i) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, tss bigint"
+    ).select("user_id", F.timestamp_seconds("tss").alias("ts"))
+    for thr in (10, 100):  # exact branch, sampled branch
+        (_, _), hot = _hot_key_stats(
+            df, ["user_id"], F.col("ts").cast("long"), hot_threshold=thr
+        )
+        hot_keys = [r["user_id"] for r in hot.collect()] if hot is not None else []
+        assert None not in hot_keys, f"thr={thr}"
+
+        def _nids(out):  # None-safe sort (user_id is nullable here)
+            rows = out.select(
+                "user_id", F.col("ts").cast("long").alias("tss"), "session_id"
+            ).collect()
+            return sorted(rows, key=lambda r: (r[0] is not None, r[0] or 0, r[1], r[2]))
+
+        a = _nids(sessionize(df, "user_id", "ts", gap_minutes=30))
+        b = _nids(
+            sessionize_scalable(
+                df, "user_id", "ts", gap_minutes=30, n_slices=6,
+                hot_threshold=thr,
+            )
+        )
+        assert a == b, f"thr={thr}"
