@@ -848,6 +848,33 @@ def sessionize_agg_scalable(
     tie = list(tiebreak_cols or [])
     tss = F.col(ts_col).cast("long")
     (lo, hi), hot = _hot_key_stats(df, [user_col], tss, hot_threshold)
+    if hot is None:
+        # No-hot fast path (r10): with every key at a single slice the
+        # stitch is the identity (D_{-1}=0, merge_0=0 → session_id = _ls),
+        # so the persist, slice-summary window, offsets window, and the
+        # join-back all drop out of the plan. What remains is the minimal
+        # fused form: ONE corpus exchange (the session window), then two
+        # no-exchange aggregates (grouping keys ⊇ the window's partition
+        # key). merge_aggs still run — over single-fragment groups they
+        # are exact re-aggregations — so output columns and values are
+        # bit-identical to the stitched route (pinned in
+        # tests/test_windows_scalable.py).
+        w = Window.partitionBy(user_col).orderBy(ts_col, *tie)
+        gap0 = tss - F.lag(tss).over(w)
+        new0 = F.when(gap0.isNull() | (gap0 > gap_sec), 1).otherwise(0)
+        d0 = df.withColumn(
+            "_ls", F.sum(new0).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        loc0 = d0.groupBy(user_col, "_ls").agg(
+            F.min(tss).alias("s_first_tss"),
+            F.max(tss).alias("s_last_tss"),
+            *local_aggs,
+        )
+        return (
+            loc0.withColumn("session_id", F.col("_ls"))
+            .groupBy(user_col, "session_id")
+            .agg(*merge_aggs)
+        )
     width = max((hi - lo) / n_slices, 1e-9)
     slice_id = F.least(
         F.floor((tss - F.lit(lo)) / F.lit(width)), F.lit(n_slices - 1)

@@ -586,3 +586,31 @@ def test_probe_null_keys_never_hot_and_results_match(spark):
             )
         )
         assert a == b, f"thr={thr}"
+
+
+def test_no_hot_fused_fast_path_plan_is_minimal(spark):
+    """r10: when NO key is hot, sessionize_agg_scalable takes a fast path
+    whose plan is the minimal fused form — one Exchange (the session
+    window's), no Join, no InMemoryTableScan (no persist): the stitch
+    machinery must be absent. Results are pinned against the window form by
+    test_hot_routing_mixed_population_fused (thr=10**9); this pins the
+    plan shape the fast path exists for."""
+    from seoul_big_data_spark.operators.windows import sessionize_agg_scalable
+
+    rows = [(u, 1000 * u + 13 * i) for u in range(8) for i in range(25)]
+    df = _mk(spark, rows)
+    out = sessionize_agg_scalable(
+        df,
+        "user_id",
+        "ts",
+        local_aggs=[F.count("*").alias("n")],
+        merge_aggs=[
+            F.sum("n").alias("n"),
+            (F.max("s_last_tss") - F.min("s_first_tss")).alias("dur"),
+        ],
+        gap_minutes=30,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
