@@ -833,15 +833,31 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, F.col("l_orderkey") == F.col("o_orderkey")
     )
     ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    # r10: the two COUNT(DISTINCT ...) only ever feed threshold tests —
+    # "n_supp > 1" is min(suppkey) != max(suppkey) and "n_ret == 1" is
+    # "some R-supplier exists and min == max" — so the aggregate needs no
+    # distinct at all. The count_distinct form planned an Expand(×3) (every
+    # joined lineitem row tripled before the partial aggregate) plus a
+    # second Exchange for the re-group to order grain; this form is ONE
+    # map-side-combinable aggregate with 5 longs of state and ONE exchange
+    # on l_orderkey (plans/r10/tpch_q21_waiting_supplier_{before,after}.txt:
+    # Expand gone, 2 corpus exchanges → 1). Same rows out: r_supp ==
+    # max(ret_supp) under n_ret == 1, and the filters are equivalences,
+    # not approximations.
     per_order = l.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(ret_supp).alias("n_ret"),
+        F.min("l_suppkey").alias("s_min"),
+        F.max("l_suppkey").alias("s_max"),
+        F.min(ret_supp).alias("r_min"),
         F.max(ret_supp).alias("r_supp"),
         F.count(ret_supp).alias("n_r_items"),
     )
     s = load(spark, "supplier", sf_dir)
     return (
-        per_order.filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
+        per_order.filter(
+            (F.col("s_min") != F.col("s_max"))
+            & F.col("r_supp").isNotNull()
+            & (F.col("r_min") == F.col("r_supp"))
+        )
         .join(F.broadcast(s), F.col("r_supp") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_r_items").cast("long").alias("numwait"))
