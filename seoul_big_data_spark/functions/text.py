@@ -17,6 +17,21 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _bind(col: Column, fn) -> Column:
+    """Let-binding for column expressions (r10): evaluate ``col`` ONCE per
+    row and pass the bound lambda variable to ``fn``.
+
+    Catalyst does not CSE a subtree that appears several times inside (or
+    around) a higher-order-function lambda — each reference re-evaluates
+    it. Wrapping the value in a 1-element array and ``transform``-ing it
+    turns the subtree into a lambda VARIABLE, which IS shared: inside
+    ``fn`` every reference is an attribute read. Same values, same order —
+    only the evaluation count changes (e.g. ``shingles`` used to re-run
+    the whitespace tokenizer once PER SHINGLE INDEX — O(tokens²) regex
+    splits per document; bound, it runs once per document)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization → array<string>; empty strings removed."""
     return F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda t: t != F.lit(""))
@@ -60,10 +75,15 @@ STOPWORDS = {
 
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of ``lang`` (quality signal)."""
-    toks = tokens(F.lower(_c(col)))
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    return _bind(
+        tokens(F.lower(_c(col))),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+            / F.size(toks),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def detect_language(col: Column | str) -> Column:
@@ -71,12 +91,25 @@ def detect_language(col: Column | str) -> Column:
     stopword profile with the highest hit ratio, defaulting to en."""
     c = _c(col)
     cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
-    scores = {lang: stopword_ratio(c, lang) for lang in STOPWORDS}
-    best = F.lit("en")
-    best_score = scores["en"]
-    for lang in ("de", "es", "fr"):
-        best = F.when(scores[lang] > best_score, F.lit(lang)).otherwise(best)
-        best_score = F.when(scores[lang] > best_score, scores[lang]).otherwise(best_score)
+
+    # Bind the four ratio expressions once (r10): the best/best_score
+    # when-chains reference each score several times, and un-bound that
+    # re-evaluated the whole tokenize+filter pipeline per reference
+    # (exponentially in the chain depth). Bound, each reference is an
+    # array-element read; comparisons and result are unchanged.
+    def _pick(s) -> Column:
+        order = list(STOPWORDS)  # en, de, es, fr
+        best = F.lit("en")
+        best_score = F.element_at(s, order.index("en") + 1)
+        for lang in ("de", "es", "fr"):
+            sc = F.element_at(s, order.index(lang) + 1)
+            best = F.when(sc > best_score, F.lit(lang)).otherwise(best)
+            best_score = F.when(sc > best_score, sc).otherwise(best_score)
+        return best
+
+    best = _bind(
+        F.array(*[stopword_ratio(c, lang) for lang in STOPWORDS]), _pick
+    )
     return F.when(cjk > 0, F.lit("zh")).otherwise(best)
 
 
@@ -84,15 +117,22 @@ def quality_score(col: Column | str) -> Column:
     """Composite quality score in [0, 1]: length band + low punctuation +
     mean-word-length band. Deterministic, codegen-friendly."""
     c = _c(col)
-    n_tok = token_count(c).cast("double")
     n_chr = char_count(c).cast("double")
-    mean_word = F.when(n_tok > 0, n_chr / n_tok).otherwise(F.lit(0.0))
-    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio(c) < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
-    word_ok = F.when((mean_word >= 2.0) & (mean_word <= 12.0), F.lit(0.3)).otherwise(
-        F.lit(0.0)
-    )
-    return (len_ok + punct_ok + word_ok).alias("quality")
+
+    # n_tok is referenced four times below; bound once (r10) so the
+    # tokenizer runs once per row instead of once per reference.
+    def _score(n_tok: Column) -> Column:
+        mean_word = F.when(n_tok > 0, n_chr / n_tok).otherwise(F.lit(0.0))
+        len_ok = F.when(
+            (n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)
+        ).otherwise(F.lit(0.0))
+        word_ok = F.when(
+            (mean_word >= 2.0) & (mean_word <= 12.0), F.lit(0.3)
+        ).otherwise(F.lit(0.0))
+        return len_ok + punct_ok + word_ok
+
+    return _bind(token_count(c).cast("double"), _score).alias("quality")
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -108,7 +148,10 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     native expression; documents shorter than k words yield the whole text
     as one shingle.
     """
-    toks = tokens(F.lower(_c(col)))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return _bind(
+        tokens(F.lower(_c(col))),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        ),
+    )
