@@ -61,24 +61,32 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vs the explode→groupBy alternative which would shuffle every token).
     """
     d = load(spark, "documents", sf_dir)
-    toks = tx.tokens(F.lower(F.col("text")))
-    g2 = tx.shingles("text", k=2)
+    # Token/shingle arrays materialized ONCE per row (r10): unbound, `toks`
+    # re-ran the tokenizer per reference — and the top-token scan references
+    # it once per DISTINCT token (inside the transform lambda), i.e.
+    # O(distinct) tokenizations per document on top of the inherent
+    # O(distinct × n) count scan. Materialized, every reference is an
+    # attribute read; the multi-reference projection is safe from
+    # CollapseProject inlining (non-cheap expr referenced > once).
+    base = d.select(
+        "doc_id",
+        tx.tokens(F.lower(F.col("text"))).alias("_t"),
+        tx.shingles("text", k=2).alias("_g2"),
+    ).filter(F.size("_t") > 0)
+    t, g2 = F.col("_t"), F.col("_g2")
     top_cnt = F.array_max(
         F.transform(
-            F.array_distinct(toks),
-            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+            F.array_distinct(t),
+            lambda u: F.size(F.filter(t, lambda x: x == u)),
         )
     )
-    return (
-        d.filter(F.size(toks) > 0)
-        .select(
-            "doc_id",
-            F.size(toks).alias("n_tokens"),
-            F.round(top_cnt / F.size(toks), 6).alias("top_token_frac"),
-            F.round(
-                (F.size(g2) - F.size(F.array_distinct(g2))) / F.size(g2), 6
-            ).alias("dup_2gram_frac"),
-        )
+    return base.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.round(top_cnt / F.size(t), 6).alias("top_token_frac"),
+        F.round(
+            (F.size(g2) - F.size(F.array_distinct(g2))) / F.size(g2), 6
+        ).alias("dup_2gram_frac"),
     )
 
 

@@ -557,15 +557,20 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens for overlapping shingles), and the HAVING prunes the dominant
     unique-span mass before any downstream join."""
     d = load(spark, "documents", sf_dir)
-    toks = tx.tokens(F.lower(F.col("text")))
-    # sequence(1, stop, 8) throws on stop < 1 — short docs yield no spans
-    spans = F.when(
-        F.size(toks) >= 8,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 7, F.lit(8)),
-            lambda i: F.array_join(F.slice(toks, i, 8), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # sequence(1, stop, 8) throws on stop < 1 — short docs yield no spans.
+    # Token array let-bound (r10, tx._bind): referenced by the size guard,
+    # the sequence bound, and the per-span slice — un-bound, the tokenizer
+    # re-ran once per span (O(tokens²/8) splits per document).
+    spans = tx._bind(
+        tx.tokens(F.lower(F.col("text"))),
+        lambda toks: F.when(
+            F.size(toks) >= 8,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 7, F.lit(8)),
+                lambda i: F.array_join(F.slice(toks, i, 8), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     exploded = d.select("doc_id", F.explode(spans).alias("span"))
     return (
         exploded.groupBy("span")
