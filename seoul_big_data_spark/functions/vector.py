@@ -53,10 +53,19 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; 0.0 when either vector is all-zero."""
+    """Cosine similarity; 0.0 when either vector is all-zero.
+
+    The norm product is let-bound (r10, functions/text.py::_bind): it is
+    referenced by both the zero guard and the divisor, and Catalyst does
+    not CSE the two references — un-bound, every scored pair paid four
+    O(dim) norm folds instead of two. Same values, same op order."""
+    from .text import _bind
+
     d = dot(a, b)
-    nn = norm(a) * norm(b)
-    return F.when(nn > 0, d / nn).otherwise(F.lit(0.0))
+    return _bind(
+        norm(a) * norm(b),
+        lambda nn: F.when(nn > 0, d / nn).otherwise(F.lit(0.0)),
+    )
 
 
 def random_hyperplane_signs(a: Column | str, planes: list[list[float]]) -> Column:

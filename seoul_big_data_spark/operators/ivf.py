@@ -35,11 +35,19 @@ def _lit_vec(vals: list[float]) -> F.Column:
 def _normalized(vec: F.Column | str) -> F.Column:
     """Unit-normalize a float array (zero vectors pass through unchanged) —
     spherical k-means operates on directions, so cosine == dot thereafter."""
+    from ..functions.text import _bind
+
     v = F.col(vec) if isinstance(vec, str) else vec
-    n = norm(v)
-    return F.when(
-        n > 0, F.transform(v, lambda x: x.cast("double") / n)
-    ).otherwise(F.transform(v, lambda x: x.cast("double")))
+    # norm let-bound (r10): referenced per ELEMENT inside the transform
+    # lambda, which Catalyst cannot CSE — O(dim²) per row un-bound (the
+    # kmeans_fit "_n projection" lesson, applied at expression level so
+    # every caller is safe by construction).
+    return _bind(
+        norm(v),
+        lambda n: F.when(
+            n > 0, F.transform(v, lambda x: x.cast("double") / n)
+        ).otherwise(F.transform(v, lambda x: x.cast("double"))),
+    )
 
 
 def _nearest_cell_struct(
