@@ -15,6 +15,27 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def lit_double_array(vals) -> Column:
+    """``array<double>`` literal built as ONE parsed expression (r10).
+
+    ``F.array(*[F.lit(v) ...])`` costs one py4j round trip per element —
+    a k×dim codebook literal is hundreds of driver→JVM calls, measured as
+    multi-second PLAN-CONSTRUCTION time in the PQ/IVF queries (pq_codes_md5:
+    5.7 s build vs 0.8 s execution). One ``F.expr`` string is a single
+    round trip; ``repr()`` round-trips the exact IEEE double and the ``D``
+    suffix parses as DoubleType — verified bit-equal to the F.lit form."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """``array<array<double>>`` literal as one parsed expression — the
+    nested form of :func:`lit_double_array` (PQ codebooks)."""
+    inner = [
+        "array(" + ",".join(repr(float(v)) + "D" for v in r) + ")" for r in rows
+    ]
+    return F.expr("array(" + ",".join(inner) + ")")
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two equal-length float arrays, accumulated in double
     (matches engines that upcast before multiplying; float*float would lose
@@ -73,7 +94,7 @@ def random_hyperplane_signs(a: Column | str, planes: list[list[float]]) -> Colum
     packed into a string bucket key (scale path for ANN, SURVEY.md §2.10 N3)."""
     bits = [
         F.when(
-            dot(_c(a), F.array(*[F.lit(float(v)) for v in plane])) >= 0, F.lit("1")
+            dot(_c(a), lit_double_array(plane)) >= 0, F.lit("1")
         ).otherwise(F.lit("0"))
         for plane in planes
     ]

@@ -25,11 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot, norm
+from ..functions.vector import cosine, dot, lit_double_array, norm
 
 
 def _lit_vec(vals: list[float]) -> F.Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    # one parsed expression, not len(vals) py4j round trips (r10) —
+    # functions/vector.py::lit_double_array has the measurement
+    return lit_double_array(vals)
 
 
 def _normalized(vec: F.Column | str) -> F.Column:

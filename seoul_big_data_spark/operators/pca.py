@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vector import lit_double_array
+
 
 def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Upper-triangular Gram matrix sum_v v[i]*v[j] as rows (i, j, g).
@@ -111,7 +113,7 @@ def project_scalar(df: DataFrame, direction: list[float], vec_col: str = "embedd
     """Dot product of each vector with a broadcast constant direction —
     pure ``aggregate``/``zip_with`` expression, zero shuffle, rides the
     scan inside codegen."""
-    dir_col = F.array(*[F.lit(float(x)) for x in direction])
+    dir_col = lit_double_array(direction)
     return F.aggregate(
         F.zip_with(F.col(vec_col).cast("array<double>"), dir_col, lambda a, b: a * b),
         F.lit(0.0),

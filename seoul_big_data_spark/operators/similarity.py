@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot, random_hyperplane_signs
+from ..functions.vector import (
+    cosine,
+    dot,
+    lit_double_array,
+    random_hyperplane_signs,
+)
 
 
 def brute_force_topk(
@@ -104,7 +109,7 @@ def lsh_topk(
         # (p+1)-th smallest |dot(query, plane)|
         dots = F.array(
             *[
-                dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in pl]))
+                dot(F.col(vec_col), lit_double_array(pl))
                 for pl in planes
             ]
         )
@@ -206,7 +211,7 @@ def mmr_rerank(
     """
     import numpy as np
 
-    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    qarr = lit_double_array(query_vec)
     cand = (
         corpus.select(
             F.col(id_col).alias("nid"),

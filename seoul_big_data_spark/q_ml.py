@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .functions.vector import cosine, dot, norm
+from .functions.vector import cosine, dot, lit_double_array, lit_double_matrix, norm
 from .operators.ivf import (
     ivf_topk,
     kmeans_fit,
@@ -693,7 +693,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[
             F.round(
-                dot("embedding", F.array(*[F.lit(float(v)) for v in plane])), 6
+                dot("embedding", lit_double_array(plane)), 6
             ).alias(f"rp_{i}")
             for i, plane in enumerate(planes)
         ],
@@ -1749,7 +1749,7 @@ def _cell_expr_rounded(cents: list[list[float]], vec: str = "embedding"):
         *[
             F.named_struct(
                 F.lit("s"),
-                F.round(dot(vec, F.array(*[F.lit(float(x)) for x in c])), 6),
+                F.round(dot(vec, lit_double_array(c)), 6),
                 F.lit("ni"),
                 F.lit(-i),
             )
@@ -1849,16 +1849,21 @@ _SQL_PQ_CODES = (
 
 def _l2sq_expr(sub_col, lit_vec):
     """Sequential double squared-L2 between an array column and a double
-    literal/array column — the Spark twin of ``_sql_l2sq``."""
+    literal/array column — the Spark twin of ``_sql_l2sq``.
+
+    The difference is zipped ONCE and squared via the aggregate lambda's
+    bound variable (r10): writing ``(x-y)*(x-y)`` inside zip_with evaluates
+    the subtraction twice per element (lambda bodies are not CSE'd). Same
+    IEEE ops in the same order — subtract once, multiply, accumulate —
+    so values are bit-identical."""
     return F.aggregate(
         F.zip_with(
             sub_col,
             lit_vec,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
+            lambda x, y: x.cast("double") - y.cast("double"),
         ),
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda acc, d: acc + d * d,
     )
 
 
@@ -1866,19 +1871,24 @@ def _pq_code_expr(cbs: list[list[list[float]]], s: int, vec: str = "embedding"):
     """argmin-L2 codeword id for subspace ``s`` (distance rounded to 6 for
     cross-engine stability, ties to the lowest code — operators.pq keeps
     numpy argmin's first-minimum, same rule)."""
-    sub = F.slice(F.col(vec), s * 16 + 1, 16)
-    scored = F.array(
-        *[
-            F.named_struct(
-                F.lit("d"),
-                F.round(
-                    _l2sq_expr(sub, F.array(*[F.lit(float(v)) for v in cwv])), 6
-                ),
-                F.lit("code"),
-                F.lit(code),
-            )
-            for code, cwv in enumerate(cbs[s])
-        ]
+    from .functions.text import _bind
+
+    # One transform over the codebook MATRIX literal instead of k separate
+    # per-codeword expression trees (r10): k× fewer py4j round trips at plan
+    # build (the dominant cost — see functions/vector.py::lit_double_array),
+    # and the subvector slice is let-bound so it is sliced once per row, not
+    # once per codeword. Distances, rounding, and the first-minimum tie rule
+    # are unchanged (struct comparison orders by d, then code).
+    mat = lit_double_matrix(cbs[s])
+    scored = _bind(
+        F.slice(F.col(vec), s * 16 + 1, 16),
+        lambda sub: F.transform(
+            mat,
+            lambda cw, i: F.struct(
+                F.round(_l2sq_expr(sub, cw), 6).alias("d"),
+                i.alias("code"),
+            ),
+        ),
     )
     return F.array_min(scored)["code"]
 
@@ -1957,7 +1967,7 @@ def pq_adc_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = pq_fit(emb, m=4, k=8, iters=0)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cb_lits = [
-        F.array(*[F.array(*[F.lit(float(v)) for v in cw]) for cw in cbs[s]])
+        lit_double_matrix(cbs[s])
         for s in range(4)
     ]
     d = emb.crossJoin(F.broadcast(q))
