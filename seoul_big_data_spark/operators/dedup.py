@@ -454,9 +454,14 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = updated.filter(F.col("_changed")).limit(1).count()
+        # max-aggregate, NOT filter().limit(1).count() (r10): on the
+        # CONVERGED iteration the filter is empty, and an empty limit runs
+        # incremental partition waves over the whole checkpointed frame
+        # with throttled parallelism (the windows.py _hot_key_stats
+        # lesson); one fully-parallel boolean max answers it in one pass.
+        changed = updated.agg(F.max("_changed")).first()[0]
         labels = updated.drop("_changed")
-        if changed == 0:
+        if not changed:
             break
     return labels.select(F.col("vid").alias(id_col), F.col("label").alias("component"))
 
