@@ -77,8 +77,9 @@ def minhash_signatures(
     ``array_min(transform(...))`` form gets re-evaluated per band through the
     explode (no CSE across Generate) and measured ~13x slower at sf0.1.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par).select(
+    from .skew import spread_scan
+
+    sh = spread_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("s"),
     )
@@ -196,14 +197,15 @@ def simhash(
     """
     if portable and bits > 60:
         raise ValueError("portable (md5-derived) simhash supports at most 60 bits")
-    par = df.sparkSession.sparkContext.defaultParallelism
+    from .skew import spread_scan
+
     h = (
         F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
         if portable
         else F.xxhash64("t")
     )
     tok_rows = (
-        df.repartition(par)
+        spread_scan(df)
         .select(
             F.col(id_col).alias("_id"),
             F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
@@ -300,8 +302,9 @@ def _shingle_pair_counts(
     counts (id_a < id_b) and per-doc distinct-shingle sizes over the
     (optionally df-capped) shingle universe. See ``ngram_jaccard_pairs``
     for the two physical shapes."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par).select(
+    from .skew import spread_scan
+
+    sh = spread_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("shingle"),
     )
@@ -490,7 +493,8 @@ def incremental_jaccard_pairs(
     per shingle, zero old-old work. Sizes are computed over the same capped
     universe so Jaccard stays a true set similarity on it. Returns
     (id_new, id_old, jaccard)."""
-    par = corpus.sparkSession.sparkContext.defaultParallelism
+    from .skew import spread_scan
+
     tagged = corpus.select(
         F.col(id_col).alias("id"), F.lit(0).alias("side"), F.col(text_col)
     ).unionByName(
@@ -498,7 +502,7 @@ def incremental_jaccard_pairs(
             F.col(id_col).alias("id"), F.lit(1).alias("side"), F.col(text_col)
         )
     )
-    sh = tagged.repartition(par).select(
+    sh = spread_scan(tagged).select(
         "id",
         "side",
         F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("shingle"),

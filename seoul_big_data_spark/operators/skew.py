@@ -44,3 +44,22 @@ def salted_join(
     ).hint("shuffle_hash")
     out = fact_salted.join(dim_exploded, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-spread a narrow scan ONLY when it is under-parallel (r10).
+
+    The heavy text/vector pipelines repartition their input before a
+    CPU-dense explode because the local test tables are single-row-group
+    parquet files — one task would otherwise do all the work (the
+    dedup_substring_runs x128 empty-split lesson). But that repartition is a
+    full shuffle of the corpus, and at 100 TB the scan already has thousands
+    of splits: the shuffle is pure waste there. This guard keeps the spread
+    scale-ADAPTIVE: repartition only when the scan's planned partition count
+    is below the session's parallelism (partition count comes from the
+    physical plan — no job runs). Same rows either way; round-robin
+    repartition does not affect any downstream aggregate/join semantics."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)

@@ -1585,8 +1585,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spread the scan first: render+decode+resize is heavy per-doc Python
     # work, and a single-row-group table otherwise runs it all in one task
     # (the dedup_substring_runs x128 lesson; minhash_signatures precedent).
-    par = spark.sparkContext.defaultParallelism
-    d = load(spark, "documents", sf_dir).select("doc_id").repartition(par)
+    from .operators.skew import spread_scan
+
+    d = spread_scan(load(spark, "documents", sf_dir).select("doc_id"))
 
     def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: dict[str, list] = {

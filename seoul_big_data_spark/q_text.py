@@ -646,8 +646,9 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instant tasks + 1 doing all 30M windows for minutes). The shuffle
     # moves only the raw docs and is amortized by the explode it
     # parallelizes — the minhash_signatures precedent.
-    par = spark.sparkContext.defaultParallelism
-    td = d.repartition(par).select(
+    from .operators.skew import spread_scan
+
+    td = spread_scan(d).select(
         "doc_id", tx.tokens(F.lower(F.col("text"))).alias("_t")
     )
     wins = F.when(

@@ -68,3 +68,21 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_spread_scan_is_scale_adaptive(spark):
+    """r10: the corpus-spread repartition before CPU-dense explodes must
+    fire only when the scan is under-parallel — on an already-parallel
+    input it must be the identity (no extra Exchange), because at scale
+    the spread would be a full wasted shuffle of the corpus."""
+    from pyspark.sql import functions as F
+
+    from seoul_big_data_spark.operators.skew import spread_scan
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1).select(F.col("id").alias("doc_id"))
+    spread = spread_scan(narrow)
+    assert spread.rdd.getNumPartitions() == par
+    wide = spark.range(1000).repartition(max(par, 2))
+    same = spread_scan(wide)
+    assert same is wide  # identity: no node added at all
