@@ -245,6 +245,9 @@ _FACT_BROADCAST_OK: dict[str, str] = {
     "similarity_lsh_ann_adaptive": "probe-set distinct over the "
     "literal-bounded query side: <= N_QUERIES*probes rows by construction",
     "similarity_pq_adc": "probe set literal-bounded; PQ codebook constant",
+    "pq_adc_md5": "probe set = literal vec_id == 0 filter (exactly 1 row) "
+    "broadcast against the streamed corpus; codebook constant (same shape "
+    "as similarity_pq_adc — the frontier walk sees only the filter)",
     "similarity_ivf_pq_ann": "probe set literal-bounded; centroids+codebook "
     "constant",
     # Argmax-filtered aggregate: revenue rows are filtered to the global max
