@@ -28,7 +28,15 @@ def _bind(col: Column, fn) -> Column:
     ``fn`` every reference is an attribute read. Same values, same order —
     only the evaluation count changes (e.g. ``shingles`` used to re-run
     the whitespace tokenizer once PER SHINGLE INDEX — O(tokens²) regex
-    splits per document; bound, it runs once per document)."""
+    splits per document; bound, it runs once per document).
+
+    Schema caveat (ADVICE r10): ``element_at`` is nullable, so a bound
+    expression reports nullable=true even when ``col`` could not be null
+    (e.g. a constant sum). Values are unchanged and the driver's oracle
+    schema check compares names+types, not nullability (every bound
+    query is schema_match green in CORRECTNESS_r10) — but strict writers
+    diffing nullability will see the flip; unwrap or cast at the sink if
+    that ever matters."""
     return F.element_at(F.transform(F.array(col), fn), 1)
 
 
@@ -133,6 +141,45 @@ def quality_score(col: Column | str) -> Column:
         return len_ok + punct_ok + word_ok
 
     return _bind(token_count(c).cast("double"), _score).alias("quality")
+
+
+def prep_stats(col: Column | str, min_quality: float = 0.7) -> Column:
+    """``struct(n_tok int, quality double, keep boolean)`` from ONE bound
+    tokenizer evaluation (r11).
+
+    The corpus-prep shape referenced ``token_count``/``quality_score`` from
+    a pre-filter, a quality filter and the output projection; Catalyst's
+    filter pushdown substitutes each alias with its full expression, so the
+    whitespace tokenizer ran 3× per row. Deriving every consumer column
+    from one struct keeps a single bound tokenizer subtree per operator
+    after substitution (quality is let-bound too, so the punct-strip regex
+    also runs once). Field values are bit-identical to ``token_count`` /
+    ``quality_score`` / their filter conjunction: same sub-expressions,
+    same op order, only the evaluation count changes."""
+    c = _c(col)
+    n_chr = char_count(c).cast("double")
+    punct_ok = F.when(punct_ratio(c) < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+
+    def _fields(t: Column) -> Column:
+        n_tok = F.size(t)
+        n_tok_d = n_tok.cast("double")
+        mean_word = F.when(n_tok_d > 0, n_chr / n_tok_d).otherwise(F.lit(0.0))
+        len_ok = F.when(
+            (n_tok_d >= 5) & (n_tok_d <= 100000), F.lit(0.4)
+        ).otherwise(F.lit(0.0))
+        word_ok = F.when(
+            (mean_word >= 2.0) & (mean_word <= 12.0), F.lit(0.3)
+        ).otherwise(F.lit(0.0))
+        return _bind(
+            len_ok + punct_ok + word_ok,
+            lambda q: F.struct(
+                n_tok.alias("n_tok"),
+                q.alias("quality"),
+                ((n_tok > 0) & (q >= F.lit(min_quality))).alias("keep"),
+            ),
+        )
+
+    return _bind(tokens(c), _fields)
 
 
 def fingerprint(col: Column | str) -> Column:

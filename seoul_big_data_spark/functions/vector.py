@@ -15,6 +15,22 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _double_sql(v) -> str:
+    """Exact SQL rendering of one double. ``repr()`` round-trips finite
+    IEEE doubles and the ``D`` suffix parses as DoubleType; non-finite
+    values have no literal form the parser accepts (``nanD`` is a parse
+    error — ADVICE r10), so they render as the CAST the parser does accept,
+    which produces the same canonical NaN/±Infinity bits as ``F.lit``."""
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(v) + "D"
+
+
 def lit_double_array(vals) -> Column:
     """``array<double>`` literal built as ONE parsed expression (r10).
 
@@ -22,16 +38,16 @@ def lit_double_array(vals) -> Column:
     a k×dim codebook literal is hundreds of driver→JVM calls, measured as
     multi-second PLAN-CONSTRUCTION time in the PQ/IVF queries (pq_codes_md5:
     5.7 s build vs 0.8 s execution). One ``F.expr`` string is a single
-    round trip; ``repr()`` round-trips the exact IEEE double and the ``D``
-    suffix parses as DoubleType — verified bit-equal to the F.lit form."""
-    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+    round trip; rendering is bit-equal to the F.lit form (non-finite values
+    included — see :func:`_double_sql`)."""
+    return F.expr("array(" + ",".join(_double_sql(v) for v in vals) + ")")
 
 
 def lit_double_matrix(rows) -> Column:
     """``array<array<double>>`` literal as one parsed expression — the
     nested form of :func:`lit_double_array` (PQ codebooks)."""
     inner = [
-        "array(" + ",".join(repr(float(v)) + "D" for v in r) + ")" for r in rows
+        "array(" + ",".join(_double_sql(v) for v in r) + ")" for r in rows
     ]
     return F.expr("array(" + ",".join(inner) + ")")
 

@@ -47,7 +47,7 @@ def salted_join(
 
 
 def spread_scan(df: DataFrame) -> DataFrame:
-    """Round-robin-spread a narrow scan ONLY when it is under-parallel (r10).
+    """Round-robin-spread a narrow SCAN only when it is under-parallel (r10).
 
     The heavy text/vector pipelines repartition their input before a
     CPU-dense explode because the local test tables are single-row-group
@@ -56,10 +56,21 @@ def spread_scan(df: DataFrame) -> DataFrame:
     full shuffle of the corpus, and at 100 TB the scan already has thousands
     of splits: the shuffle is pure waste there. This guard keeps the spread
     scale-ADAPTIVE: repartition only when the scan's planned partition count
-    is below the session's parallelism (partition count comes from the
-    physical plan — no job runs). Same rows either way; round-robin
-    repartition does not affect any downstream aggregate/join semantics."""
+    is below the session's parallelism. Same rows either way; round-robin
+    repartition does not affect any downstream aggregate/join semantics.
+
+    Contract (r11, ADVICE r10): the input must be a narrow scan —
+    project/filter over a source, no exchange upstream. The partition probe
+    converts the plan to an RDD, which under AQE would FINALIZE query
+    stages of a shuffled input (running shuffle jobs eagerly at
+    plan-construction time, then discarding them). A frame whose physical
+    plan already contains an Exchange is therefore returned unchanged
+    without probing: it is post-shuffle parallel by construction, and
+    probing it would be the eager-job bug. For exchange-free plans the RDD
+    conversion plans but runs nothing."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        return df
     if df.rdd.getNumPartitions() >= par:
         return df
     return df.repartition(par)

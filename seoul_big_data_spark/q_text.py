@@ -448,14 +448,23 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language corpus profile. One plan, three shuffles (dedup window,
     group-by) — the shape of a real corpus-curation job at 100 TB."""
     d = load(spark, "documents", sf_dir).filter(F.length("text") > 0)
-    q = d.filter(tx.token_count("text") > 0).select(
-        "doc_id",
-        "lang",
-        "text",
-        tx.token_count("text").alias("n_tok"),
-        tx.quality_score("text").alias("quality"),
+    # ONE bound tokenizer evaluation per row (r11): n_tok, quality and the
+    # keep predicate all read fields of a single let-bound struct
+    # (functions/text.py::prep_stats). The previous form's pre-filter +
+    # pushed quality filter + projection re-tokenized 3× per row after
+    # Catalyst's alias substitution.
+    q = (
+        d.select("doc_id", "lang", "text", tx.prep_stats("text").alias("_s"))
+        .filter(F.col("_s.keep"))
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            F.col("_s.n_tok").alias("n_tok"),
+            F.col("_s.quality").alias("quality"),
+        )
     )
-    kept = dedup.exact(q.filter(F.col("quality") >= 0.7))
+    kept = dedup.exact(q)
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),

@@ -86,3 +86,58 @@ def test_spread_scan_is_scale_adaptive(spark):
     wide = spark.range(1000).repartition(max(par, 2))
     same = spread_scan(wide)
     assert same is wide  # identity: no node added at all
+
+
+def test_spread_scan_shuffled_input_is_identity_without_probe(spark):
+    """r11 (ADVICE r10): a frame whose plan already contains an Exchange is
+    returned unchanged WITHOUT the RDD partition probe — under AQE,
+    converting a shuffled plan to an RDD finalizes query stages (runs the
+    shuffle eagerly at plan-construction time). Poison .rdd to prove the
+    probe never touches it."""
+    from pyspark.sql import functions as F
+
+    from seoul_big_data_spark.operators.skew import spread_scan
+
+    shuffled = (
+        spark.range(100)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .count()
+    )
+    cls = type(shuffled)
+    orig = cls.rdd
+    try:
+
+        def _boom(self):  # pragma: no cover - must not run
+            raise AssertionError("spread_scan probed .rdd on a shuffled plan")
+
+        cls.rdd = property(_boom)
+        same = spread_scan(shuffled)
+    finally:
+        cls.rdd = orig
+    assert same is shuffled
+
+
+def test_lit_double_array_non_finite_values(spark):
+    """r11 (ADVICE r10): NaN/±Infinity elements must parse (the bare
+    repr-based rendering produced 'nanD', a parse error) and be bit-equal
+    to the F.lit form."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from seoul_big_data_spark.functions.vector import lit_double_array
+
+    vals = [1.5, float("nan"), float("inf"), float("-inf"), -0.0]
+    row = (
+        spark.range(1)
+        .select(
+            lit_double_array(vals).alias("a"),
+            F.array(*[F.lit(v) for v in vals]).alias("b"),
+        )
+        .collect()[0]
+    )
+    import struct as _struct
+
+    bits = lambda x: _struct.pack("<d", x)  # noqa: E731
+    assert [bits(v) for v in row["a"]] == [bits(v) for v in row["b"]]
+    assert math.isnan(row["a"][1])

@@ -614,3 +614,58 @@ def test_no_hot_fused_fast_path_plan_is_minimal(spark):
     assert "Join" not in plan, plan
     assert "InMemoryTableScan" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_static_row_bound_soundness(spark):
+    """r11 footer fast path: the static bound is the parquet footer row
+    count for scan/project/filter plans, and None for any plan node that
+    can multiply rows (explode/join/aggregate) or for non-parquet frames."""
+    from seoul_big_data_spark.operators.windows import _static_row_bound
+    from seoul_big_data_spark.sources.tables import load
+
+    e = load(spark, "events", "/root/testdata/sf0.001")
+    n = e.count()
+    assert _static_row_bound(e) == n
+    assert _static_row_bound(e.select("user_id", "ts")) == n
+    # Filter only ever reduces rows — bound stays sound (and unchanged).
+    assert _static_row_bound(e.filter("user_id > 3")) == n
+    assert _static_row_bound(
+        e.select(F.explode(F.array("user_id", "user_id")).alias("u"))
+    ) is None
+    assert _static_row_bound(e.groupBy("user_id").count()) is None
+    assert _static_row_bound(e.join(e.select("user_id"), "user_id")) is None
+    assert _static_row_bound(spark.range(5)) is None  # not a parquet scan
+
+
+def test_footer_fast_path_skips_probe_job(spark, monkeypatch):
+    """When the footer bound proves no key can be hot, _hot_key_stats must
+    return the no-hot route WITHOUT the sampled-probe scan (poison
+    DataFrame.sample to prove it is never called), and consumers stay
+    bit-equal to the window form on the same data."""
+    from pyspark.sql import DataFrame
+
+    from seoul_big_data_spark.operators.windows import (
+        _hot_key_stats,
+        sessionize,
+        sessionize_scalable,
+    )
+    from seoul_big_data_spark.sources.tables import load
+
+    e = load(spark, "events", "/root/testdata/sf0.001").select("user_id", "ts")
+
+    def _boom(self, *a, **k):  # pragma: no cover - must not run
+        raise AssertionError("sampled probe ran despite footer bound")
+
+    monkeypatch.setattr(DataFrame, "sample", _boom)
+    (_, _), hot = _hot_key_stats(
+        e, ["user_id"], F.col("ts").cast("long"), hot_threshold=10_000_000
+    )
+    assert hot is None
+    monkeypatch.undo()
+    a = _ids(sessionize(e, "user_id", "ts", gap_minutes=30))
+    b = _ids(
+        sessionize_scalable(
+            e, "user_id", "ts", gap_minutes=30, hot_threshold=10_000_000
+        )
+    )
+    assert a == b
