@@ -289,16 +289,40 @@ def main() -> None:
     timings = {name: round(min(xs), 3) for name, xs in samples.items()}
     timings_median = {name: round(_median(xs), 3) for name, xs in samples.items()}
 
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        QUERIES[name](spark, sf_dir).count()
+    prev_head, prev_ext = _load_prev_round()
+
+    def _time_ext(name: str) -> float:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
-        extended[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
 
-    prev_head, prev_ext = _load_prev_round()
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        QUERIES[name](spark, sf_dir).count()  # warm
+        extended[name] = round(_time_ext(name), 3)
+
+    # r11 (VERDICT r10 What's-wrong #2 / Next #7): extended entries are the
+    # round-over-round trend record, and a single-shot reading lands on a
+    # host-noise phase a few times per run (r10 committed pagerank at 15.06 s
+    # one-shot vs ~3.9 s controlled; bm25 "3.8x vs prev" re-read at 0.42x
+    # this round). The slowest 20 entries — the optimization targets the
+    # next round chases — plus any entry whose vs-prev ratio moved >= 2x in
+    # EITHER direction (a too-fast outlier poisons next round's baseline the
+    # same way) are re-timed twice and recorded as the median of 3.
+    suspects = {n for n, _ in sorted(extended.items(), key=lambda kv: -kv[1])[:20]}
+    suspects |= {
+        n
+        for n, v in extended.items()
+        if prev_ext.get(n) and not 0.5 < v / prev_ext[n] < 2.0
+    }
+    extended_retimed: dict[str, list[float]] = {}
+    for name in sorted(suspects):
+        xs = [extended[name], _time_ext(name), _time_ext(name)]
+        extended[name] = round(_median(xs), 3)
+        extended_retimed[name] = [round(x, 3) for x in xs]
     side = {
         "extended": extended,
+        "extended_retimed": extended_retimed,
         "extended_total": round(sum(extended.values()), 3),
         "headline_median": timings_median,
         "headline_pass_totals": [round(t, 3) for t in pass_totals],

