@@ -25,22 +25,25 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed-iteration PageRank; returns (id, rank).
 
     ``edges`` is directed; pass both directions for an undirected graph.
     rank_{t+1}(v) = (1-d)/N + d * sum over in-neighbors u of rank_t(u)/deg(u).
 
-    ``checkpoint_every`` (r11): each ``localCheckpoint`` is an eager job, so
-    checkpointing every iteration pays 10 materializations whose only
-    purpose is plan truncation. Truncating every 2nd iteration halves that
-    while keeping the nested plan shallow (2 join+agg steps); measured at
-    sf0.1 (3-rep noop A/B, same session): k=1 5.42 s, k=2 4.38 s, k=5
-    4.31 s, k=10 (single final checkpoint) 4.93 s — the deep-nesting AQE
-    replan cost returns past k≈5, so 2 is the conservative pick (k=2 vs
-    k=3 indistinguishable). Ranks are bit-identical across k at the
-    consumers' ppm rounding (hash-verified for k ∈ {1,2,5,10})."""
+    ``checkpoint_every`` (r11, MEASURED NEGATIVE — keep 1): skipping
+    checkpoints looked like a win at sf0.1 (each ``localCheckpoint`` is an
+    eager job; k=1 5.42 s vs k=2 4.38 s, 3-rep noop A/B) but INVERTS at
+    scale: at x32 (160k vertices) k=2 measured 88.6 s vs the k=1 record's
+    17.0 s and OOMed a broadcast build in the harness session — a lazy
+    (un-checkpointed) rank state denies AQE the real frame sizes, so the
+    next iteration's joins are planned from nested-join estimates (wrong
+    build sides, broadcast attempts on non-broadcastable state). The
+    per-iteration checkpoint IS what keeps iteration plans correctly sized;
+    its job cost is the price of statistics. Ranks are bit-identical
+    across k at the consumers' ppm rounding (hash-verified k ∈ {1,2,5,10}),
+    so the knob stays for small-graph callers that want it."""
     # localCheckpoint (eager), not cache(): caching materializes partitions
     # but the LOGICAL plan keeps nesting — by iteration 10 Catalyst would
     # re-analyze ten stacked joins plus the edge list's full upstream
