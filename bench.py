@@ -296,8 +296,13 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).count()
         return time.perf_counter() - t0
 
+    # SPARK_GRAFT_BENCH_EXTENDED=0 skips the ~180 extended entries — for
+    # builder-side scale-tier runs (x32 replicas, 8-vs-32-core scaling)
+    # where only the headline line is wanted. The driver sets no such var,
+    # so the official record keeps the full extended side file.
+    run_extended = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0"
     extended: dict[str, float] = {}
-    for name in EXTENDED:
+    for name in EXTENDED if run_extended else []:
         QUERIES[name](spark, sf_dir).count()  # warm
         extended[name] = round(_time_ext(name), 3)
 
@@ -339,8 +344,9 @@ def main() -> None:
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_extended.json"), "w") as fh:
-        json.dump(side, fh, indent=1)
+    if run_extended:  # never clobber the trend side file with an empty map
+        with open(os.path.join(here, "bench_extended.json"), "w") as fh:
+            json.dump(side, fh, indent=1)
 
     # The official record MUST be the final stdout line and stay well under
     # the driver's stdout-tail capture (r2's single fat line with the
